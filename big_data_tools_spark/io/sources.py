@@ -1,0 +1,70 @@
+"""Sources: Parquet / JSON readers with explicit schemas.
+
+Reference surface covered (SURVEY.md §2.1):
+- S1 multiline JSON (``Databricks Notebook.py:34,62,80,108``)
+- S2 line-delimited JSON (``:48,94``)
+- S3 path config (``:14-19``) → parameterized ``sf_dir``
+
+Engine policy: explicit schema whenever known (inference = extra full
+scan at 100 TB); Parquet is the canonical format for driver testdata.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schemas import TABLE_SCHEMAS
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table from ``{sf_dir}/{name}.parquet``.
+
+    Parquet is self-describing so no schema arg is needed; the declared
+    schema in :mod:`schemas` documents the contract and is asserted in
+    tests.
+
+    The events table stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects; we read nanos as long (runtime legacy conf)
+    and convert to a microsecond timestamp in the plan — same instant,
+    truncated like DuckDB's ns->us conversion, so oracle checks agree.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or tuple(TABLE_SCHEMAS))}
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON source covering the reference's two read shapes (S1/S2).
+
+    With ``multiline=True`` each file parses as one record stream —
+    effectively one partition per file (the reference pays this on four
+    tables); keep multiline files small or split upstream at scale.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if multiline:
+        reader = reader.option("multiline", "true")
+    return reader.json(path)

@@ -1,0 +1,183 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.11).
+
+Four tiers, in increasing recall / decreasing exactness:
+- exact: content-hash groupBy (generalizes reference ``dropDuplicates``
+  ``Databricks Notebook.py:160,611`` to normalized-content identity);
+- n-gram Jaccard: shingle inverted-index self-join — exact Jaccard on
+  candidate pairs that share >= 1 shingle;
+- MinHash+LSH: ``pyspark.ml.feature.MinHashLSH`` banded approximate
+  join (the 100 TB path: cost ~ #near-dup candidates, not #pairs^2);
+- SimHash: 64-bit sign-of-weighted-sum fingerprint, hamming-banded.
+
+Scale notes baked in: shingle join caps per-shingle document frequency
+(hot shingles like boilerplate headers otherwise quadratically explode
+the candidate pair set); all outputs keep the canonical doc (min id)
+deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, shingles
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct normalized content: canonical (min) id,
+    group size. Single hash-shuffle on the 128-bit fingerprint."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+        )
+    )
+
+
+def shingle_index(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Exploded distinct (id, shingle) inverted index."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing a shingle.
+
+    ``max_doc_freq`` drops shingles present in more than that many docs
+    before the self-join — the standard guard against boilerplate
+    shingles creating O(df^2) candidate pairs at scale. Returns
+    (id_a < id_b, jaccard) pairs with jaccard >= threshold.
+    """
+    idx = shingle_index(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        freq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        idx = (
+            idx.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
+        )
+    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = idx.select(F.col("doc").alias("id_a"), "shingle")
+    b = idx.select(F.col("doc").alias("id_b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    max_jaccard_distance: float = 0.3,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """Approximate near-dup pairs via MinHashLSH over hashed shingle
+    sets. The scale path: banded LSH means join cost tracks the number
+    of true near-dup candidates instead of |docs|^2.
+
+    Returns (id_a < id_b, jaccard_distance approx).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = df.select(F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=7)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, max_jaccard_distance, distCol="dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc").alias("id_a"),
+            F.col("datasetB.doc").alias("id_b"),
+            F.col("dist").alias("jaccard_distance"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Each distinct token hashes to 64 bits (xxhash64); per bit, votes
+    +1/-1 summed over tokens; the sign vector is the fingerprint,
+    emitted as a 16-hex-char string plus four 16-bit bands for
+    hamming-banded candidate generation (two docs within hamming
+    distance 3 of each other agree on >= 1 band). One explode + one
+    grouped agg — linear in corpus size.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    # reassemble sign bits into 4 x 16-bit band integers (driver-side
+    # expression build, executor-side evaluation)
+    bands = []
+    for band in range(4):
+        expr = F.lit(0).cast("long")
+        for j in range(16):
+            i = band * 16 + j
+            expr = expr + F.when(F.col(f"b{i}") > 0, F.lit(1 << j).cast("long")).otherwise(0)
+        bands.append(expr.alias(f"band{band}"))
+    out = votes.select(F.col("doc"), *bands)
+    hexs = [F.lpad(F.hex(F.col(f"band{b}")), 4, "0") for b in (3, 2, 1, 0)]
+    return out.withColumn("simhash", F.concat(*hexs))
+
+
+def simhash_candidate_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates from :func:`simhash64` output: docs sharing
+    any 16-bit band, filtered to true hamming distance <= max_hamming."""
+    bands = ["band0", "band1", "band2", "band3"]
+    pop = None
+    for b in bands:
+        x = F.bit_count(F.col(f"a.{b}").bitwiseXOR(F.col(f"b.{b}")))
+        pop = x if pop is None else pop + x
+    cands = None
+    a, b = sim.alias("a"), sim.alias("b")
+    for band in bands:
+        p = (
+            a.join(b, F.col(f"a.{band}") == F.col(f"b.{band}"))
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .select(
+                F.col("a.doc").alias("id_a"),
+                F.col("b.doc").alias("id_b"),
+                pop.alias("hamming"),
+            )
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    return cands.filter(F.col("hamming") <= max_hamming).distinct()

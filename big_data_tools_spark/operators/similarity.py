@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11).
+
+Two paths:
+- brute-force cosine top-k: broadcast the (small) query set against the
+  corpus, score with pure array expressions (zip_with/aggregate —
+  JVM-side, no UDF), rank with a window. Exact; cost O(|corpus|·|queries|),
+  the right baseline and the correctness oracle for ANN variants.
+- LSH-bucketed ANN: ``BucketedRandomProjectionLSH`` (random hyperplane
+  buckets); at 100 TB candidates come from bucket joins instead of the
+  full cross product.
+
+Embeddings are cast float->double before arithmetic so accumulation is
+deterministic and matches DuckDB's double math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .windows import top_k_per_group
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_as_double(a), lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rn).
+
+    ``queries`` is broadcast (keep it small — the design point is
+    "many corpus rows, few queries"); self-matches are excluded;
+    ranking tiebreaks on neighbor id for determinism.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    )
+    return top_k_per_group(
+        scored,
+        keys=["query_id"],
+        order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    max_distance: float = 10.0,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane bucketing
+    (BucketedRandomProjectionLSH on L2 distance). Returns
+    (query_id, neighbor_id, l2_dist, rn<=k). The scale path: join cost
+    follows bucket collisions, not |corpus| x |queries|.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("nid"), array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=7,
+    )
+    model = lsh.fit(c)
+    pairs = model.approxSimilarityJoin(q, c, max_distance, distCol="l2_dist")
+    scored = pairs.select(
+        F.col("datasetA.qid").alias("query_id"),
+        F.col("datasetB.nid").alias("neighbor_id"),
+        F.round(F.col("l2_dist"), 4).alias("l2_dist"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    return top_k_per_group(
+        scored,
+        keys=["query_id"],
+        order_by=[F.col("l2_dist").asc(), F.col("neighbor_id").asc()],
+        k=k,
+    )

@@ -1,0 +1,16 @@
+"""Named query registry: every implemented operator from SURVEY.md §2
+is demonstrated by at least one registered query over the driver
+testdata tables, with an ANSI-SQL twin for the DuckDB oracle whenever
+the semantics are SQL-expressible.
+"""
+
+from .registry import QuerySpec, all_queries, get, register
+
+# Importing the modules populates the registry.
+from . import relational  # noqa: E402,F401
+from . import semistructured  # noqa: E402,F401
+from . import text  # noqa: E402,F401
+from . import dedup  # noqa: E402,F401
+from . import similarity  # noqa: E402,F401
+
+__all__ = ["QuerySpec", "all_queries", "get", "register"]

@@ -1,0 +1,100 @@
+"""Deduplication queries over the documents table (SURVEY.md §2.11).
+
+exact + n-gram-Jaccard carry DuckDB oracle twins; MinHashLSH and
+SimHash are genuinely non-SQL (Spark-side hashing) so they register
+rows-only, with their *candidate recall* cross-checked against the
+exact Jaccard query in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from ..operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_near_dup_pairs,
+    simhash64,
+)
+from .registry import register
+
+
+@register(
+    "dedup_exact_docs",
+    sql="""
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup via normalized-content hash groupBy (north-star; "
+    "generalizes reference dropDuplicates :160,611): canonical min-id "
+    "per content group.",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_jaccard_pairs",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id AS doc,
+               unnest(list_transform(generate_series(1, len(tokens) - 2),
+                      i -> array_to_string(tokens[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(tokens) >= 3
+    ), idx AS (
+        SELECT sh.doc, sh.shingle FROM sh
+        JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000) ok
+          ON sh.shingle = ok.shingle
+    ), sizes AS (
+        SELECT doc, CAST(count(*) AS BIGINT) AS n_sh FROM idx GROUP BY doc
+    ), common AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, CAST(count(*) AS BIGINT) AS common
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           common * 1.0 / (sa.n_sh + sb.n_sh - common) AS jaccard
+    FROM common
+    JOIN sizes sa ON id_a = sa.doc
+    JOIN sizes sb ON id_b = sb.doc
+    WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.8
+    """,
+    doc="Near-dup detection by exact 3-gram-shingle Jaccard over an "
+    "inverted-index self-join (north-star). Hot-shingle doc-frequency "
+    "cap guards the candidate explosion at scale.",
+)
+def dedup_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=1000)
+
+
+@register(
+    "dedup_minhash_pairs",
+    sql=None,  # Spark-side MinHash seeds are not reproducible in SQL
+    doc="MinHashLSH banded near-dup candidates (north-star scale path): "
+    "HashingTF shingle sets -> MinHashLSH approxSimilarityJoin, seed "
+    "pinned. Rows-only driver check; recall vs exact Jaccard asserted "
+    "in tests/test_dedup.py.",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, "text", "doc_id", n=3, max_jaccard_distance=0.3)
+    return pairs.select("id_a", "id_b", F.round("jaccard_distance", 4).alias("jaccard_distance"))
+
+
+@register(
+    "dedup_simhash",
+    sql=None,  # xxhash64 has no DuckDB twin
+    doc="SimHash 64-bit fingerprints (north-star): sign-of-vote over "
+    "xxhash64 token bits, banded for hamming candidate generation. "
+    "Rows-only driver check; hamming properties asserted in tests.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash64(d, "text", "doc_id").select("doc", "simhash", "band0", "band1", "band2", "band3")

@@ -1,0 +1,158 @@
+"""Text-analysis queries over the documents table (SURVEY.md §2.11).
+
+The stopword/quality/lang-id formulas live in operators/text.py; each
+oracle twin re-states the same arithmetic in DuckDB SQL. Per-document
+expressions are bit-identical across engines (same IEEE ops on the
+same values); only cross-row aggregates need the round() guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.agg import dmean, sql_dmean
+from ..io.sources import load_table
+from ..operators.text import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    avg_token_len,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from .registry import register
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+
+@register(
+    "doc_token_stats",
+    sql=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(len(string_split(lower(text), ' '))), 2) AS avg_tokens,
+           round(avg(length(text)), 2) AS avg_chars,
+           {sql_dmean("list_aggregate(list_transform(string_split(lower(text), ' '), "
+                      "t -> length(t)), 'sum') * 1.0 "
+                      "/ len(string_split(lower(text), ' '))", 2)} AS avg_token_len
+    FROM documents GROUP BY lang
+    """,
+    doc="Token counting + length stats per language facet (north-star "
+    "text analysis; pure expressions, no UDF).",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        d.select(
+            "lang",
+            token_count(t).alias("n_tok"),
+            F.length(t).alias("n_char"),
+            avg_token_len(t).alias("atl"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+            F.round(F.avg("n_char"), 2).alias("avg_chars"),
+            dmean(F.col("atl"), 2).alias("avg_token_len"),
+        )
+    )
+
+
+@register(
+    "doc_quality_by_source",
+    sql=f"""
+    WITH scored AS (
+        SELECT source,
+               len(string_split(lower(text), ' ')) AS n_tok,
+               len(list_filter(string_split(lower(text), ' '),
+                   t -> t IN ({_SW}))) AS sw_hits,
+               length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_bad,
+               length(lower(text)) AS n_chars
+        FROM documents
+    ), q AS (
+        SELECT source,
+               least(n_tok / 100.0, 1.0) * 0.4
+             + least((sw_hits * 1.0 / n_tok) * 4, 1.0) * 0.3
+             + greatest(0.0, 1.0 - (n_bad * 1.0 / n_chars) * 5) * 0.3 AS quality
+        FROM scored
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           {sql_dmean('quality', 3)} AS avg_quality
+    FROM q GROUP BY source
+    """,
+    doc="Heuristic quality scoring (length/stopword/punctuation terms) "
+    "averaged per source facet (north-star text analysis).",
+)
+def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("source", quality_score(F.col("text")).alias("quality"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dmean(F.col("quality"), 3).alias("avg_quality"),
+        )
+    )
+
+
+def _lang_case_sql() -> str:
+    """CASE chain mirroring operators.text.lang_id exactly."""
+    hits = {
+        lang: (
+            f"len(list_filter(string_split(lower(text), ' '), "
+            f"t -> t IN ({', '.join(repr(w) for w in ws)})))"
+        )
+        for lang, ws in LANG_MARKERS.items()
+    }
+    clauses = []
+    for lang in LANG_MARKERS:
+        conds = [f"{hits[lang]} > 0"] + [
+            f"{hits[lang]} > {hits[o]}" for o in LANG_MARKERS if o != lang
+        ]
+        clauses.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'unknown' END"
+
+
+@register(
+    "lang_id_confusion",
+    sql=f"""
+    SELECT lang, {_lang_case_sql()} AS pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+    doc="n-gram/stopword-marker language ID (north-star): argmax of "
+    "per-language marker hits, confusion counts vs the labeled lang.",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "doc_fingerprints",
+    sql="""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+           CAST(count(*) OVER (
+               PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           ) AS BIGINT) AS n_same
+    FROM documents
+    """,
+    doc="Document fingerprinting (north-star): md5 over normalized "
+    "content + same-fingerprint group size via window count.",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp")
+    return (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .withColumn("n_same", F.count(F.lit(1)).over(w).cast("long"))
+    )
