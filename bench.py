@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (foreachBatch-free: count() on the
+result forces full evaluation including sinks-side work) on
+local[$SPARK_GRAFT_CPUS]. The metric is total wall-clock across the
+headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_tools_spark.queries import all_queries
+from big_data_tools_spark.session import get_spark
+
+# Representative of every operator family: scan+agg, star join, window,
+# pivot, semi-structured parse, text, dedup (exact + jaccard + minhash),
+# similarity (brute + LSH).
+HEADLINE = [
+    "order_rollup_flagship",
+    "pricing_summary",
+    "regional_revenue",
+    "nation_customer_value",
+    "topk_orders_per_customer",
+    "segment_pivot",
+    "monthly_revenue",
+    "events_props_extract",
+    "events_hourly",
+    "doc_quality_by_source",
+    "lang_id_confusion",
+    "dedup_exact_docs",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_pairs",
+    "knn_cosine_brute",
+    "knn_lsh_ann",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bdt-bench")
+    registry = all_queries()
+
+    # warm the JVM + parquet footers with one cheap action so the first
+    # timed query doesn't absorb session spin-up
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        n = spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
