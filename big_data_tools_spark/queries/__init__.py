@@ -8,6 +8,7 @@ from .registry import QuerySpec, all_queries, get, register
 
 # Importing the modules populates the registry.
 from . import relational  # noqa: E402,F401
+from . import cleaning  # noqa: E402,F401
 from . import semistructured  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
