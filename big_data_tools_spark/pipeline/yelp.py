@@ -75,7 +75,10 @@ def review_metrics(review: DataFrame, pivot_date: str = PIVOT_DATE) -> DataFrame
     )
     return scored.groupBy("business_ID").agg(  # :154
         F.sum("useful").alias("useful_sum"),
-        F.count("review_id").alias("review_count"),
+        # named n_reviews, not review_count: the business table already
+        # has a review_count column and a duplicate name in the
+        # basetable breaks every downstream consumer (RFormula etc.)
+        F.count("review_id").alias("n_reviews"),
         F.avg("AdjustedRating").alias("avg_adjusted_rating"),
         F.count(F.when(F.col("stars") > 3, True)).alias("positive_reviews"),
         F.count(F.when(F.col("stars") < 4, True)).alias("negative_reviews"),

@@ -1,0 +1,50 @@
+"""Physical-plan property tests (SURVEY.md §4.4): the plans that must
+hold at 100 TB — pushdown, broadcast, bounded shuffles, codegen.
+"""
+
+from __future__ import annotations
+
+from big_data_tools_spark.plans.lint import (
+    count_exchanges,
+    has_broadcast_hash_join,
+    pushed_filters,
+    whole_stage_codegen_spans,
+)
+from big_data_tools_spark.queries import get
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark, sf_smoke):
+    df = get("pricing_summary").fn(spark, sf_smoke)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_regional_revenue_broadcasts_dims(spark, sf_smoke):
+    df = get("regional_revenue").fn(spark, sf_smoke)
+    assert has_broadcast_hash_join(df)
+    # orders⋈customer may shuffle; nation/region must not add exchanges:
+    # 1 join shuffle side pair at most + 1 agg shuffle
+    assert count_exchanges(df) <= 3
+
+
+def test_pricing_summary_single_shuffle(spark, sf_smoke):
+    # partial+final hash agg -> exactly one shuffle on the group keys
+    df = get("pricing_summary").fn(spark, sf_smoke)
+    assert count_exchanges(df) == 1
+
+
+def test_flagship_uses_broadcast_for_scalar(spark, sf_smoke):
+    df = get("order_rollup_flagship").fn(spark, sf_smoke)
+    # the global-max scalar must ride a broadcast, not a shuffle
+    assert has_broadcast_hash_join(df) or "BroadcastNestedLoopJoin" in _txt(df)
+
+
+def _txt(df):
+    from big_data_tools_spark.plans.lint import explain_text
+
+    return explain_text(df, "formatted")
+
+
+def test_codegen_covers_core_pipeline(spark, sf_smoke):
+    df = get("pricing_summary").fn(spark, sf_smoke)
+    assert whole_stage_codegen_spans(df) >= 1

@@ -1,0 +1,44 @@
+"""Streaming veneer tests (SURVEY.md §2.10 stretch): the streamed
+tumbling-window aggregation must equal its batch twin on the same files.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from big_data_tools_spark.io.sources import load_table
+from big_data_tools_spark.streaming.events import (
+    hourly_event_counts,
+    read_events_stream,
+    run_available_now,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_smoke):
+    d = tempfile.mkdtemp(prefix="bdt_events_")
+    shutil.copy(f"{sf_smoke}/events.parquet", f"{d}/events.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_equals_batch(spark, events_dir, sf_smoke):
+    stream = read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    agg = hourly_event_counts(stream)
+    result = run_available_now(agg, "hourly_test")
+
+    batch = hourly_event_counts(load_table(spark, sf_smoke, "events"))
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_watermark_present_in_stream_plan(spark, events_dir):
+    agg = hourly_event_counts(read_events_stream(spark, events_dir), watermark="3 hours")
+    # watermark node must exist in the logical plan for state cleanup
+    assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()

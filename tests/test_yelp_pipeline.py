@@ -34,7 +34,7 @@ def _by_id(rows, key="business_id"):
 def test_review_metrics_semantics(tables):
     rows = _by_id(review_metrics(tables["review"]).collect(), "business_ID")
     b1 = rows["b1"]
-    assert b1["review_count"] == 2
+    assert b1["n_reviews"] == 2
     assert b1["useful_sum"] == 3
     # reference quirk: stars>3 positive, stars<4 negative — r1 (5.0) is
     # positive, r2 (2.0) is negative
