@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import fan_out
 from .text import fingerprint, shingles
 
 
@@ -36,12 +37,23 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingle_index(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Exploded distinct (id, shingle) inverted index."""
-    return df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-    )
+def shingle_index(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, hashed: bool = False
+) -> DataFrame:
+    """Exploded distinct (id, shingle) inverted index.
+
+    ``hashed=True`` replaces the shingle string with its xxhash64 —
+    8-byte shuffle keys instead of ~10s-of-bytes strings, which at
+    corpus scale cuts the self-join shuffle volume several-fold.
+    64-bit collisions (~n^2/2^65) are negligible for dedup purposes.
+    """
+    sh = F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    # shingling is the expensive per-row step — spread single-file
+    # inputs across all cores before computing it
+    out = fan_out(df, id_col).select(F.col(id_col).alias("doc"), sh)
+    if hashed:
+        out = out.select("doc", F.xxhash64("shingle").alias("shingle"))
+    return out
 
 
 def jaccard_pairs(
@@ -59,19 +71,33 @@ def jaccard_pairs(
     shingles creating O(df^2) candidate pairs at scale. Returns
     (id_a < id_b, jaccard) pairs with jaccard >= threshold.
     """
-    idx = shingle_index(df, text_col, id_col, n)
+    # the (doc, shingle) index feeds three consumers (doc-frequency cap,
+    # per-doc sizes, self-join both sides); persist it once instead of
+    # re-deriving the shingle expressions per consumer — at scale this
+    # is the difference between 1 and 4 corpus scans.
+    idx = shingle_index(df, text_col, id_col, n, hashed=True).persist()
     if max_doc_freq is not None:
         freq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         idx = (
             idx.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
-        )
+        ).persist()
     sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = idx.select(F.col("doc").alias("id_a"), "shingle")
-    b = idx.select(F.col("doc").alias("id_b"), "shingle")
+    # candidate pairs from posting lists: group the index by shingle and
+    # expand each (bounded, <= max_doc_freq) posting list into its
+    # doc-id pairs with one array expression — one shuffle on shingle
+    # instead of a full index self-join (two shuffles + join). This is
+    # the classic inverted-index candidate generation; the df cap above
+    # bounds the quadratic expansion per shingle.
+    posting = idx.groupBy("shingle").agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+    pair_expr = (
+        "flatten(transform(docs, (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), y -> struct(x AS id_a, y AS id_b))))"
+    )
     common = (
-        a.join(b, on="shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        posting.filter(F.size("docs") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
@@ -105,11 +131,13 @@ def minhash_near_dup_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = df.select(F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")).filter(
-        F.size("sh") > 0
-    )
+    sh = fan_out(df, id_col).select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
-    feats = tf.transform(sh)
+    # both sides of the self-join read this frame; persist so shingling
+    # + hashing run once, not twice
+    feats = tf.transform(sh).persist()
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=7)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, max_jaccard_distance, distCol="dist")
@@ -133,7 +161,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     distance 3 of each other agree on >= 1 band). One explode + one
     grouped agg — linear in corpus size.
     """
-    toks = df.select(
+    toks = fan_out(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import fan_out
 from .windows import top_k_per_group
 
 
@@ -64,7 +65,11 @@ def brute_force_topk(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # vector math is the heavy step — spread single-file corpora over
+    # all cores before the broadcast cross join
+    c = fan_out(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
     sim = cosine(F.col("q_vec"), F.col("c_vec"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
@@ -99,7 +104,7 @@ def lsh_ann_topk(
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    c = corpus.select(
+    c = fan_out(corpus, id_col).select(
         F.col(id_col).alias("nid"), array_to_vector(_as_double(F.col(vec_col))).alias("features")
     )
     q = queries.select(

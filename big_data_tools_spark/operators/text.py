@@ -60,38 +60,58 @@ def non_alpha_ratio(col: Column) -> Column:
     return F.length(stripped).cast("double") / F.length(lowered)
 
 
+def quality_score_from_tokens(toks: Column, col: Column) -> Column:
+    """Quality formula over a pre-tokenized column — use this form in
+    queries so the text is tokenized once, not once per term."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n = F.size(toks)
+    len_term = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    sw_term = F.least((hits.cast("double") / n) * 4, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - non_alpha_ratio(col) * 5)
+    return (len_term * 0.4 + sw_term * 0.3 + punct_pen * 0.3).cast("double")
+
+
 def quality_score(col: Column) -> Column:
     """Heuristic document quality in [0,1]: rewards moderate length,
     penalizes stopword-free word soup and heavy punctuation. A
     deterministic, SQL-expressible stand-in for learned quality
     classifiers used in pretraining pipelines."""
-    n = token_count(col)
-    len_term = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
-    sw_term = F.least(stopword_ratio(col) * 4, F.lit(1.0))
-    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - non_alpha_ratio(col) * 5)
-    return (len_term * 0.4 + sw_term * 0.3 + punct_pen * 0.3).cast("double")
+    return quality_score_from_tokens(tokens(col), col)
 
 
-def lang_marker_hits(col: Column, lang: str) -> Column:
+def lang_marker_hits(toks: Column, lang: str) -> Column:
     """Number of tokens (with repeats) matching ``lang``'s marker set."""
     markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
-    return F.size(F.filter(tokens(col), lambda x: F.array_contains(markers, x))).cast("long")
+    return F.size(F.filter(toks, lambda x: F.array_contains(markers, x))).cast("long")
+
+
+def lang_id_from_tokens(toks: Column) -> Column:
+    """Predicted language = strict argmax of marker hits over a
+    pre-tokenized column; ties/all-zero -> 'unknown'.
+
+    Implemented as sort-of-(hits, lang)-structs + a top-2 strictness
+    check: each language's filter expression appears exactly once. The
+    naive pairwise CASE chain references every hit count ~2x per
+    language pair, which balloons the codegen'd function (seconds of
+    JIT per query). Semantically identical to the pairwise argmax —
+    'top1 strictly greater than top2' == 'strictly greater than all'.
+    """
+    entries = [
+        F.struct(lang_marker_hits(toks, lang).alias("h"), F.lit(lang).alias("l"))
+        for lang in LANG_MARKERS
+    ]
+    ranked = F.reverse(F.array_sort(F.array(*entries)))
+    top1, top2 = ranked.getItem(0), ranked.getItem(1)
+    return F.when(
+        (top1.getField("h") > 0) & (top1.getField("h") > top2.getField("h")),
+        top1.getField("l"),
+    ).otherwise(F.lit("unknown"))
 
 
 def lang_id(col: Column) -> Column:
-    """Predicted language = argmax of marker hits; ties/all-zero ->
-    'unknown'. Strict-argmax CASE chain keeps it deterministic and
-    SQL-twin-able."""
-    hits = {lang: lang_marker_hits(col, lang) for lang in LANG_MARKERS}
-    expr = None
-    for lang, h in hits.items():
-        others = [hits[o] for o in LANG_MARKERS if o != lang]
-        cond = (h > 0)
-        for o in others:
-            cond = cond & (h > o)
-        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
-    assert expr is not None
-    return expr.otherwise(F.lit("unknown"))
+    """:func:`lang_id_from_tokens` over freshly tokenized text."""
+    return lang_id_from_tokens(tokens(col))
 
 
 def fingerprint(col: Column) -> Column:

@@ -14,14 +14,16 @@ from pyspark.sql.window import Window
 
 from ..functions.agg import dmean, sql_dmean
 from ..io.sources import load_table
+from ..operators.partitioning import fan_out
 from ..operators.text import (
     LANG_MARKERS,
     STOPWORDS_EN,
     avg_token_len,
     fingerprint,
-    lang_id,
-    quality_score,
+    lang_id_from_tokens,
+    quality_score_from_tokens,
     token_count,
+    tokens,
 )
 from .registry import register
 
@@ -44,7 +46,7 @@ _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
     "text analysis; pure expressions, no UDF).",
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     t = F.col("text")
     return (
         d.select(
@@ -89,9 +91,12 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "averaged per source facet (north-star text analysis).",
 )
 def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
-        d.select("source", quality_score(F.col("text")).alias("quality"))
+        d.select(
+            "source",
+            quality_score_from_tokens(tokens(F.col("text")), F.col("text")).alias("quality"),
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -128,9 +133,12 @@ def _lang_case_sql() -> str:
     "per-language marker hits, confusion counts vs the labeled lang.",
 )
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    # tokenize ONCE into a projected column; the argmax CASE chain then
+    # reads the array 5x without re-splitting the text 5x
+    toked = d.select("lang", tokens(F.col("text")).alias("toks"))
     return (
-        d.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+        toked.select("lang", lang_id_from_tokens(F.col("toks")).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
