@@ -151,19 +151,21 @@ def minhash_near_dup_pairs(
     )
 
 
-def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash64(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
-    Each distinct token hashes to 64 bits (xxhash64); per bit, votes
-    +1/-1 summed over tokens; the sign vector is the fingerprint,
-    emitted as a 16-hex-char string plus four 16-bit bands for
-    hamming-banded candidate generation (two docs within hamming
-    distance 3 of each other agree on >= 1 band). One explode + one
+    Each distinct word ``n``-gram shingle hashes to 64 bits (xxhash64);
+    per bit, votes +1/-1 summed over shingles; the sign vector is the
+    fingerprint, emitted as a 16-hex-char string plus four 16-bit bands
+    for hamming-banded candidate generation. Shingles (not unigrams)
+    are the feature set: on small-vocabulary corpora most documents
+    contain most words, so unigram SimHash degenerates — n-grams carry
+    word order and keep fingerprints discriminative. One explode + one
     grouped agg — linear in corpus size.
     """
     toks = fan_out(df, id_col).select(
         F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("tok"),
+        F.explode(shingles(F.col(text_col), n)).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
     votes = toks.groupBy("doc").agg(
         *[

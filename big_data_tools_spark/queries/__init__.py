@@ -8,10 +8,12 @@ from .registry import QuerySpec, all_queries, get, register
 
 # Importing the modules populates the registry.
 from . import relational  # noqa: E402,F401
+from . import advanced  # noqa: E402,F401
 from . import cleaning  # noqa: E402,F401
 from . import semistructured  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
+from . import mlstream  # noqa: E402,F401
 
 __all__ = ["QuerySpec", "all_queries", "get", "register"]

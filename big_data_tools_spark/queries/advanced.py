@@ -1,0 +1,154 @@
+"""Advanced relational surface: semi/anti joins, rollup subtotals,
+sessionization, array/embedding aggregates (beyond-reference per
+SURVEY.md §2.6 — required for a usable analytics engine, each with an
+exact DuckDB oracle twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.agg import dmean, money_sum, sql_dmean, sql_money_sum
+from ..io.sources import load_table
+from ..operators.partitioning import fan_out
+from .registry import register
+
+
+@register(
+    "customers_without_orders",
+    sql="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Anti join (left_anti): customers with no orders. At scale the "
+    "orders side reduces to a distinct-key set before the join.",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "customers_with_urgent_orders",
+    sql="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+    doc="Semi join (left_semi): customers holding at least one urgent "
+    "order; the filter pushes below the join build side.",
+)
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "revenue_rollup",
+    sql=f"""
+    SELECT n.n_regionkey, c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sql_money_sum('o.o_totalprice')} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP(n.n_regionkey, c.c_nationkey)
+    """,
+    doc="Hierarchical subtotals via ROLLUP (region -> nation -> grand "
+    "total) — grouping-sets surface absent from the reference (§2.5 "
+    "missing-set), one pass over the fact table.",
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return joined.rollup("n_regionkey", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+@register(
+    "event_sessions",
+    sql="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN date_diff('second',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        ts) > 1800
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessioned AS (
+        SELECT user_id, ts, event_id,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+    FROM sessioned GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30-min inactivity) via lag + running "
+    "sum windows — the batch form of stateful session windows; one "
+    "shuffle on user_id serves both window passes and the final agg.",
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.col("ts").cast("long") - prev.cast("long")
+    marked = ev.withColumn(
+        "new_session", F.when(prev.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sessioned = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts")).cast("long") - F.min(F.col("ts")).cast("long")).alias(
+            "duration_sec"
+        ),
+    )
+
+
+@register(
+    "embedding_centroids",
+    sql=f"""
+    WITH flat AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+           {sql_dmean('v', 4)} AS centroid_v
+    FROM flat WHERE pos <= 8 GROUP BY label, pos
+    """,
+    doc="Per-label embedding centroid (first 8 dims, long form) via "
+    "posexplode + grouped mean — array aggregation without UDFs; the "
+    "wide->long explode shuffles once on (label, pos).",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    flat = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+    ).withColumn("pos", (F.col("pos0") + 1).cast("int")).filter(F.col("pos") <= 8)
+    return flat.groupBy("label", "pos").agg(dmean(F.col("v"), 4).alias("centroid_v"))

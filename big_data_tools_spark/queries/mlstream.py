@@ -1,0 +1,74 @@
+"""Rows-only registry entries for the ML and streaming surfaces.
+
+These run real distributed work (model fitting, the streaming engine)
+whose outputs are not ANSI-SQL-expressible, so they register without
+oracle twins — the driver records rows-only checks, and the in-repo
+tests assert the stronger properties (metric bands, stream==batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from .registry import register
+
+
+@register(
+    "ml_train_eval",
+    sql=None,  # model metrics are not SQL-expressible
+    doc="End-to-end ML surface (M1-M12): per-customer features from "
+    "orders, label = has-urgent-order, LR(maxIter=10, regParam=0.01) "
+    "on a seeded 70/30 split, DataFrame-native AUC/accuracy. Returns "
+    "one row per metric. Rows-only driver check; metric bands are "
+    "asserted in tests/test_ml_pipeline.py.",
+)
+def ml_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.pipeline import evaluate_model, featurize
+
+    from pyspark.ml.classification import LogisticRegression
+
+    o = load_table(spark, sf_dir, "orders")
+    feats = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum("o_totalprice").alias("sum_price"),
+        F.avg("o_totalprice").alias("avg_price"),
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("label"),
+        F.first("o_orderstatus").alias("status"),
+    )
+    basetable = feats.withColumnRenamed("o_custkey", "business_id")
+    train, test, _ = featurize(
+        basetable, categorical_cols=("status",), select_percentile=None
+    )
+    model = LogisticRegression(maxIter=10, regParam=0.01).fit(train)
+    metrics = evaluate_model(model, train, "train") | evaluate_model(model, test, "test")
+    rows = [(k, round(float(v), 6)) for k, v in sorted(metrics.items())]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+@register(
+    "streaming_hourly_counts",
+    sql=None,  # runs through the streaming engine, not a SQL query
+    doc="Structured Streaming surface (§2.10): availableNow drain of "
+    "the events table through the watermarked tumbling-window "
+    "aggregation. Rows-only driver check; stream==batch equivalence "
+    "is asserted in tests/test_streaming.py.",
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import (
+        EVENTS_STREAM_SCHEMA,
+        hourly_event_counts,
+        run_available_now,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return run_available_now(hourly_event_counts(stream), "bdt_stream_hourly")

@@ -1,0 +1,116 @@
+"""Unit + property tests for core operators (SURVEY.md §5.2.1/5.2.3),
+including the reference's dirty-data edge cases.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from big_data_tools_spark.operators.cleaning import dedup_keep_min, null_audit, recode_bulk
+from big_data_tools_spark.operators.hours import hours_availability
+from big_data_tools_spark.operators.maps import parse_dict_literal, parse_dict_literal_json
+from big_data_tools_spark.operators.scalar import with_global_max
+from big_data_tools_spark.operators.star import GrainError, assert_unique_key
+
+
+# --------------------------------------------------------------------- hours
+@pytest.mark.parametrize(
+    "s,avail",
+    [
+        ("9:0-21:0", 12),
+        ("22:0-2:0", 4),     # past midnight (+24 rule, reference :505-507)
+        ("18:0-18:0", 24),   # close == open -> wraps a full day (:502 '<=')
+        ("0:0-23:30", 23),   # hour part only (substring_index ':' semantics)
+        (None, None),
+    ],
+)
+def test_hours_availability_cases(spark, s, avail):
+    df = spark.createDataFrame([(s,)], "h string")
+    got = df.select(hours_availability(F.col("h")).alias("a")).first()["a"]
+    assert got == avail
+
+
+# ---------------------------------------------------------------------- maps
+def test_parse_dict_literal_keeps_leading_space_artifact(spark):
+    df = spark.createDataFrame([("{'romantic': True, 'casual': False}",)], "m string")
+    rows = df.select(F.explode(parse_dict_literal(F.col("m"))).alias("k", "v")).collect()
+    kv = {r["k"]: r["v"] for r in rows}
+    # reference semantics: values keep the leading space from ', ' split (:336)
+    assert kv["romantic"] == " True"
+    assert kv[" casual"] == " False"
+
+
+def test_parse_dict_literal_json_normalizes(spark):
+    df = spark.createDataFrame(
+        [("{'a': True, 'b': False, 'c': None}",)], "m string"
+    )
+    m = df.select(parse_dict_literal_json(F.col("m")).alias("m")).first()["m"]
+    assert m == {"a": "true", "b": "false", "c": None}
+
+
+# ------------------------------------------------------------------- cleaning
+def test_recode_bulk_single_pass(spark):
+    df = spark.createDataFrame([("True", "False"), (None, "True")], "a string, b string")
+    out = recode_bulk(df, ["a", "b"], {"True": "1", "False": "0"}, default="Missing")
+    rows = out.collect()
+    assert (rows[0]["a"], rows[0]["b"]) == ("1", "0")
+    assert (rows[1]["a"], rows[1]["b"]) == ("Missing", "1")
+
+
+def test_null_audit_counts_nan_and_null(spark):
+    df = spark.createDataFrame(
+        [(1.0, "x"), (float("nan"), None), (None, "y")], "d double, s string"
+    )
+    row = null_audit(df).first()
+    assert row["d"] == 2  # one NaN + one null
+    assert row["s"] == 1
+
+
+def test_assert_unique_key_raises_on_dups(spark):
+    ok = spark.createDataFrame([(1,), (2,)], "k int")
+    assert_unique_key(ok, ["k"])  # no raise
+    dup = spark.createDataFrame([(1,), (1,)], "k int")
+    with pytest.raises(GrainError):
+        assert_unique_key(dup, ["k"])
+
+
+# ------------------------------------------------------------ property tests
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000), st.integers(0, 3)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dedup_keep_min_properties(spark, rows):
+    df = spark.createDataFrame(rows, "k int, ord int, payload int")
+    out = dedup_keep_min(df, ["k"], "ord")
+    got = out.collect()
+    keys = [r["k"] for r in got]
+    # one row per key
+    assert sorted(keys) == sorted(set(r[0] for r in rows))
+    # kept row has the minimal ord per key
+    mins = {}
+    for k, o, _ in rows:
+        mins[k] = min(mins.get(k, o), o)
+    for r in got:
+        assert r["ord"] == mins[r["k"]]
+    # idempotence
+    again = dedup_keep_min(out, ["k"], "ord").collect()
+    assert sorted((r["k"], r["ord"]) for r in again) == sorted(
+        (r["k"], r["ord"]) for r in got
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=50))
+def test_with_global_max_matches_python_max(spark, xs):
+    df = spark.createDataFrame([(x,) for x in xs], "x int")
+    out = with_global_max(df, F.col("x"), "mx").collect()
+    assert len(out) == len(xs)
+    assert all(r["mx"] == max(xs) for r in out)

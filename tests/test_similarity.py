@@ -1,0 +1,61 @@
+"""Similarity-search cross-checks: the LSH path must recall the
+brute-force oracle's neighbors."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from big_data_tools_spark.io.sources import load_table
+from big_data_tools_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    l2_norm,
+    lsh_ann_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_oracle):
+    return load_table(spark, sf_oracle, "embeddings")
+
+
+def test_cosine_expression_sanity(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, [1.0, 0.0], [0.0, 1.0]), (3, [1.0, 1.0], [2.0, 2.0])],
+        "id int, a array<double>, b array<double>",
+    )
+    rows = {r["id"]: r for r in df.select("id", cosine(F.col("a"), F.col("b")).alias("c"),
+                                          l2_norm(F.col("a")).alias("n")).collect()}
+    assert rows[1]["c"] == pytest.approx(1.0)
+    assert rows[2]["c"] == pytest.approx(0.0)
+    assert rows[3]["c"] == pytest.approx(1.0)
+    assert rows[3]["n"] == pytest.approx(2 ** 0.5)
+
+
+def test_lsh_recalls_brute_force_l2_neighbors(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    # brute-force L2 ground truth (same metric as the LSH variant)
+    brute = brute_force_topk(emb, queries, k=5)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    ann = lsh_ann_topk(emb, queries, k=5, num_hash_tables=8, bucket_length=4.0)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    # cosine-topk vs L2-topk differ; compare against L2-brute instead:
+    recall_any = len(got & truth) / len(truth)
+    # LSH with generous tables/buckets should recover a solid fraction
+    assert recall_any >= 0.5, f"ANN overlap with brute cosine top-5 = {recall_any:.2f}"
+
+
+def test_brute_force_excludes_self_and_ranks_deterministically(emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, queries, k=3).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append((r["rn"], r["cos_sim"]))
+    for q, rows in per_q.items():
+        rows.sort()
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True), f"rank order broken for {q}"
+        assert len(rows) == 3
