@@ -1,0 +1,83 @@
+"""Scale-technique queries: skew-safe aggregation, approximate
+sketches, multimodal plumbing — the 100 TB toolbox demonstrated on
+driver data. Salted aggregation is exactly equal to the direct form,
+so it keeps a DuckDB oracle twin; sketch/multimodal entries are
+rows-only by nature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from ..operators.skew import salted_aggregate
+from .registry import register
+
+
+@register(
+    "salted_status_rollup",
+    sql="""
+    SELECT o_orderstatus,
+           CAST(count(o_totalprice) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+           max(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Skew-safe two-phase aggregation (operators/skew.py): orders "
+    "grouped by the 3-value status key — the shape where a hot key "
+    "funnels into one reducer — salted across 16 buckets then merged. "
+    "Results are exactly the direct groupBy's (oracle-checked).",
+)
+def salted_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    out = salted_aggregate(
+        o,
+        keys=["o_orderstatus"],
+        aggs={
+            "n_orders": ("count", F.col("o_totalprice")),
+            "revenue_dec": ("sum", F.col("o_totalprice").cast("decimal(18,2)")),
+            "max_price": ("max", F.col("o_totalprice")),
+        },
+    )
+    return out.select(
+        "o_orderstatus",
+        "n_orders",
+        F.round(F.col("revenue_dec").cast("double"), 2).alias("revenue"),
+        "max_price",
+    )
+
+
+@register(
+    "approx_distinct_sketch",
+    sql=None,  # HLL sketch values differ engine-to-engine by design
+    doc="approx_count_distinct (A8 scale variant): HLL sketches for "
+    "customer/part/supplier keys over lineitem in one pass. Sketch "
+    "merge is commutative so values are run-to-run deterministic; the "
+    "exact twin is the oracle-checked distinct_customer_count. "
+    "Rows-only driver check; error band asserted in tests.",
+)
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "multimodal_features",
+    sql=None,  # Arrow mapInPandas path; not SQL-expressible
+    doc="Multimodal plumbing (§2.11): opaque binary media column + "
+    "typed metadata struct -> Arrow-batched mapInPandas feature "
+    "extraction (decode deterministically stubbed — media libs absent "
+    "by design). Rows-only driver check; schema/determinism asserted "
+    "in tests/test_multimodal.py.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_fake_media, extract_media_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_media_features(attach_fake_media(docs), feature_dim=8)

@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.maxResultSize", "2g")
+        # local mode: one JVM hosts driver + all executor threads, so the
+        # driver heap must be sized for N concurrent tasks (default 1g
+        # OOMs under 32 parallel hash-agg tasks). Must be set before the
+        # JVM launches; getOrCreate on an existing session ignores it.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

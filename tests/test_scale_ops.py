@@ -1,0 +1,57 @@
+"""Tests for the scale-technique operators (skew salting, sketches)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_tools_spark.io.sources import load_table
+from big_data_tools_spark.operators.skew import salted_aggregate
+from big_data_tools_spark.queries import get
+
+
+def test_salted_aggregate_equals_direct_groupby(spark, sf_smoke):
+    o = load_table(spark, sf_smoke, "orders")
+    direct = {
+        r["o_orderstatus"]: r
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.count("o_totalprice").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+            F.max("o_totalprice").alias("m"),
+        )
+        .collect()
+    }
+    salted = {
+        r["o_orderstatus"]: r
+        for r in salted_aggregate(
+            o,
+            ["o_orderstatus"],
+            {
+                "n": ("count", F.col("o_totalprice")),
+                "s": ("sum", F.col("o_totalprice").cast("decimal(18,2)")),
+                "m": ("max", F.col("o_totalprice")),
+            },
+        ).collect()
+    }
+    assert direct.keys() == salted.keys()
+    for k in direct:
+        assert direct[k]["n"] == salted[k]["n"]
+        assert direct[k]["s"] == salted[k]["s"]  # decimal: exact equality
+        assert direct[k]["m"] == salted[k]["m"]
+
+
+def test_approx_distinct_within_error_band(spark, sf_smoke):
+    row = get("approx_distinct_sketch").fn(spark, sf_smoke).first()
+    li = load_table(spark, sf_smoke, "lineitem")
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("o"),
+        F.countDistinct("l_partkey").alias("p"),
+        F.countDistinct("l_suppkey").alias("s"),
+    ).first()
+    for approx_col, exact_val in [
+        ("approx_orders", exact["o"]),
+        ("approx_parts", exact["p"]),
+        ("approx_suppliers", exact["s"]),
+    ]:
+        rel_err = abs(row[approx_col] - exact_val) / max(exact_val, 1)
+        assert rel_err < 0.1, f"{approx_col}: {row[approx_col]} vs {exact_val}"
