@@ -211,3 +211,34 @@ def simhash_candidate_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         cands = p if cands is None else cands.unionByName(p)
     return cands.filter(F.col("hamming") <= max_hamming).distinct()
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding near-dup: (id_a < id_b) pairs with cosine >= threshold.
+
+    Exact all-pairs form — the correctness baseline and oracle twin for
+    the approximate tiers. Cosine is computed in double with per-pair
+    rounding BEFORE the threshold filter so the boundary decision is
+    identical across engines. At corpus scale, route candidates through
+    :func:`big_data_tools_spark.operators.similarity.lsh_ann_topk` /
+    ``ivf_topk`` buckets first; the all-pairs plan is a broadcast
+    nested loop by construction (non-equi condition).
+    """
+    from .similarity import cosine
+
+    a = fan_out(df, id_col).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits)
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

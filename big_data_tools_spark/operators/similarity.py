@@ -86,6 +86,74 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: KMeans-partition the corpus into
+    ``n_clusters`` inverted lists, route each query to its ``n_probe``
+    nearest centroids, exact cosine only inside probed lists.
+
+    Scale shape: the corpus is scanned once for assignment (narrow map
+    after the fit), then the search join is
+    (queries x n_probe) ⋈ cluster — cost ~ n_probe/n_clusters of
+    brute force, and the per-cluster candidate sets shuffle-partition
+    by cluster id. Centroids (n_clusters x dim) broadcast.
+    Deterministic: seeded fit, ranked with id tiebreaks.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = fan_out(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        array_to_vector(_as_double(F.col(vec_col))).alias("features"),
+    )
+    model = KMeans(k=n_clusters, seed=7, featuresCol="features").fit(c)
+    assigned = model.transform(c).select(
+        "neighbor_id", "c_vec", F.col("prediction").alias("cluster_id")
+    )
+    # centroid table is tiny (n_clusters rows) -> broadcast to route queries
+    cents = F.broadcast(
+        c.sparkSession.createDataFrame(
+            [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+            "cluster_id int, centroid array<double>",
+        )
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    routed = top_k_per_group(
+        q.crossJoin(cents).select(
+            "query_id",
+            "q_vec",
+            "cluster_id",
+            cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim"),
+        ),
+        keys=["query_id"],
+        order_by=[F.col("c_sim").desc(), F.col("cluster_id").asc()],
+        k=n_probe,
+    ).select("query_id", "q_vec", "cluster_id")
+    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        routed.join(assigned, "cluster_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    )
+    return top_k_per_group(
+        scored,
+        keys=["query_id"],
+        order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

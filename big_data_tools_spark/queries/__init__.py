@@ -16,5 +16,6 @@ from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import mlstream  # noqa: E402,F401
 from . import scale  # noqa: E402,F401
+from . import temporal  # noqa: E402,F401
 
 __all__ = ["QuerySpec", "all_queries", "get", "register"]

@@ -98,3 +98,32 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return simhash64(d, "text", "doc_id").select("doc", "simhash", "band0", "band1", "band2", "band3")
+
+
+@register(
+    "dedup_embedding_cosine",
+    sql="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 4) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                4) >= 0.45
+    """,
+    doc="Embedding-cosine near-dup (north-star): all (id_a < id_b) "
+    "pairs with cosine >= threshold, double math with pre-filter rounding "
+    "so the boundary decision matches the DuckDB oracle exactly. The "
+    "fixture embeddings are random (max pairwise cos ~0.6), so the "
+    "registered threshold is 0.45 to keep the check non-vacuous; real "
+    "near-dup use sets ~0.9+. Exact baseline for the LSH/IVF tiers.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import embedding_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45)

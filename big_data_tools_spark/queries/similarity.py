@@ -80,3 +80,21 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             dmean(F.col("norm"), 3).alias("avg_norm"),
         )
     )
+
+
+@register(
+    "knn_ivf_ann",
+    sql=None,  # KMeans routing is Spark-seeded; recall vs brute tested
+    doc="IVF-style approximate NN (north-star scale path beside LSH): "
+    "seeded KMeans inverted lists, queries probe their 4 nearest of "
+    "16 centroids, exact cosine within probed lists only — "
+    "cost ~ n_probe/n_clusters of brute force. Rows-only driver "
+    "check; recall vs knn_cosine_brute asserted in "
+    "tests/test_similarity.py.",
+)
+def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=4)

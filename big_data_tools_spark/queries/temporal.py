@@ -1,0 +1,55 @@
+"""Temporal-join queries over the events table: as-of (point-in-time)
+join — beyond the reference (its time handling is batch snapshot
+deltas, SURVEY.md §2.10) but core to event/feature-store workloads.
+DuckDB's native ASOF JOIN is the oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from ..operators.asof import asof_join
+from .registry import register
+
+
+@register(
+    "purchase_last_click_asof",
+    sql="""
+    WITH clicks AS (
+        SELECT user_id, ts, round(max(value), 2) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purch AS (
+        SELECT event_id, user_id, ts, round(value, 2) AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.purchase_value,
+           c.click_value, c.ts AS click_ts
+    FROM purch p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="Backward as-of join (operators/asof.py): each purchase event "
+    "gets the user's most recent at-or-before click. Encoded as "
+    "union + window last(ignorenulls) — ONE shuffle on user_id, no "
+    "range nested-loop join; right side pre-aggregated to unique "
+    "(user, ts) so the tie-break is deterministic. Oracle: DuckDB "
+    "native ASOF LEFT JOIN.",
+)
+def purchase_last_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("click_value"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    return asof_join(
+        purch,
+        clicks,
+        on=["user_id"],
+        value_cols=["click_value"],
+        matched_ts_col="click_ts",
+    ).select("event_id", "user_id", "purchase_value", "click_value", "click_ts")

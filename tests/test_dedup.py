@@ -60,3 +60,23 @@ def test_simhash_is_deterministic(docs):
     b = {(r["doc"], r["simhash"]) for r in simhash64(docs, "text", "doc_id").collect()}
     assert a == b
     assert all(len(h) == 16 for _, h in a)
+
+
+def test_embedding_cosine_pairs_exact_and_symmetric(spark):
+    from big_data_tools_spark.operators.dedup import embedding_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0]),   # ~1.0 cosine with 1
+            (3, [0.0, 1.0, 0.0]),     # orthogonal
+            (4, [2.0, 0.0, 0.0]),     # colinear with 1 (scale-invariant)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = embedding_cosine_pairs(df, threshold=0.95)
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out.collect()}
+    assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
+    assert all(a < b for a, b in pairs)          # canonical orientation
+    assert pairs[(1, 4)] == 1.0                  # exact colinear
+    assert not any(3 in p for p in pairs)        # orthogonal excluded

@@ -59,3 +59,20 @@ def test_brute_force_excludes_self_and_ranks_deterministically(emb):
         sims = [s for _, s in rows]
         assert sims == sorted(sims, reverse=True), f"rank order broken for {q}"
         assert len(rows) == 3
+
+
+def test_ivf_recalls_brute_force_cosine_neighbors(emb):
+    from big_data_tools_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = brute_force_topk(emb, queries, k=5)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    ivf = ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=4)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, f"IVF recall vs brute cosine top-5 = {recall:.2f}"
+    # same metric as brute: scores of overlapping pairs must be identical
+    bs = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in brute.collect()}
+    ivs = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in ivf.collect()}
+    for pair in got & truth:
+        assert bs[pair] == ivs[pair]
