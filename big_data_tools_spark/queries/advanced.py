@@ -152,3 +152,149 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
     ).withColumn("pos", (F.col("pos0") + 1).cast("int")).filter(F.col("pos") <= 8)
     return flat.groupBy("label", "pos").agg(dmean(F.col("v"), 4).alias("centroid_v"))
+
+
+@register(
+    "orders_above_customer_avg",
+    sql="""
+    WITH scored AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o_custkey) AS cust_sum_dec,
+               count(o_totalprice) OVER (PARTITION BY o_custkey) AS n_cust_orders
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           round(CAST(cust_sum_dec AS DOUBLE), 2) AS cust_sum,
+           CAST(n_cust_orders AS BIGINT) AS n_cust_orders
+    FROM scored
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n_cust_orders > cust_sum_dec
+    """,
+    doc="Correlated scalar subquery, decorrelated: 'orders above their "
+    "customer's average' as ONE window over the customer key — a "
+    "single shuffle, versus the per-row subquery a naive plan would "
+    "run. The avg comparison is multiplied through (price*n > sum) so "
+    "the boundary decision is exact decimal math, engine-independent.",
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    scored = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).alias("cust_sum_dec"),
+        F.count("o_totalprice").over(w).alias("n_cust_orders"),
+    )
+    return scored.filter(
+        F.col("o_totalprice").cast("decimal(18,2)") * F.col("n_cust_orders")
+        > F.col("cust_sum_dec")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.round(F.col("cust_sum_dec").cast("double"), 2).alias("cust_sum"),
+        "n_cust_orders",
+    )
+
+
+@register(
+    "status_priority_cube",
+    sql=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sql_money_sum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over (status, priority): all 4 grouping combinations in "
+    "one pass (Catalyst expands to a single Expand + hash-agg — one "
+    "shuffle, not 4 scans). GROUPING() flags disambiguate real nulls "
+    "from subtotal rows.",
+)
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority").agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "frequent_big_spenders",
+    sql=f"""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sql_money_sum('o_totalprice')} AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 10
+       AND sum(CAST(o_totalprice AS DECIMAL(18,2))) > 1500000
+    """,
+    doc="HAVING surface: post-aggregation predicate on both count and "
+    "exact decimal sum; Catalyst plans it as filter-above-agg with the "
+    "partial agg still map-side.",
+)
+def frequent_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend_dec"),
+        )
+        .filter((F.col("n_orders") >= 10) & (F.col("spend_dec") > 1500000))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round(F.col("spend_dec").cast("double"), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "user_value_sliding_1h",
+    sql="""
+    WITH e AS (
+        SELECT event_id, user_id, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+               AS value_sum_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-range sliding window (1h trailing per user): "
+    "rangeBetween on epoch seconds — the batch twin of a streaming "
+    "sliding aggregate; one shuffle on user_id, frames resolved by "
+    "sort order. The trailing sum stays in exact decimal so "
+    "peers-frame math is engine-independent.",
+)
+def user_value_sliding_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "user_id", "value", F.col("ts").cast("long").alias("sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("value_sum_1h"),
+    )
