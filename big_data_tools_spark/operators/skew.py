@@ -30,6 +30,7 @@ def salted_aggregate(
     keys: Sequence[str],
     aggs: dict[str, tuple[str, Column]],
     salt_buckets: int = 16,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
@@ -38,12 +39,18 @@ def salted_aggregate(
     a stable per-row bucket; phase 2 merges partials by keys. The salt
     must be deterministic (hash of a high-cardinality column, not
     rand()) so results are reproducible run to run.
+
+    ``salt_cols`` names the column(s) the salt hashes — pass one
+    high-cardinality column (a row id / natural key). Defaults to every
+    column, which is correct but reads the full row width: with an
+    explicit salt column the scan stays pruned to keys + agg inputs +
+    salt (PLANS.md evidences the difference).
     """
     for name, (kind, _) in aggs.items():
         if kind not in _MERGES:
             raise ValueError(f"{name}: unsupported aggregate kind {kind!r}")
 
-    salt = (F.abs(F.xxhash64(*df.columns)) % salt_buckets).alias("__salt")
+    salt = (F.abs(F.xxhash64(*(salt_cols or df.columns))) % salt_buckets).alias("__salt")
     phase1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
         *[
             (F.count(col) if kind == "count" else getattr(F, kind)(col)).alias(f"__p_{name}")

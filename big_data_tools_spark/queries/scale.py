@@ -39,6 +39,7 @@ def salted_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_dec": ("sum", F.col("o_totalprice").cast("decimal(18,2)")),
             "max_price": ("max", F.col("o_totalprice")),
         },
+        salt_cols=["o_orderkey"],
     )
     return out.select(
         "o_orderstatus",

@@ -34,3 +34,43 @@ def test_partitioned_write_produces_partition_dirs(spark, sf_smoke, outdir):
     assert subdirs == {"urgency=high", "urgency=medium", "urgency=low"}
     back = read_back(spark, outdir)
     assert back.count() == df.count()
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_smoke, tmp_path_factory):
+    from big_data_tools_spark.io.sinks import write_bucketed
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.plans.lint import count_exchanges, explain_text
+
+    o = load_table(spark, sf_smoke, "orders")
+    c = load_table(spark, sf_smoke, "customer")
+    write_bucketed(o.select("o_orderkey", "o_custkey", "o_totalprice"),
+                   "b_orders", ["o_custkey"], 4)
+    write_bucketed(c.select("c_custkey", "c_name"), "b_customer", ["c_custkey"], 4)
+    bo = spark.table("b_orders")
+    bc = spark.table("b_customer")
+    joined = bo.join(bc, bo.o_custkey == bc.c_custkey).filter("o_totalprice > 0")
+    # co-located: sort-merge join with no shuffle exchange on either side
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert count_exchanges(joined) == 0, explain_text(joined)[:2000]
+        assert joined.count() == o.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_partition_pruning_reaches_scan(spark, sf_smoke, tmp_path_factory):
+    from big_data_tools_spark.io.sinks import write_parquet
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.plans.lint import explain_text
+
+    out = str(tmp_path_factory.mktemp("pruned") / "orders_by_status")
+    o = load_table(spark, sf_smoke, "orders")
+    write_parquet(o, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out).filter("o_orderstatus = 'F'")
+    plan = explain_text(back)
+    assert "PartitionFilters" in plan
+    # the partition predicate must NOT degrade to a post-scan filter
+    assert back.count() == o.filter("o_orderstatus = 'F'").count()
