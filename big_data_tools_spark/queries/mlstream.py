@@ -70,5 +70,30 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    stream = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return run_available_now(hourly_event_counts(stream), "bdt_stream_hourly")
+
+
+@register(
+    "streaming_sessions",
+    sql=None,  # custom stateful operator; batch twin is event_sessions
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "gap-based session windows per user, one open session in state per "
+    "user, event-time timeout flushes idle sessions. Rows-only driver "
+    "check; closed-session equivalence vs the batch event_sessions "
+    "twin is asserted in tests/test_streaming.py.",
+)
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import EVENTS_STREAM_SCHEMA, run_available_now
+    from ..streaming.sessions import sessionize_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return run_available_now(
+        sessionize_stream(stream), "bdt_stream_sessions", output_mode="append"
+    )

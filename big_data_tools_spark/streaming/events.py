@@ -37,7 +37,9 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """Streaming source over a directory of events parquet files."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(source_dir)
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer div (see io.sources): double division rounds the µs for
+    # nano epochs beyond 2^53
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def hourly_event_counts(
@@ -64,7 +66,11 @@ def hourly_event_counts(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str = "events_agg") -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str = "events_agg",
+    output_mode: str = "complete",
+) -> DataFrame:
     """Drain all currently-available input through the streaming engine
     (Trigger.AvailableNow) into an in-memory sink and return the result
     as a DataFrame. Used for stream==batch equivalence tests and
@@ -73,7 +79,7 @@ def run_available_now(stream_df: DataFrame, query_name: str = "events_agg") -> D
         q = (
             stream_df.writeStream.format("memory")
             .queryName(query_name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()

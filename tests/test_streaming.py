@@ -42,3 +42,38 @@ def test_watermark_present_in_stream_plan(spark, events_dir):
     agg = hourly_event_counts(read_events_stream(spark, events_dir), watermark="3 hours")
     # watermark node must exist in the logical plan for state cleanup
     assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
+
+
+def test_stateful_sessions_match_batch_closed_sessions(spark, sf_smoke):
+    """Streamed (closed) sessions == batch sessions minus each user's
+    final session (which only closes via timeout after the drain)."""
+    from big_data_tools_spark.queries import get
+
+    streamed = get("streaming_sessions").fn(spark, sf_smoke)
+    s_rows = {
+        (r["user_id"], r["n_events"], r["duration_sec"])
+        for r in streamed.collect()
+    }
+    batch = get("event_sessions").fn(spark, sf_smoke)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id")
+    non_final = batch.withColumn("max_sid", F.max("session_id").over(w)).filter(
+        F.col("session_id") < F.col("max_sid")
+    )
+    b_rows = {
+        (r["user_id"], r["n_events"], r["duration_sec"])
+        for r in non_final.collect()
+    }
+    # every batch-closed session must be streamed; stream may addition-
+    # ally emit timeout-flushed finals if the engine ran a flush batch
+    assert b_rows <= s_rows, f"missing: {sorted(b_rows - s_rows)[:5]}"
+    extras = s_rows - b_rows
+    finals = {
+        (r["user_id"], r["n_events"], r["duration_sec"])
+        for r in batch.withColumn("max_sid", F.max("session_id").over(w))
+        .filter(F.col("session_id") == F.col("max_sid"))
+        .collect()
+    }
+    assert extras <= finals, f"unexpected sessions: {sorted(extras - finals)[:5]}"
