@@ -242,3 +242,75 @@ def embedding_cosine_pairs(
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def minhash_band_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs as pure Catalyst expressions — no ML
+    stage, no UDFs, no Python on executors.
+
+    Per doc: hashed shingle set -> ``num_hashes`` MinHash components
+    (``array_min`` over per-seed ``xxhash64``) -> ``bands`` band keys
+    (hash of each signature slice). Docs sharing any band key become
+    candidates (banded self-join = the LSH step: join cost tracks
+    near-dup density, not |docs|^2); candidates get EXACT Jaccard over
+    the hashed shingle sets (``array_intersect``), filtered to
+    ``>= threshold``.
+
+    With r = num_hashes/bands rows per band, P(candidate | jaccard=j)
+    = 1-(1-j^r)^bands: r=4, bands=16 keeps recall >0.99 at j>=0.7.
+    Everything runs inside whole-stage codegen; the only shuffles are
+    the band-key self-join and the pair dedup.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+
+    base = fan_out(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("xs"),
+    ).filter(F.size("xs") > 0)
+
+    sig = [
+        F.array_min(
+            F.transform(F.col("xs"), lambda x, i=i: F.xxhash64(x, F.lit(i)))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    signed = base.select("doc", "xs", *sig)
+    band_keys = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"h{b * r + j}") for j in range(r)])
+            for b in range(bands)
+        ]
+    )
+    # bands carry ONLY (doc, band_key): exploding the shingle arrays
+    # through a 16-way self-join would shuffle every array 16x; instead
+    # dedup id pairs first, then join the arrays back once per side
+    banded = signed.select("doc", F.explode(band_keys).alias("band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = base.select(F.col("doc"), F.col("xs"))
+    pairs = (
+        cand.join(sets.select(F.col("doc").alias("id_a"), F.col("xs").alias("xa")), "id_a")
+        .join(sets.select(F.col("doc").alias("id_b"), F.col("xs").alias("xb")), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("xa"), F.col("xb")))
+    union = F.size(F.col("xa")) + F.size(F.col("xb")) - inter
+    return (
+        pairs.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -80,3 +80,26 @@ def test_embedding_cosine_pairs_exact_and_symmetric(spark):
     assert all(a < b for a, b in pairs)          # canonical orientation
     assert pairs[(1, 4)] == 1.0                  # exact colinear
     assert not any(3 in p for p in pairs)        # orthogonal excluded
+
+
+def test_minhash_band_pairs_recalls_exact_jaccard(docs):
+    from big_data_tools_spark.operators.dedup import minhash_band_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 2))
+        for r in jaccard_pairs(docs, "text", "doc_id", threshold=0.7).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 2))
+        for r in minhash_band_pairs(docs, "text", "doc_id", threshold=0.7).collect()
+    }
+    ids_exact = {(a, b) for a, b, _ in exact}
+    ids_banded = {(a, b) for a, b, _ in banded}
+    recall = len(ids_banded & ids_exact) / max(1, len(ids_exact))
+    assert recall >= 0.9, f"banded recall vs exact jaccard = {recall:.2f}"
+    # jaccard values agree where the pair overlaps (same metric, both
+    # computed over hashed distinct shingles modulo the df cap)
+    both = {p: j for a, b, j in banded if (p := (a, b)) in ids_exact}
+    exact_vals = {(a, b): j for a, b, j in exact}
+    close = sum(1 for p, j in both.items() if abs(j - exact_vals[p]) <= 0.05)
+    assert close / max(1, len(both)) >= 0.9
