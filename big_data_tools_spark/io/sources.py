@@ -70,3 +70,33 @@ def read_json(
     if multiline:
         reader = reader.option("multiline", "true")
     return reader.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+    mode: str = "PERMISSIVE",
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """CSV source (engine addition beyond the reference's JSON-only
+    surface). Explicit schema strongly preferred: header-based
+    inference costs an extra scan AND types everything it can't parse
+    as string. ``mode`` follows Spark semantics — PERMISSIVE nulls bad
+    fields (pair with a corrupt-record column for auditing),
+    DROPMALFORMED drops rows, FAILFAST throws.
+    """
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", mode)
+    )
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)

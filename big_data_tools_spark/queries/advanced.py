@@ -298,3 +298,90 @@ def user_value_sliding_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2
         ).alias("value_sum_1h"),
     )
+
+
+@register(
+    "doc_length_quantiles",
+    sql="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 2) AS p50,
+           round(quantile_cont(n_chars, 0.9), 2) AS p90,
+           round(quantile_cont(n_chars, 0.99), 2) AS p99
+    FROM documents GROUP BY source
+    """,
+    doc="Exact interpolated percentiles of document length per source "
+    "(Spark `percentile` == DuckDB `quantile_cont`, both exact "
+    "interpolation — deterministic across engines). The 100 TB path "
+    "swaps in approx_percentile (t-digest, one pass, mergeable) — "
+    "exposed as doc_length_quantiles_approx (rows-only: sketch "
+    "internals differ engine to engine).",
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_chars", 0.5), 2).alias("p50"),
+        F.round(F.percentile("n_chars", 0.9), 2).alias("p90"),
+        F.round(F.percentile("n_chars", 0.99), 2).alias("p99"),
+    )
+
+
+@register(
+    "doc_length_quantiles_approx",
+    sql=None,  # approx sketches are engine-specific by design
+    doc="approx_percentile twin of doc_length_quantiles: single-pass "
+    "mergeable sketch, the correct choice at 100 TB where exact "
+    "percentile would sort each group. Accuracy band vs the exact "
+    "form asserted in tests/test_scale_ops.py.",
+)
+def doc_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_percentile("n_chars", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000).alias(
+            "quantiles"
+        ),
+    )
+
+
+@register(
+    "event_value_stats",
+    sql="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sxx
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(sx / n, 2) AS mean_value,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_value
+    FROM s
+    """,
+    doc="Mean/stddev per event_type from EXACT decimal sums (sum x, "
+    "sum x^2 are associative in decimal, so results are partition- "
+    "order and engine independent; the double math after aggregation "
+    "is identical IEEE on identical inputs). The naive "
+    "round(stddev_samp(double)) would differ in final ulps between "
+    "engines.",
+)
+def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("sx"),
+        F.sum(dec * dec).cast("double").alias("sxx"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(F.col("sx") / F.col("n"), 2).alias("mean_value"),
+        F.round(
+            F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)),
+            4,
+        ).alias("stddev_value"),
+    )

@@ -55,3 +55,24 @@ def test_approx_distinct_within_error_band(spark, sf_smoke):
     ]:
         rel_err = abs(row[approx_col] - exact_val) / max(exact_val, 1)
         assert rel_err < 0.1, f"{approx_col}: {row[approx_col]} vs {exact_val}"
+
+
+def test_approx_percentile_tracks_exact(spark, sf_oracle):
+    from big_data_tools_spark.queries import get
+
+    exact = {
+        r["source"]: (r["p50"], r["p90"], r["p99"])
+        for r in get("doc_length_quantiles").fn(spark, sf_oracle).collect()
+    }
+    approx = {
+        r["source"]: r["quantiles"]
+        for r in get("doc_length_quantiles_approx").fn(spark, sf_oracle).collect()
+    }
+    assert set(exact) == set(approx)
+    for src, (p50, p90, p99) in exact.items():
+        a50, a90, a99 = approx[src]
+        # bands account for the sketch returning actual data values
+        # while the exact form interpolates — sparse tails diverge more
+        assert abs(a50 - p50) / max(p50, 1) < 0.05
+        assert abs(a90 - p90) / max(p90, 1) < 0.10
+        assert abs(a99 - p99) / max(p99, 1) < 0.15

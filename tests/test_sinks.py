@@ -7,6 +7,7 @@ import shutil
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from big_data_tools_spark.io.sinks import read_back, write_parquet
 from big_data_tools_spark.queries import get
@@ -74,3 +75,29 @@ def test_partition_pruning_reaches_scan(spark, sf_smoke, tmp_path_factory):
     assert "PartitionFilters" in plan
     # the partition predicate must NOT degrade to a post-scan filter
     assert back.count() == o.filter("o_orderstatus = 'F'").count()
+
+
+def test_csv_roundtrip_with_explicit_schema(spark, sf_smoke, tmp_path_factory):
+    from pyspark.sql import types as T
+
+    from big_data_tools_spark.io.sources import load_table, read_csv
+
+    out = str(tmp_path_factory.mktemp("csv") / "orders")
+    o = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").option("header", "true").csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = read_csv(spark, out, schema=schema)
+    assert back.schema == schema
+    assert back.count() == o.count()
+    a = o.agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)).first()[0]
+    b = back.agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)).first()[0]
+    assert a == b
