@@ -385,3 +385,73 @@ def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("stddev_value"),
     )
+
+
+@register(
+    "customer_spend_deciles",
+    sql="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS total_spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_orders, total_spend,
+           CAST(ntile(10) OVER (ORDER BY total_spend DESC, o_custkey ASC) AS INT)
+               AS decile,
+           CAST(dense_rank() OVER (ORDER BY n_orders DESC) AS BIGINT)
+               AS order_count_rank
+    FROM spend
+    """,
+    doc="Ranking windows (ntile deciles + dense_rank) over a grouped "
+    "rollup; tie-broken on the key so ranks are deterministic. Global "
+    "windows range-partition in Spark (single ordering pass, no "
+    "single-reducer funnel for the agg itself).",
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("total_spend"),
+    )
+    w_spend = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc())
+    w_orders = Window.orderBy(F.col("n_orders").desc())
+    return spend.select(
+        "o_custkey",
+        "n_orders",
+        "total_spend",
+        F.ntile(10).over(w_spend).cast("int").alias("decile"),
+        F.dense_rank().over(w_orders).alias("order_count_rank"),
+    )
+
+
+@register(
+    "custkey_overlap_setops",
+    sql="""
+    SELECT 'both' AS bucket, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    UNION ALL
+    SELECT 'urgent_only' AS bucket, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    """,
+    doc="Set operators (INTERSECT / EXCEPT, both distinct-semantics): "
+    "customers placing urgent AND low priority orders vs urgent-only. "
+    "Catalyst plans both as aggregated semi/anti joins — one shuffle "
+    "each on the compare key.",
+)
+def custkey_overlap_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    both = urgent.intersect(low).select(F.lit("both").alias("bucket"), "o_custkey")
+    only = urgent.subtract(low).select(
+        F.lit("urgent_only").alias("bucket"), "o_custkey"
+    )
+    return both.unionByName(only)
