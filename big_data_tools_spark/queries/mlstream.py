@@ -97,3 +97,25 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         sessionize_stream(stream), "bdt_stream_sessions", output_mode="append"
     )
+
+
+@register(
+    "yelp_basetable",
+    sql=None,  # inputs are in-memory Yelp-shaped fixtures, not sf_dir tables
+    doc="The reference's END-TO-END pipeline (Databricks Notebook.py "
+    ":129-691) on deterministic Yelp-shaped fixtures: review/checkin/"
+    "tip/user rollups -> business cleaning (enum recode, map-literal "
+    "dummies, wraparound hours) -> covid label -> star join -> null "
+    "repair. Ignores sf_dir (fixture-driven; every dirty-data quirk "
+    "pinned in tests/test_yelp_pipeline.py). Rows-only driver check.",
+)
+def yelp_basetable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.fixtures import yelp_tables
+    from ..pipeline.yelp import build_basetable
+
+    t = yelp_tables(spark)
+    bt = build_basetable(
+        t["business"], t["review"], t["checkin"], t["tip"], t["user"], t["covid"]
+    )
+    # deterministic column order for the driver's schema check
+    return bt.select(*sorted(bt.columns))
