@@ -58,16 +58,16 @@ def main() -> None:
     # timed query doesn't absorb session spin-up
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    # steady-state methodology: two warm runs (JIT/codegen compile —
-    # C2 needs more than one pass for wide generated methods, e.g. the
-    # 48-expression MinHash signature), then the timed run. Single-run
-    # numbers mix seconds of one-time JVM compilation into sub-second
-    # queries.
+    # steady-state methodology: three warm runs (JIT/codegen compile —
+    # C2 needs several passes for wide generated methods, e.g. the
+    # MinHash signature/banding pipeline), then the timed run.
+    # Single-run numbers mix seconds of one-time JVM compilation into
+    # sub-second queries.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
-        spec.fn(spark, sf_dir).count()  # warm 1
-        spec.fn(spark, sf_dir).count()  # warm 2
+        for _ in range(3):
+            spec.fn(spark, sf_dir).count()  # warm
         t0 = time.perf_counter()
         n = spec.fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
