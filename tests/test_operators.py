@@ -114,3 +114,57 @@ def test_with_global_max_matches_python_max(spark, xs):
     out = with_global_max(df, F.col("x"), "mx").collect()
     assert len(out) == len(xs)
     assert all(r["mx"] == max(xs) for r in out)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pivot_dummies_preserves_ids_and_is_binary(spark, rows):
+    from big_data_tools_spark.operators.maps import pivot_dummies
+
+    df = spark.createDataFrame(rows, "id int, k string")
+    out = pivot_dummies(df, "id", "k", values=["a", "b", "c"])
+    got = out.collect()
+    # exactly one output row per distinct input id (row preservation)
+    assert sorted(r["id"] for r in got) == sorted({i for i, _ in rows})
+    # every dummy cell is 0/1, and 1 iff the (id, key) pair existed
+    seen = {(i, k) for i, k in rows}
+    for r in got:
+        for k in ("a", "b", "c"):
+            assert r[k] in (0, 1)
+            assert (r[k] == 1) == ((r["id"], k) in seen)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-100, 100)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fillna_with_computed_max_leaves_no_nulls(spark, xs):
+    from pyspark.sql import functions as F
+
+    from big_data_tools_spark.operators.scalar import with_global_max
+
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "id int, v int")
+    out = with_global_max(df, F.col("v"), "mx").select(
+        "id", F.coalesce("v", "mx").alias("v")
+    )
+    got = {r["id"]: r["v"] for r in out.collect()}
+    non_null = [x for x in xs if x is not None]
+    assert len(got) == len(xs)  # row preservation
+    if not non_null:
+        # nothing to compute a max from: nulls stay (documented)
+        assert all(v is None for v in got.values())
+    else:
+        mx = max(non_null)
+        assert all(v is not None for v in got.values())  # completeness
+        for i, x in enumerate(xs):
+            assert got[i] == (x if x is not None else mx)
