@@ -455,3 +455,87 @@ def custkey_overlap_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("urgent_only").alias("bucket"), "o_custkey"
     )
     return both.unionByName(only)
+
+
+@register(
+    "customer_order_coverage",
+    sql=f"""
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+                WHEN o.o_custkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS coverage,
+           coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(o.revenue, 0.0) AS revenue
+    FROM customer c
+    FULL OUTER JOIN (
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_money_sum('o_totalprice')} AS revenue
+        FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+    doc="Full outer join (the one join kind the reference lacks): "
+    "customer dim vs per-customer order rollup, null sides classified "
+    "and zero-filled. Aggregating BEFORE the join keeps the outer join "
+    "1:1 — no row multiplication, and the shuffle carries one row per "
+    "customer instead of one per order.",
+)
+def customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_custkey").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("coverage"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
+
+
+@register(
+    "lineitem_metric_unpivot",
+    sql="""
+    WITH long_form AS (
+        SELECT 'quantity' AS metric, l_quantity AS v FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice' AS metric, l_extendedprice AS v FROM lineitem
+        UNION ALL
+        SELECT 'discount' AS metric, l_discount AS v FROM lineitem
+    )
+    SELECT metric,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+           round(min(v), 2) AS min_v,
+           round(max(v), 2) AS max_v
+    FROM long_form GROUP BY metric
+    """,
+    doc="Wide->long unpivot (melt; the scale-correct form of the "
+    "reference's per-column loops P7): Spark unpivot/stack emits all "
+    "metrics in ONE scan pass — the UNION ALL oracle twin scans three "
+    "times, which is exactly the rewrite this operator exists to "
+    "avoid at 100 TB.",
+)
+def lineitem_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long_form = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    ).withColumn("metric", F.regexp_replace("metric", "^l_", ""))
+    return long_form.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("v").cast("decimal(18,2)")).cast("double"), 2).alias("total"),
+        F.round(F.min("v"), 2).alias("min_v"),
+        F.round(F.max("v"), 2).alias("max_v"),
+    )
