@@ -152,7 +152,9 @@ def minhash_near_dup_pairs(
 
 
 def simhash64(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """64-bit SimHash fingerprint per document.
+    """64-bit SimHash fingerprint per document (Charikar, "Similarity
+    estimation techniques from rounding algorithms", STOC 2002; used
+    for web-scale dedup per Manku/Jain/Das Sarma, WWW 2007).
 
     Each distinct word ``n``-gram shingle hashes to 64 bits (xxhash64);
     per bit, votes +1/-1 summed over shingles; the sign vector is the
@@ -256,7 +258,11 @@ def minhash_band_pairs(
     """MinHash+LSH near-dup pairs as pure Catalyst expressions — no ML
     stage, no UDFs, no Python on executors.
 
-    Signatures use ONE-PERMUTATION hashing: each shingle is hashed
+    MinHash per Broder, "On the resemblance and containment of
+    documents" (1997); banding per Leskovec/Rajaraman/Ullman, Mining
+    of Massive Datasets ch.3. Signatures use ONE-PERMUTATION hashing
+    (Li, Owen & Zhang, "One Permutation Hashing", NeurIPS 2012, with
+    seeded-fallback densification): each shingle is hashed
     once (the inverted index already carries xxhash64 shingles);
     component i is the min shingle hash landing in bucket
     ``pmod(hash, num_hashes) = i``, computed as a grouped min over the

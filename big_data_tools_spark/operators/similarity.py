@@ -96,7 +96,9 @@ def ivf_topk(
     n_probe: int = 4,
     round_digits: int | None = 4,
 ) -> DataFrame:
-    """IVF-style approximate top-k: KMeans-partition the corpus into
+    """IVF-style approximate top-k (inverted-file ANN as in
+    IVF-Flat, e.g. Johnson/Douze/Jegou, "Billion-scale similarity
+    search with GPUs", 2017): KMeans-partition the corpus into
     ``n_clusters`` inverted lists, route each query to its ``n_probe``
     nearest centroids, exact cosine only inside probed lists.
 

