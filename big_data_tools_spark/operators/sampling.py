@@ -1,0 +1,53 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+``df.sample``/``sampleBy`` seed per-partition RNG streams, so results
+change whenever partitioning changes — unacceptable for reproducible
+dataset curation. These operators decide membership from a hash of the
+ROW'S OWN KEY: the same row lands in the same split on any cluster
+layout, any partition count, any engine run. No shuffle — sampling is
+a narrow filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "s0") -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash. Deterministic
+    per (key, salt); change ``salt`` for an independent draw."""
+    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(_BUCKETS))
+    return df.filter(bucket < int(fraction * _BUCKETS))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    salt: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (class rebalancing): keep
+    ~``fractions[stratum]`` of each stratum's rows (strata absent from
+    the dict are dropped). One narrow filter — the fraction map becomes
+    a literal map expression, no join, no shuffle, layout-independent.
+    """
+    frac_map = F.create_map(
+        *[x for k, v in fractions.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(_BUCKETS))
+    thresh = (frac_map.getItem(F.col(strata_col)) * _BUCKETS).cast("long")
+    return df.filter(bucket < F.coalesce(thresh, F.lit(0)))
+
+
+def train_test_split_by_key(
+    df: DataFrame, key_col: str, test_fraction: float = 0.3, salt: str = "split0"
+) -> tuple[DataFrame, DataFrame]:
+    """Leakage-safe split: all rows sharing a key land on the same
+    side (group-aware splitting — the property randomSplit lacks)."""
+    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(_BUCKETS))
+    cut = int(test_fraction * _BUCKETS)
+    return df.filter(bucket >= cut), df.filter(bucket < cut)

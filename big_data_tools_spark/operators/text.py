@@ -132,3 +132,17 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+# GPT-style pre-tokenizer shape, restricted to constructs RE2 and Java
+# regex agree on (no lookahead/backrefs): a token is an optionally
+# space-prefixed letter run, digit run, or punctuation run. Counting
+# these matches approximates LLM tokenizer counts well enough for
+# corpus cost estimation without shipping a vocab.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Approximate LLM-tokenizer token count via the pre-tokenizer
+    regex above — JVM-side ``regexp_count``, no UDF, no vocab."""
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN)).cast("long")

@@ -82,3 +82,30 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_media_features(attach_fake_media(docs), feature_dim=8)
+
+
+@register(
+    "documents_stratified_sample",
+    sql=None,  # xxhash64 membership has no DuckDB twin; determinism
+    # and per-stratum rates are test-pinned instead
+    doc="Deterministic stratified sampling (operators/sampling.py): "
+    "per-language keep-fractions decided by xxhash64 of doc_id — "
+    "layout-independent (same rows survive under any partitioning), "
+    "no shuffle, no RNG streams. The curation primitive random "
+    "sample()/sampleBy() cannot provide reproducibly.",
+)
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    sampled = stratified_hash_sample(
+        d,
+        key_col="doc_id",
+        strata_col="lang",
+        fractions={"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1},
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

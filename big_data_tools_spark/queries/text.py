@@ -164,3 +164,39 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
         .withColumn("n_same", F.count(F.lit(1)).over(w).cast("long"))
     )
+
+
+@register(
+    "doc_bpe_token_estimate",
+    sql=r"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS BIGINT)
+               AS total_tokens,
+           round(avg(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))), 2)
+               AS avg_tokens,
+           round(CAST(sum(length(text)) AS DOUBLE)
+                 / sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))), 3)
+               AS chars_per_token
+    FROM documents GROUP BY source
+    """,
+    doc="BPE-ish token estimation per source (north-star text "
+    "analysis): GPT-style pre-tokenizer regex restricted to the "
+    "RE2/Java-regex common subset, counted JVM-side with "
+    "regexp_count — the no-vocab corpus cost estimator. "
+    "chars/token ~3-4 sanity-checked in tests.",
+)
+def doc_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_ish_token_count
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    n_tok = bpe_ish_token_count(F.col("text"))
+    per_doc = d.select("source", n_tok.alias("n_tok"), F.length("text").alias("n_char"))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+        F.round(
+            F.sum("n_char").cast("double") / F.sum("n_tok"), 3
+        ).alias("chars_per_token"),
+    )

@@ -76,3 +76,34 @@ def test_approx_percentile_tracks_exact(spark, sf_oracle):
         assert abs(a50 - p50) / max(p50, 1) < 0.05
         assert abs(a90 - p90) / max(p90, 1) < 0.10
         assert abs(a99 - p99) / max(p99, 1) < 0.15
+
+
+def test_stratified_hash_sample_rates_and_determinism(spark, sf_oracle):
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.sampling import (
+        stratified_hash_sample,
+        train_test_split_by_key,
+    )
+
+    d = load_table(spark, sf_oracle, "documents")
+    fr = {"en": 0.5, "de": 0.25}
+    s = stratified_hash_sample(d, "doc_id", "lang", fr)
+    base = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= set(fr)  # unlisted strata dropped
+    for lang, frac in fr.items():
+        rate = got.get(lang, 0) / base[lang]
+        assert abs(rate - frac) < 0.08, f"{lang}: {rate:.3f} vs {frac}"
+    # determinism under different partitioning
+    ids1 = {r["doc_id"] for r in s.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in stratified_hash_sample(d.repartition(7), "doc_id", "lang", fr)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2
+    # leakage-safe split: disjoint, covering, key-stable
+    tr, te = train_test_split_by_key(d, "doc_id", 0.3)
+    assert tr.count() + te.count() == d.count()
+    assert tr.select("doc_id").intersect(te.select("doc_id")).count() == 0
