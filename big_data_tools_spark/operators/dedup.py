@@ -5,8 +5,9 @@ Four tiers, in increasing recall / decreasing exactness:
   ``Databricks Notebook.py:160,611`` to normalized-content identity);
 - n-gram Jaccard: shingle inverted-index self-join — exact Jaccard on
   candidate pairs that share >= 1 shingle;
-- MinHash+LSH: ``pyspark.ml.feature.MinHashLSH`` banded approximate
-  join (the 100 TB path: cost ~ #near-dup candidates, not #pairs^2);
+- MinHash+LSH: one-permutation MinHash signatures + banded candidate
+  join, pure Catalyst expressions (the 100 TB path: cost ~ #near-dup
+  candidates, not #pairs^2; ml.MinHashLSH variant kept for parity);
 - SimHash: 64-bit sign-of-weighted-sum fingerprint, hamming-banded.
 
 Scale notes baked in: shingle join caps per-shingle document frequency
