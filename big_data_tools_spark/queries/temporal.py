@@ -53,3 +53,38 @@ def purchase_last_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["click_value"],
         matched_ts_col="click_ts",
     ).select("event_id", "user_id", "purchase_value", "click_value", "click_ts")
+
+
+@register(
+    "user_value_hourly_ffill",
+    sql="""
+    WITH obs AS (
+        SELECT user_id AS k,
+               CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS BIGINT) AS sec,
+               max(value) AS v
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ), spans AS (
+        SELECT k, min(sec) AS lo, max(sec) AS hi FROM obs GROUP BY k
+    ), grid AS (
+        SELECT k, unnest(range(lo, hi + 3600, 3600)) AS sec FROM spans
+    )
+    SELECT g.k AS user_id, g.sec AS grid_sec,
+           round(last_value(o.v IGNORE NULLS) OVER (
+               PARTITION BY g.k ORDER BY g.sec
+               ROWS UNBOUNDED PRECEDING), 2) AS value
+    FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.sec = o.sec
+    """,
+    doc="Time-series resample + forward fill (operators/resample.py — "
+    "the pandas resample/ffill equivalent Spark lacks): per-user "
+    "hourly grid generated executor-side (sequence+explode), "
+    "purchase values forward-filled with last(ignorenulls) — one "
+    "shuffle on user_id. Grid buckets floor-align so both engines "
+    "agree exactly.",
+)
+def user_value_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.resample import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    out = resample_ffill(ev, "user_id", "ts", "value", step_sec=3600)
+    return out.select("user_id", "grid_sec", F.round("value", 2).alias("value"))

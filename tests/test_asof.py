@@ -75,3 +75,29 @@ def test_asof_query_matches_oracle_shape(spark, sf_smoke):
     ]
     assert df.count() > 0
     assert df.filter(F.col("click_ts").isNotNull()).count() > 0
+
+
+def test_resample_ffill_semantics(spark):
+    from big_data_tools_spark.operators.resample import resample_ffill
+
+    df = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 00:30:00"), 1.0),   # bucket 00:00
+            ("u1", _ts("2024-01-01 03:10:00"), 5.0),   # bucket 03:00 (gap 01,02)
+            ("u1", _ts("2024-01-01 03:40:00"), 4.0),   # same bucket: max wins
+            ("u2", _ts("2024-01-01 10:00:00"), 9.0),   # single point
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = resample_ffill(df, "k", "ts", "v", step_sec=3600)
+    rows = {(r["k"], r["grid_sec"]): r["v"] for r in out.collect()}
+    base = int(_ts("2024-01-01 00:00:00").replace(tzinfo=dt.timezone.utc).timestamp())
+    # u1: 4 hourly points 00..03, gaps forward-filled from 00:00's value
+    assert rows[("u1", base)] == 1.0
+    assert rows[("u1", base + 3600)] == 1.0
+    assert rows[("u1", base + 7200)] == 1.0
+    assert rows[("u1", base + 10800)] == 5.0  # max of the two in-bucket obs
+    # u2: single grid point
+    u2 = [(k, s) for (k, s) in rows if k == "u2"]
+    assert len(u2) == 1
+    assert len(rows) == 5
