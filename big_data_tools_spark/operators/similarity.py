@@ -86,6 +86,97 @@ def brute_force_topk(
     )
 
 
+class IvfIndex:
+    """Fit-once / search-many IVF index (inverted-file ANN as in
+    IVF-Flat, e.g. Johnson/Douze/Jegou, "Billion-scale similarity
+    search with GPUs", 2017).
+
+    The expensive parts — the seeded KMeans fit and the corpus
+    assignment scan — run once in :meth:`fit` (assignment persisted);
+    each :meth:`search` is then just (queries x n_probe) ⋈ cluster +
+    exact cosine inside probed lists, cost ~ n_probe/n_clusters of
+    brute force. Centroids (n_clusters x dim) broadcast.
+    Deterministic: seeded fit, ranked with id tiebreaks.
+    """
+
+    def __init__(self, assigned: DataFrame, cents: DataFrame, id_col: str, vec_col: str):
+        self._assigned = assigned
+        self._cents = cents
+        self._id_col = id_col
+        self._vec_col = vec_col
+
+    @classmethod
+    def fit(
+        cls,
+        corpus: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_clusters: int = 16,
+    ) -> "IvfIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        c = fan_out(corpus, id_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            array_to_vector(_as_double(F.col(vec_col))).alias("features"),
+        )
+        model = KMeans(k=n_clusters, seed=7, featuresCol="features").fit(c)
+        assigned = model.transform(c).select(
+            "neighbor_id", "c_vec", F.col("prediction").alias("cluster_id")
+        ).persist()
+        # centroid table is tiny (n_clusters rows) -> broadcast routing
+        cents = F.broadcast(
+            c.sparkSession.createDataFrame(
+                [
+                    (i, [float(x) for x in ctr])
+                    for i, ctr in enumerate(model.clusterCenters())
+                ],
+                "cluster_id int, centroid array<double>",
+            )
+        )
+        return cls(assigned, cents, id_col, vec_col)
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+        round_digits: int | None = 4,
+    ) -> DataFrame:
+        q = queries.select(
+            F.col(self._id_col).alias("query_id"), F.col(self._vec_col).alias("q_vec")
+        )
+        routed = top_k_per_group(
+            q.crossJoin(self._cents).select(
+                "query_id",
+                "q_vec",
+                "cluster_id",
+                cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim"),
+            ),
+            keys=["query_id"],
+            order_by=[F.col("c_sim").desc(), F.col("cluster_id").asc()],
+            k=n_probe,
+        ).select("query_id", "q_vec", "cluster_id")
+        sim = cosine(F.col("q_vec"), F.col("c_vec"))
+        if round_digits is not None:
+            sim = F.round(sim, round_digits)
+        scored = (
+            routed.join(self._assigned, "cluster_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        )
+        return top_k_per_group(
+            scored,
+            keys=["query_id"],
+            order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+            k=k,
+        )
+
+    def unpersist(self) -> None:
+        self._assigned.unpersist()
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -96,63 +187,11 @@ def ivf_topk(
     n_probe: int = 4,
     round_digits: int | None = 4,
 ) -> DataFrame:
-    """IVF-style approximate top-k (inverted-file ANN as in
-    IVF-Flat, e.g. Johnson/Douze/Jegou, "Billion-scale similarity
-    search with GPUs", 2017): KMeans-partition the corpus into
-    ``n_clusters`` inverted lists, route each query to its ``n_probe``
-    nearest centroids, exact cosine only inside probed lists.
-
-    Scale shape: the corpus is scanned once for assignment (narrow map
-    after the fit), then the search join is
-    (queries x n_probe) ⋈ cluster — cost ~ n_probe/n_clusters of
-    brute force, and the per-cluster candidate sets shuffle-partition
-    by cluster id. Centroids (n_clusters x dim) broadcast.
-    Deterministic: seeded fit, ranked with id tiebreaks.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    c = fan_out(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        array_to_vector(_as_double(F.col(vec_col))).alias("features"),
-    )
-    model = KMeans(k=n_clusters, seed=7, featuresCol="features").fit(c)
-    assigned = model.transform(c).select(
-        "neighbor_id", "c_vec", F.col("prediction").alias("cluster_id")
-    )
-    # centroid table is tiny (n_clusters rows) -> broadcast to route queries
-    cents = F.broadcast(
-        c.sparkSession.createDataFrame(
-            [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
-            "cluster_id int, centroid array<double>",
-        )
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    routed = top_k_per_group(
-        q.crossJoin(cents).select(
-            "query_id",
-            "q_vec",
-            "cluster_id",
-            cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim"),
-        ),
-        keys=["query_id"],
-        order_by=[F.col("c_sim").desc(), F.col("cluster_id").asc()],
-        k=n_probe,
-    ).select("query_id", "q_vec", "cluster_id")
-    sim = cosine(F.col("q_vec"), F.col("c_vec"))
-    if round_digits is not None:
-        sim = F.round(sim, round_digits)
-    scored = (
-        routed.join(assigned, "cluster_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
-    )
-    return top_k_per_group(
-        scored,
-        keys=["query_id"],
-        order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
-        k=k,
+    """One-shot convenience over :class:`IvfIndex` (fit + search).
+    For repeated query batches, hold the index and call
+    :meth:`IvfIndex.search` — the fit and assignment scan amortize."""
+    return IvfIndex.fit(corpus, id_col, vec_col, n_clusters).search(
+        queries, k=k, n_probe=n_probe, round_digits=round_digits
     )
 
 

@@ -76,3 +76,32 @@ def test_ivf_recalls_brute_force_cosine_neighbors(emb):
     ivs = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in ivf.collect()}
     for pair in got & truth:
         assert bs[pair] == ivs[pair]
+
+
+def test_ivf_index_fit_once_search_many(emb):
+    import time
+
+    from big_data_tools_spark.operators.similarity import IvfIndex, ivf_topk
+
+    q1 = emb.filter(F.col("vec_id") < 5)
+    q2 = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    idx = IvfIndex.fit(emb)
+    try:
+        r1 = {(r["query_id"], r["neighbor_id"]) for r in idx.search(q1).collect()}
+        t0 = time.perf_counter()
+        r2 = {(r["query_id"], r["neighbor_id"]) for r in idx.search(q2).collect()}
+        reused = time.perf_counter() - t0
+        # identical results to the one-shot form (same seed, same plan)
+        one_shot = {
+            (r["query_id"], r["neighbor_id"]) for r in ivf_topk(emb, q1).collect()
+        }
+        assert r1 == one_shot
+        assert r1 and r2 and not (r1 & r2)  # disjoint query sets
+        # reused search skips the KMeans fit: comfortably under a fresh
+        # fit+search (sanity bound, not a microbenchmark)
+        t0 = time.perf_counter()
+        ivf_topk(emb, q2).count()
+        fresh = time.perf_counter() - t0
+        assert reused < fresh
+    finally:
+        idx.unpersist()
