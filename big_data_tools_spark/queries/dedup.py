@@ -133,3 +133,63 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+@register(
+    "dedup_components",
+    sql="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id AS doc,
+               unnest(list_transform(generate_series(1, len(tokens) - 2),
+                      i -> array_to_string(tokens[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(tokens) >= 3
+    ), idx AS (
+        SELECT sh.doc, sh.shingle FROM sh
+        JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000) ok
+          ON sh.shingle = ok.shingle
+    ), sizes AS (
+        SELECT doc, CAST(count(*) AS BIGINT) AS n_sh FROM idx GROUP BY doc
+    ), common AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, CAST(count(*) AS BIGINT) AS common
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON id_a = sa.doc
+        JOIN sizes sb ON id_b = sb.doc
+        WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.8
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), r(node, m) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.node, e.b FROM r JOIN edges e ON r.m = e.a
+    ), comp AS (
+        SELECT node, min(m) AS component_id FROM r GROUP BY node
+    )
+    SELECT component_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) - 1 AS BIGINT) AS n_removable
+    FROM comp GROUP BY component_id
+    """,
+    doc="Near-dup GROUPS from pairs (operators/components.py): "
+    "connected components by iterative min-label propagation over the "
+    "exact-Jaccard pair graph — the step that turns pairwise dedup "
+    "output into keep/remove decisions (component id = canonical min "
+    "doc; n_removable = docs to drop). Oracle: DuckDB recursive-CTE "
+    "transitive closure over the identical pair set.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=1000)
+    comp = connected_components(pairs)
+    return comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - 1).alias("n_removable"),
+    )

@@ -103,3 +103,18 @@ def test_minhash_band_pairs_recalls_exact_jaccard(docs):
     exact_vals = {(a, b): j for a, b, j in exact}
     close = sum(1 for p, j in both.items() if abs(j - exact_vals[p]) <= 0.05)
     assert close / max(1, len(both)) >= 0.9
+
+
+def test_connected_components_transitive_closure(spark):
+    from big_data_tools_spark.operators.components import connected_components
+
+    # chain 1-2-3, pair 10-11, triangle 20-21-22 (+cross edge)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r["node"]: r["component_id"] for r in connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == 20
+    assert len(comp) == 8
