@@ -539,3 +539,48 @@ def lineitem_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 2).alias("min_v"),
         F.round(F.max("v"), 2).alias("max_v"),
     )
+
+
+@register(
+    "segment_revenue_share",
+    sql="""
+    WITH seg AS (
+        SELECT c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    )
+    SELECT segment, n_orders,
+           round(CAST(rev_dec AS DOUBLE), 2) AS revenue,
+           round(CAST(rev_dec AS DOUBLE)
+                 / CAST(sum(rev_dec) OVER () AS DOUBLE), 4) AS revenue_share
+    FROM seg
+    """,
+    doc="Share-of-total via an empty-frame window over the aggregated "
+    "rollup: the total rides a window on ~5 segment rows, not a "
+    "second scan or a driver collect. Ratio computed from exact "
+    "decimal sums (identical IEEE division on identical inputs), so "
+    "the share survives the cross-engine hash check.",
+)
+def segment_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
+        )
+    )
+    w = Window.partitionBy()
+    return seg.select(
+        "segment",
+        "n_orders",
+        F.round(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("rev_dec").cast("double") / F.sum("rev_dec").over(w).cast("double"), 4
+        ).alias("revenue_share"),
+    )

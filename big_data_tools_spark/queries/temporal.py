@@ -88,3 +88,55 @@ def user_value_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     out = resample_ffill(ev, "user_id", "ts", "value", step_sec=3600)
     return out.select("user_id", "grid_sec", F.round("value", 2).alias("value"))
+
+
+@register(
+    "event_funnel",
+    sql="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t_signup) AS BIGINT) AS stage_signup,
+           CAST(count(CASE WHEN t_click > t_signup THEN 1 END) AS BIGINT)
+               AS stage_click_after_signup,
+           CAST(count(CASE WHEN t_purchase > t_click AND t_click > t_signup
+                           THEN 1 END) AS BIGINT)
+               AS stage_full_funnel
+    FROM firsts
+    """,
+    doc="Ordered conversion funnel (signup -> click -> purchase) via "
+    "conditional-min first-touch times + ordered comparisons — one "
+    "shuffle on user_id, no self-joins per stage (the naive funnel "
+    "joins events N times). Null first-touches drop out of the "
+    "comparisons naturally.",
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_of(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("stage_signup"),
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1)).alias(
+            "stage_click_after_signup"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup")),
+                1,
+            )
+        ).alias("stage_full_funnel"),
+    )

@@ -101,3 +101,19 @@ def test_csv_roundtrip_with_explicit_schema(spark, sf_smoke, tmp_path_factory):
     a = o.agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)).first()[0]
     b = back.agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)).first()[0]
     assert a == b
+
+
+def test_orc_roundtrip(spark, sf_smoke, tmp_path_factory):
+    """ORC source/sink parity with parquet (engine addition: the other
+    columnar format Spark ships natively)."""
+    from big_data_tools_spark.io.sources import load_table
+
+    out = str(tmp_path_factory.mktemp("orc") / "orders")
+    o = load_table(spark, sf_smoke, "orders")
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == o.schema
+    assert back.count() == o.count()
+    a = o.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).first()[0]
+    b = back.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).first()[0]
+    assert a == b
