@@ -584,3 +584,73 @@ def segment_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev_dec").cast("double") / F.sum("rev_dec").over(w).cast("double"), 4
         ).alias("revenue_share"),
     )
+
+
+@register(
+    "returnflag_price_corr",
+    sql="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               sum(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+               sum(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(CAST(sx AS DOUBLE) / n, 2) AS avg_qty,
+           round(CAST(sy AS DOUBLE) / n, 2) AS avg_price,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                 / (n - 1), 2) AS covar_qty_price,
+           round((n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS corr_qty_price
+    FROM s
+    """,
+    doc="Grouped Pearson correlation + sample covariance from exact "
+    "decimal moment sums (n, Σx, Σy, Σx², Σy², Σxy): the five sums "
+    "accumulate in decimal so they are order-independent across "
+    "engines, then the closed-form corr/covar is one identical IEEE "
+    "expression on both sides — no native corr()/covar_samp(), whose "
+    "running-update summation order is engine-specific. Map-side "
+    "partial aggregation applies; one shuffle on l_returnflag.",
+)
+def returnflag_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(18,2)")
+    pd_ = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qd).alias("sx"),
+        F.sum(pd_).alias("sy"),
+        F.sum(qd * qd).alias("sxx"),
+        F.sum(pd_ * pd_).alias("syy"),
+        F.sum(qd * pd_).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 2).alias("avg_qty"),
+        F.round(sy / n, 2).alias("avg_price"),
+        F.round((sxy - sx * sy / n) / (n - 1), 2).alias("covar_qty_price"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+    )

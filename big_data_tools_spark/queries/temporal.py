@@ -91,6 +91,62 @@ def user_value_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "purchase_click_window",
+    sql="""
+    WITH purch AS (
+        SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS psec
+        FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS csec, value
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(count(c.csec) AS BIGINT) AS n_clicks_1h,
+           round(CAST(coalesce(sum(CAST(c.value AS DECIMAL(18,2))), 0)
+                 AS DOUBLE), 2) AS click_value_1h
+    FROM purch p LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.csec BETWEEN p.psec - 3600 AND p.psec
+    GROUP BY p.event_id, p.user_id
+    """,
+    doc="Interval join (operators/rangejoin.py): clicks in the hour "
+    "before each purchase, same user. Bucketed banding turns the "
+    "range predicate into a hash equi-join on (user, hour-bucket) "
+    "with a 2x left explode — no per-key cross product on hot users, "
+    "unlike the naive keys-then-filter plan. Trailing sum in exact "
+    "decimal so both engines agree.",
+)
+def purchase_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), "value"
+    )
+    pairs = range_join(
+        purch, clicks, on=["user_id"], left_ts="ts", right_ts="cts",
+        lo_sec=-3600, hi_sec=0,
+    )
+    counts = pairs.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v_dec"),
+    )
+    return purch.join(counts, on=["event_id", "user_id"], how="left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("n_clicks_1h", F.lit(0)).alias("n_clicks_1h"),
+        F.round(
+            F.coalesce(F.col("v_dec"), F.lit(0).cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("click_value_1h"),
+    )
+
+
+@register(
     "event_funnel",
     sql="""
     WITH firsts AS (

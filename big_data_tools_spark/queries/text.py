@@ -200,3 +200,71 @@ def doc_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_char").cast("double") / F.sum("n_tok"), 3
         ).alias("chars_per_token"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        FROM documents
+    ), tok3 AS (
+        SELECT * FROM tok WHERE length(term) >= 3
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), dfreq AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok3 GROUP BY term
+    ), lc AS (
+        SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt
+        FROM tok3 GROUP BY lang, term
+    ), r AS (
+        SELECT l.lang, l.term, l.cnt, d.df, n.n_docs,
+               row_number() OVER (PARTITION BY l.lang
+                                  ORDER BY l.cnt DESC, l.term) AS rank
+        FROM lc l JOIN dfreq d USING (term), n
+        WHERE d.df * 2 < n.n_docs
+    )
+    SELECT lang, CAST(rank AS INT) AS rank, term, cnt,
+           round(ln((n_docs + 1.0) / (df + 1.0)), 4) AS idf
+    FROM r WHERE rank <= 5
+    """,
+    doc="TF-IDF-style top terms per language (north-star text "
+    "analysis): tokenize JVM-side, document frequency over the "
+    "corpus, drop corpus-stopwords (df*2 >= N), rank the survivors "
+    "per lang. Ranking is on integer counts with a lexical "
+    "tie-break, so the top-5 is engine-deterministic; the smoothed "
+    "idf = ln((N+1)/(df+1)) rides along as a score column. The "
+    "1-row N aggregate is broadcast, never collected (SURVEY.md "
+    "§4.3 scalar fix).",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+    ).filter(F.length("term") >= 3)
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    lang_cnt = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    joined = (
+        lang_cnt.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 2 < F.col("n_docs"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "lang",
+            "rank",
+            "term",
+            "cnt",
+            F.round(
+                F.ln((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))), 4
+            ).alias("idf"),
+        )
+    )

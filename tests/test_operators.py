@@ -168,3 +168,67 @@ def test_fillna_with_computed_max_leaves_no_nulls(spark, xs):
         assert all(v is not None for v in got.values())  # completeness
         for i, x in enumerate(xs):
             assert got[i] == (x if x is not None else mx)
+
+
+def test_range_join_matches_naive(spark):
+    from datetime import datetime
+
+    from big_data_tools_spark.operators.rangejoin import range_join
+
+    def t(s):
+        return datetime.fromisoformat(s)
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", t("2024-01-01 10:00:00")),
+            (2, "u1", t("2024-01-01 12:00:00")),
+            (3, "u2", t("2024-01-01 10:30:00")),
+            (4, "u3", t("2024-01-01 09:00:00")),
+        ],
+        "id int, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", t("2024-01-01 09:10:00"), 1.0),
+            ("u1", t("2024-01-01 09:59:59"), 2.0),
+            ("u1", t("2024-01-01 10:00:00"), 3.0),  # boundary: inclusive
+            ("u1", t("2024-01-01 11:30:00"), 4.0),
+            ("u2", t("2024-01-01 10:30:00"), 5.0),
+            ("u2", t("2024-01-01 08:00:00"), 6.0),
+        ],
+        "k string, rts timestamp, v double",
+    )
+    got = range_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        lo_sec=-3600, hi_sec=0,
+    )
+    naive = left.join(right, on="k").filter(
+        (F.col("rts").cast("long") >= F.col("ts").cast("long") - 3600)
+        & (F.col("rts").cast("long") <= F.col("ts").cast("long"))
+    )
+    key = lambda r: (r["id"], r["v"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, naive.collect()))
+    # id=1 window [09:00, 10:00] inclusive: 09:10, 09:59:59, 10:00 boundary
+    assert sorted(v["v"] for v in got.filter("id = 1").collect()) == [1.0, 2.0, 3.0]
+
+    left_j = range_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        lo_sec=-3600, hi_sec=0, how="left",
+    )
+    # u3 has no right rows at all but must survive with nulls
+    rows = left_j.filter("id = 4").collect()
+    assert len(rows) == 1 and rows[0]["v"] is None
+    assert left_j.filter("v IS NOT NULL").count() == naive.count()
+
+
+def test_range_join_rejects_bad_args(spark):
+    from big_data_tools_spark.operators.rangejoin import range_join
+
+    df = spark.range(1).selectExpr("cast(id as string) k", "current_timestamp() ts")
+    with pytest.raises(ValueError):
+        range_join(df, df, on=["k"], left_ts="ts", right_ts="ts", lo_sec=5, hi_sec=1)
+    with pytest.raises(ValueError):
+        range_join(
+            df, df, on=["k"], left_ts="ts", right_ts="ts",
+            lo_sec=0, hi_sec=1, how="full",
+        )
