@@ -196,3 +196,43 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("stage_full_funnel"),
     )
+
+
+@register(
+    "events_multires_rollup",
+    sql="""
+    WITH e AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               value
+        FROM events
+    )
+    SELECT day, hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS value_sum,
+           CAST(GROUPING(hour) AS INT) AS g_hour
+    FROM e GROUP BY GROUPING SETS ((day), (day, hour))
+    """,
+    doc="Multi-resolution time rollup (the hypertable "
+    "continuous-aggregate shape): hourly and daily aggregates of the "
+    "event stream in ONE pass via GROUPING SETS — Spark expands the "
+    "sets before the exchange, so partial aggregation still combines "
+    "map-side and the fact table is scanned once, not once per "
+    "resolution. GROUPING(hour) disambiguates the day-level rows. "
+    "Value sums in exact decimal (functions/agg.py policy).",
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.agg import money_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    return e.groupingSets([["day"], ["day", "hour"]], "day", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum(F.col("value")).alias("value_sum"),
+        F.grouping("hour").cast("int").alias("g_hour"),
+    )

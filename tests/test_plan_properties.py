@@ -77,3 +77,28 @@ def test_full_outer_coverage_aggregates_before_join(spark, sf_smoke):
     # formatted explain lists children before parents: the aggregate
     # node id must be numerically above the join in the tree section
     assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_smoke):
+    from big_data_tools_spark.plans.lint import explain_text
+
+    df = get("purchase_click_window").fn(spark, sf_smoke)
+    plan = explain_text(df, "formatted")
+    # bucketed banding must plan as a pure equi-join on (key, bucket):
+    # a range predicate that leaks into the join condition shows up as
+    # a nested-loop / cartesian strategy
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multires_rollup_scans_events_once(spark, sf_smoke):
+    import re
+
+    from big_data_tools_spark.plans.lint import explain_text
+
+    df = get("events_multires_rollup").fn(spark, sf_smoke)
+    plan = explain_text(df, "formatted")
+    # grouping-sets expansion must not re-scan the fact table per
+    # resolution: one Scan parquet node + Expand feeding one agg pair
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
