@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.agg import dmean, money_sum, sql_dmean, sql_money_sum
+from ..functions.agg import dmean, dsum, money_sum, sql_dmean, sql_dsum, sql_money_sum
 from ..io.sources import load_table
 from ..operators.partitioning import fan_out
 from .registry import register
@@ -653,4 +653,71 @@ def returnflag_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
             6,
         ).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "status_priority_mode",
+    sql="""
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                   ORDER BY n_orders DESC, o_orderpriority) AS rn
+        FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS priority_mode, n_orders
+    FROM r WHERE rn = 1
+    """,
+    doc="Grouped mode (most frequent value): count-then-rank with a "
+    "lexical tie-break, the distributed form of mode() — two "
+    "map-side-combining aggregations, never a per-group collect. "
+    "Deterministic under ties, unlike native mode().",
+)
+def status_priority_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n_orders"), F.asc("o_orderpriority")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("priority_mode"),
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "discount_band_histogram",
+    sql=f"""
+    SELECT CAST(round(l_discount * 100) AS INT) AS band_pct,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    GROUP BY band_pct
+    """,
+    doc="Equi-width histogram: discount banded into 1% bins (scaled "
+    "rounding — floor/width_bucket on 2-decimal doubles is "
+    "fp-boundary-unstable, round is exact) with per-band row count "
+    "and exact-decimal revenue. Single-pass distributed histogram: "
+    "no per-band scans, no driver-side binning.",
+)
+def discount_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.select(
+            F.round(F.col("l_discount") * 100).cast("int").alias("band_pct"),
+            rev.alias("rev"),
+        )
+        .groupBy("band_pct")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum(F.col("rev")).alias("revenue"))
     )
