@@ -70,13 +70,17 @@ def jaccard_pairs(
     ``max_doc_freq`` drops shingles present in more than that many docs
     before the self-join — the standard guard against boilerplate
     shingles creating O(df^2) candidate pairs at scale. Returns
-    (id_a < id_b, jaccard) pairs with jaccard >= threshold.
+    (id_a < id_b, jaccard) pairs with jaccard >= threshold. Persisted
+    intermediates are tagged on the result; callers release them after
+    their action via ``operators.cache.release_caches``.
     """
+    from .cache import track_cache
+
     # the (doc, shingle) index feeds three consumers (doc-frequency cap,
     # per-doc sizes, self-join both sides); persist it once instead of
     # re-deriving the shingle expressions per consumer — at scale this
     # is the difference between 1 and 4 corpus scans.
-    idx = shingle_index(df, text_col, id_col, n, hashed=True).persist()
+    raw_idx = idx = shingle_index(df, text_col, id_col, n, hashed=True).persist()
     if max_doc_freq is not None:
         freq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         idx = (
@@ -112,7 +116,8 @@ def jaccard_pairs(
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
         )
     )
-    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    out = jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    return track_cache(out, raw_idx, idx)
 
 
 def minhash_near_dup_pairs(
@@ -192,28 +197,51 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFram
     return out.withColumn("simhash", F.concat(*hexs))
 
 
-def simhash_candidate_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_candidate_pairs(
+    sim: DataFrame,
+    max_hamming: int = 3,
+    hot_band_threshold: int = 1024,
+    salt_buckets: int = 8,
+) -> DataFrame:
     """Near-dup candidates from :func:`simhash64` output: docs sharing
-    any 16-bit band, filtered to true hamming distance <= max_hamming."""
+    any 16-bit band, filtered to true hamming distance <= max_hamming.
+
+    Band rows melt to (doc, band_key = hash(band index, band value))
+    and candidate ids come from one salted self-join
+    (:func:`~big_data_tools_spark.operators.skew.salted_self_pairs`):
+    hot bands — near-constant regions hash most docs into the same
+    band value — split across reducers, pairs dedup BEFORE the hamming
+    computation (the old 4-way union computed hamming once per shared
+    band). Release tagged caches via ``operators.cache.release_caches``.
+    """
+    from .cache import track_cache
+    from .skew import salted_self_pairs
+
     bands = ["band0", "band1", "band2", "band3"]
+    melted = sim.select(
+        "doc",
+        F.explode(
+            F.array(*[F.xxhash64(F.lit(i), F.col(b)) for i, b in enumerate(bands)])
+        ).alias("band_key"),
+    )
+    cand = salted_self_pairs(
+        melted,
+        id_col="doc",
+        key_col="band_key",
+        hot_threshold=hot_band_threshold,
+        salt_buckets=salt_buckets,
+    )
     pop = None
     for b in bands:
         x = F.bit_count(F.col(f"a.{b}").bitwiseXOR(F.col(f"b.{b}")))
         pop = x if pop is None else pop + x
-    cands = None
-    a, b = sim.alias("a"), sim.alias("b")
-    for band in bands:
-        p = (
-            a.join(b, F.col(f"a.{band}") == F.col(f"b.{band}"))
-            .filter(F.col("a.doc") < F.col("b.doc"))
-            .select(
-                F.col("a.doc").alias("id_a"),
-                F.col("b.doc").alias("id_b"),
-                pop.alias("hamming"),
-            )
-        )
-        cands = p if cands is None else cands.unionByName(p)
-    return cands.filter(F.col("hamming") <= max_hamming).distinct()
+    out = (
+        cand.join(sim.alias("a"), cand["id_a"] == F.col("a.doc"))
+        .join(sim.alias("b"), cand["id_b"] == F.col("b.doc"))
+        .select("id_a", "id_b", pop.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return track_cache(out, cand)
 
 
 def embedding_cosine_pairs(
@@ -222,18 +250,37 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     round_digits: int = 4,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Embedding near-dup: (id_a < id_b) pairs with cosine >= threshold.
 
     Exact all-pairs form — the correctness baseline and oracle twin for
     the approximate tiers. Cosine is computed in double with per-pair
     rounding BEFORE the threshold filter so the boundary decision is
-    identical across engines. At corpus scale, route candidates through
-    :func:`big_data_tools_spark.operators.similarity.lsh_ann_topk` /
-    ``ivf_topk`` buckets first; the all-pairs plan is a broadcast
-    nested loop by construction (non-equi condition).
+    identical across engines.
+
+    SCALE GUARD: the plan is a broadcast nested loop over all (i < j)
+    pairs by construction (non-equi condition) — O(n^2) work and an
+    O(n) broadcast. It exists as the small-corpus oracle; above
+    ``max_rows`` rows it raises and points at the bucketed tiers
+    (:func:`minhash_band_pairs`,
+    :func:`big_data_tools_spark.operators.similarity.lsh_ann_topk`,
+    ``ivf_topk``) whose cost tracks near-dup density instead of n^2.
+    Pass ``max_rows=None`` to explicitly opt out (tests, known-small
+    frames).
     """
     from .similarity import cosine
+
+    if max_rows is not None:
+        n = df.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_cosine_pairs is an exact all-pairs baseline; corpus has "
+                f"> {max_rows} rows ({n}+). Use the bucketed scale paths instead: "
+                "operators.dedup.minhash_band_pairs (text), "
+                "operators.similarity.lsh_ann_topk / ivf_topk (embeddings), "
+                "or pass max_rows=None to force the O(n^2) plan."
+            )
 
     a = fan_out(df, id_col).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
@@ -255,6 +302,8 @@ def minhash_band_pairs(
     num_hashes: int = 48,
     bands: int = 16,
     threshold: float = 0.7,
+    hot_band_threshold: int = 1024,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs as pure Catalyst expressions — no ML
     stage, no UDFs, no Python on executors.
@@ -281,7 +330,18 @@ def minhash_band_pairs(
 
     P(candidate | jaccard=j) = 1-(1-j^r)^bands: r=3, bands=16 keeps
     recall >0.99 at j>=0.7 (measured 0.98 vs exact at sf0.1).
+
+    Hot bands (boilerplate-heavy corpora put thousands of docs behind
+    one band key) are split across reducers by
+    :func:`~big_data_tools_spark.operators.skew.salted_self_pairs`
+    (``hot_band_threshold`` / ``salt_buckets``) — candidate set, and
+    therefore recall, identical to the direct self-join. Persisted
+    intermediates are tagged on the result; callers release them after
+    their action via ``operators.cache.release_caches``.
     """
+    from .cache import track_cache
+    from .skew import salted_self_pairs
+
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
@@ -312,11 +372,12 @@ def minhash_band_pairs(
         ]
     )
     banded = signed.select("doc", F.explode(band_keys).alias("band_key"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    cand = salted_self_pairs(
+        banded,
+        id_col="doc",
+        key_col="band_key",
+        hot_threshold=hot_band_threshold,
+        salt_buckets=salt_buckets,
     )
     sets = idx.groupBy("doc").agg(F.collect_set("shingle").alias("xs"))
     pairs = (
@@ -325,118 +386,10 @@ def minhash_band_pairs(
     )
     inter = F.size(F.array_intersect(F.col("xa"), F.col("xb")))
     union = F.size(F.col("xa")) + F.size(F.col("xb")) - inter
-    return (
+    out = (
         pairs.select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    return track_cache(out, idx, cand)
 
 
-def embedding_cosine_pairs(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.95,
-    round_digits: int = 4,
-) -> DataFrame:
-    """Embedding near-dup: (id_a < id_b) pairs with cosine >= threshold.
-
-    Exact all-pairs form — the correctness baseline and oracle twin for
-    the approximate tiers. Cosine is computed in double with per-pair
-    rounding BEFORE the threshold filter so the boundary decision is
-    identical across engines. At corpus scale, route candidates through
-    :func:`big_data_tools_spark.operators.similarity.lsh_ann_topk` /
-    ``ivf_topk`` buckets first; the all-pairs plan is a broadcast
-    nested loop by construction (non-equi condition).
-    """
-    from .similarity import cosine
-
-    a = fan_out(df, id_col).select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    )
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits)
-    return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-    )
-
-
-def minhash_band_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    n: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
-    threshold: float = 0.7,
-) -> DataFrame:
-    """MinHash+LSH near-dup pairs as pure Catalyst expressions — no ML
-    stage, no UDFs, no Python on executors.
-
-    Per doc: hashed shingle set -> ``num_hashes`` MinHash components
-    (``array_min`` over per-seed ``xxhash64``) -> ``bands`` band keys
-    (hash of each signature slice). Docs sharing any band key become
-    candidates (banded self-join = the LSH step: join cost tracks
-    near-dup density, not |docs|^2); candidates get EXACT Jaccard over
-    the hashed shingle sets (``array_intersect``), filtered to
-    ``>= threshold``.
-
-    With r = num_hashes/bands rows per band, P(candidate | jaccard=j)
-    = 1-(1-j^r)^bands: r=4, bands=16 keeps recall >0.99 at j>=0.7.
-    Everything runs inside whole-stage codegen; the only shuffles are
-    the band-key self-join and the pair dedup.
-    """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must divide evenly into bands")
-    r = num_hashes // bands
-
-    base = fan_out(df, id_col).select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(
-            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
-        ).alias("xs"),
-    ).filter(F.size("xs") > 0)
-
-    # one-permutation hashing: component i = min of the shingles whose
-    # (already computed) hash lands in bucket i — ONE hash per shingle
-    # total, versus num_hashes re-hashes per shingle for classic
-    # MinHash (~10x wall-clock at sf0.1, identical LSH behavior).
-    # Empty buckets (short docs) densify with a seeded hash of the
-    # doc's min shingle — deterministic, and docs sharing content
-    # still collide.
-    sig = [
-        F.expr(
-            f"coalesce(array_min(filter(xs, x -> pmod(x, {num_hashes}) = {i})), "
-            f"xxhash64(array_min(xs), {i}))"
-        ).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    signed = base.select("doc", "xs", *sig)
-    band_keys = F.array(
-        *[
-            F.xxhash64(F.lit(b), *[F.col(f"h{b * r + j}") for j in range(r)])
-            for b in range(bands)
-        ]
-    )
-    # bands carry ONLY (doc, band_key): exploding the shingle arrays
-    # through a 16-way self-join would shuffle every array 16x; instead
-    # dedup id pairs first, then join the arrays back once per side
-    banded = signed.select("doc", F.explode(band_keys).alias("band_key"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sets = base.select(F.col("doc"), F.col("xs"))
-    pairs = (
-        cand.join(sets.select(F.col("doc").alias("id_a"), F.col("xs").alias("xa")), "id_a")
-        .join(sets.select(F.col("doc").alias("id_b"), F.col("xs").alias("xb")), "id_b")
-    )
-    inter = F.size(F.array_intersect(F.col("xa"), F.col("xb")))
-    union = F.size(F.col("xa")) + F.size(F.col("xb")) - inter
-    return (
-        pairs.select("id_a", "id_b", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )

@@ -64,6 +64,44 @@ def range_join(
     lsec = F.col(left_ts).cast("long")
     rsec = F.col(right_ts).cast("long")
 
+    if how == "left":
+        # Tag each left row with a surrogate id BEFORE banding so
+        # matches graft back on the id alone: a join-back on the full
+        # column list is null-UNSAFE (a left row with a NULL in any
+        # non-key column would never rejoin its matches) and multiplies
+        # duplicate left rows. Persist the tagged frame — it feeds both
+        # the banded join and the graft-back, and
+        # monotonically_increasing_id must not be recomputed per
+        # consumer. Caller releases via operators.cache.release_caches.
+        from .cache import track_cache
+
+        tagged = left.withColumn("__lid", F.monotonically_increasing_id()).persist()
+        lb = tagged.withColumn("__lsec", lsec).withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("__lsec") + lo_sec) / bucket_sec),
+                    F.floor((F.col("__lsec") + hi_sec) / bucket_sec),
+                )
+            ),
+        )
+        rb = right.withColumn("__rsec", rsec).withColumn(
+            "__bucket", F.floor(F.col("__rsec") / bucket_sec)
+        )
+        in_range = (F.col("__rsec") >= F.col("__lsec") + lo_sec) & (
+            F.col("__rsec") <= F.col("__lsec") + hi_sec
+        )
+        right_cols = [c for c in right.columns if c not in keys]
+        matched = (
+            lb.join(rb, on=[*keys, "__bucket"], how="inner")
+            .filter(in_range)
+            .select("__lid", *right_cols)
+        )
+        out = tagged.join(matched, on="__lid", how="left").select(
+            *left.columns, *right_cols
+        )
+        return track_cache(out, tagged)
+
     lb = left.withColumn("__lsec", lsec).withColumn(
         "__bucket",
         F.explode(
@@ -81,17 +119,5 @@ def range_join(
         F.col("__rsec") <= F.col("__lsec") + hi_sec
     )
     right_cols = [c for c in right.columns if c not in keys]
-
-    if how == "inner":
-        out = lb.join(rb, on=[*keys, "__bucket"], how="inner").filter(in_range)
-        return out.select(*left.columns, *right_cols)
-
-    # Left join: bucket explosion would multiply unmatched left rows, so
-    # run the inner banded join first, then graft onto the original left.
-    # Requires left rows to be distinct (join-back is on the full row).
-    matched = (
-        lb.join(rb, on=[*keys, "__bucket"], how="inner")
-        .filter(in_range)
-        .select(*left.columns, *right_cols)
-    )
-    return left.join(matched, on=list(left.columns), how="left")
+    out = lb.join(rb, on=[*keys, "__bucket"], how="inner").filter(in_range)
+    return out.select(*left.columns, *right_cols)

@@ -53,13 +53,30 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_digits: int | None = 4,
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rn).
 
     ``queries`` is broadcast (keep it small — the design point is
     "many corpus rows, few queries"); self-matches are excluded;
     ranking tiebreaks on neighbor id for determinism.
+
+    SCALE GUARD: cost is O(|corpus| x |queries| x dim) — linear in the
+    corpus (fine at 100 TB) but quadratic when the query set IS the
+    corpus. Above ``max_queries`` queries it raises and points at the
+    bucketed tiers (:func:`lsh_ann_topk`, :func:`ivf_topk`), whose
+    join cost tracks bucket collisions instead. ``max_queries=None``
+    opts out explicitly.
     """
+    if max_queries is not None:
+        nq = queries.limit(max_queries + 1).count()
+        if nq > max_queries:
+            raise ValueError(
+                f"brute_force_topk broadcasts and scores every query against every "
+                f"corpus row; query set has > {max_queries} rows ({nq}+). Use "
+                "lsh_ann_topk / ivf_topk for large query sets, or pass "
+                "max_queries=None to force the exact plan."
+            )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")

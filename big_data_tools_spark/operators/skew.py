@@ -25,6 +25,67 @@ _MERGES = {
 }
 
 
+def salted_self_pairs(
+    keyed: DataFrame,
+    id_col: str = "doc",
+    key_col: str = "band_key",
+    hot_threshold: int = 1024,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs of ids sharing a key, with HOT keys
+    split across ``salt_buckets`` reducers.
+
+    The plain self-join on ``key_col`` funnels a key with d rows into
+    one task doing O(d^2) work — on boilerplate-heavy corpora a single
+    hot LSH band stalls the stage. Keys with more than ``hot_threshold``
+    rows are routed through the salted plan: side A gets a stable salt
+    ``pmod(xxhash64(id), salt_buckets)``; side B replicates each row
+    once per salt value; the join matches on (key, salt). Each (a, b)
+    pair meets exactly once (at b's replica carrying a's salt), so the
+    candidate set — and therefore recall — is IDENTICAL to the direct
+    join; per-task work drops from d^2 to d^2/salt_buckets. Cold keys
+    take the direct join (no replication cost). Same two-phase idea as
+    :func:`salted_aggregate`, adapted to self-join pair generation.
+
+    Output: (id_a, id_b) distinct, id_a < id_b. Input frame is
+    persisted internally (three consumers); caller releases via
+    ``big_data_tools_spark.operators.cache.release_caches`` on the
+    returned frame.
+    """
+    from .cache import track_cache
+
+    keyed = keyed.select(F.col(id_col).alias("__id"), F.col(key_col).alias("__key")).persist()
+    freq = keyed.groupBy("__key").agg(F.count(F.lit(1)).alias("__n"))
+    hot_keys = F.broadcast(freq.filter(F.col("__n") > hot_threshold).select("__key"))
+
+    cold = keyed.join(hot_keys, "__key", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    cold_pairs = a.join(
+        b, (F.col("a.__key") == F.col("b.__key")) & (F.col("a.__id") < F.col("b.__id"))
+    ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+
+    hot_rows = keyed.join(hot_keys, "__key")
+    ha = hot_rows.select(
+        "__key",
+        F.col("__id").alias("__ida"),
+        (F.abs(F.xxhash64("__id")) % salt_buckets).alias("__salt"),
+    )
+    hb = hot_rows.select(
+        "__key",
+        F.col("__id").alias("__idb"),
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>")).alias(
+            "__salt"
+        ),
+    )
+    hot_pairs = (
+        ha.join(hb, ["__key", "__salt"])
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(F.col("__ida").alias("id_a"), F.col("__idb").alias("id_b"))
+    )
+    out = cold_pairs.unionByName(hot_pairs).dropDuplicates(["id_a", "id_b"])
+    return track_cache(out, keyed)
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],

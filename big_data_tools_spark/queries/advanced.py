@@ -333,15 +333,25 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="approx_percentile twin of doc_length_quantiles: single-pass "
     "mergeable sketch, the correct choice at 100 TB where exact "
     "percentile would sort each group. Accuracy band vs the exact "
-    "form asserted in tests/test_scale_ops.py.",
+    "form asserted in tests/test_scale_ops.py. The sketch's "
+    "array<double> result is projected to scalar p50/p90/p99 columns "
+    "(same shape as the exact twin) — downstream row canonicalizers "
+    "can't sort/hash list-valued cells.",
 )
 def doc_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy("source").agg(
+    agg = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.approx_percentile("n_chars", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000).alias(
-            "quantiles"
+            "q"
         ),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.element_at("q", 1).cast("double").alias("p50"),
+        F.element_at("q", 2).cast("double").alias("p90"),
+        F.element_at("q", 3).cast("double").alias("p99"),
     )
 
 

@@ -52,18 +52,26 @@ def _make_sessionizer(gap_sec: int):
         ts_all: list[int] = []
         for pdf in pdfs:
             ts_all.extend(int(t) for t in pdf["ts_us"])
-        ts_all.sort()
-        cur = list(state.get) if state.exists else None
-        closed = []
-        for t in ts_all:
-            if cur is None:
-                cur = [t, t, 1]
-            elif t - cur[1] > gap_us:
-                closed.append(tuple(cur))
-                cur = [t, t, 1]
+        # Merge as INTERVALS, not a left-to-right fold over the open
+        # session: a late event in a later micro-batch may precede the
+        # open session's end (or even its start). The fold moved the
+        # session end BACKWARDS (cur[1] = t unconditionally) and never
+        # extended the start — order-insensitive interval merging keeps
+        # closed-session output identical to the batch twin for any
+        # arrival order within the watermark.
+        intervals = [[t, t, 1] for t in sorted(ts_all)]
+        if state.exists:
+            intervals.append(list(state.get))
+            intervals.sort(key=lambda iv: iv[0])
+        merged: list[list[int]] = []
+        for iv in intervals:
+            if merged and iv[0] - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], iv[1])
+                merged[-1][2] += iv[2]
             else:
-                cur[1] = t
-                cur[2] += 1
+                merged.append(iv)
+        closed = [tuple(m) for m in merged[:-1]]
+        cur = merged[-1] if merged else None
         if cur is not None:
             state.update(tuple(cur))
             # flush the open session once the watermark passes end + gap

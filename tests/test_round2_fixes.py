@@ -1,0 +1,207 @@
+"""Round-2 regression tests for the judge/advisor findings:
+
+- no shadowed (duplicate) top-level defs anywhere in the package;
+- scale guards on the exact all-pairs baselines actually trip;
+- range_join how='left' survives NULLs in non-key columns and
+  duplicate left rows (the full-column-list join-back bug);
+- salted hot-band self-join produces the identical candidate set as
+  the direct join (recall unchanged);
+- stateful sessionizer merges out-of-order (cross-micro-batch) events
+  as intervals: end never moves backwards, start extends.
+"""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+PKG = pathlib.Path(__file__).resolve().parents[1] / "big_data_tools_spark"
+
+
+def test_no_shadowed_top_level_defs():
+    """Python silently keeps the last duplicate def — ban the hazard
+    (round-1 shipped ~110 dead lines in operators/dedup.py this way)."""
+    offenders = []
+    for py in PKG.rglob("*.py"):
+        tree = ast.parse(py.read_text())
+        seen: set[str] = set()
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                if node.name in seen:
+                    offenders.append(f"{py.relative_to(PKG.parent)}:{node.lineno} {node.name}")
+                seen.add(node.name)
+    assert not offenders, f"shadowed top-level defs: {offenders}"
+
+
+def test_embedding_cosine_allpairs_guard_trips(spark):
+    from big_data_tools_spark.operators.dedup import embedding_cosine_pairs
+
+    df = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).cast("array<float>").alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="minhash_band_pairs|lsh_ann_topk"):
+        embedding_cosine_pairs(df, max_rows=10)
+    # opting out (or staying under the bound) still works
+    assert embedding_cosine_pairs(df, threshold=-1.0, max_rows=None).count() > 0
+    assert embedding_cosine_pairs(df, threshold=-1.0, max_rows=1000).count() > 0
+
+
+def test_brute_force_topk_query_guard_trips(spark):
+    from big_data_tools_spark.operators.similarity import brute_force_topk
+
+    emb = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=3), F.rand(seed=4)).cast("array<float>").alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="lsh_ann_topk|ivf_topk"):
+        brute_force_topk(emb, emb, k=3, max_queries=10)
+    assert brute_force_topk(emb, emb.limit(5), k=3, max_queries=10).count() > 0
+
+
+def test_range_join_left_null_columns_and_dup_rows(spark):
+    """A left row with a NULL non-key column must keep its matches, and
+    duplicate left rows must each keep theirs (surrogate-key graft)."""
+    from datetime import datetime
+
+    from big_data_tools_spark.operators.rangejoin import range_join
+
+    t0 = datetime.fromisoformat("2024-01-01 10:00:00")
+    left = spark.createDataFrame(
+        [
+            (1, "u1", None, t0),          # NULL payload, has a match
+            (2, "u1", "x", t0),           # duplicate of row 3
+            (2, "u1", "x", t0),
+            (3, "u9", None, t0),          # NULL payload, no match
+        ],
+        "id int, k string, payload string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", datetime.fromisoformat("2024-01-01 09:30:00"), 7.0)],
+        "k string, rts timestamp, v double",
+    )
+    out = range_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        lo_sec=-3600, hi_sec=0, how="left",
+    ).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r["v"])
+    assert by_id[1] == [7.0], "NULL-payload row lost its match"
+    assert by_id[2] == [7.0, 7.0], "duplicate left rows must not multiply/collapse"
+    assert by_id[3] == [None]
+    assert len(out) == 4
+
+
+def test_salted_self_pairs_identical_to_direct(spark):
+    """Hot-key splitting must not change the candidate set: run with
+    everything forced hot vs everything cold, same pairs out."""
+    from big_data_tools_spark.operators.skew import salted_self_pairs
+
+    rows = [(i, "hot") for i in range(40)] + [(100 + i, f"cold{i % 3}") for i in range(9)]
+    keyed = spark.createDataFrame(rows, "doc long, band_key string")
+
+    def pairs(hot_threshold):
+        df = salted_self_pairs(
+            keyed, id_col="doc", key_col="band_key",
+            hot_threshold=hot_threshold, salt_buckets=4,
+        )
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    all_cold = pairs(hot_threshold=10_000)
+    all_hot = pairs(hot_threshold=0)
+    assert all_hot == all_cold
+    # sanity: the hot key contributes C(40,2) pairs, cold keys C(3,2) each
+    assert len(all_cold) == 40 * 39 // 2 + 3 * 3
+
+
+def test_minhash_band_pairs_salting_preserves_output(spark, sf_smoke):
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.dedup import minhash_band_pairs
+
+    docs = load_table(spark, sf_smoke, "documents")
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_band_pairs(docs, "text", "doc_id", threshold=0.7).collect()
+    }
+    salted = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_band_pairs(
+            docs, "text", "doc_id", threshold=0.7, hot_band_threshold=2, salt_buckets=4
+        ).collect()
+    }
+    assert base == salted
+    assert len(base) > 0
+
+
+class _FakeState:
+    """Minimal stand-in for GroupState to unit-test the sessionizer."""
+
+    def __init__(self, value=None):
+        self._value = value
+        self.hasTimedOut = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+
+    def remove(self):
+        self._value = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_set = ts
+
+
+def _run_batch(fn, state, ts_list):
+    import pandas as pd
+
+    out = list(fn((7,), iter([pd.DataFrame({"ts_us": ts_list})]), state))
+    closed = []
+    for pdf in out:
+        closed.extend(
+            (int(r.start_us), int(r.end_us), int(r.n_events)) for r in pdf.itertuples()
+        )
+    return closed
+
+
+def test_sessionizer_out_of_order_merge():
+    """Late in-gap events across micro-batches must extend the open
+    session (min start / max end), never move its end backwards."""
+    from big_data_tools_spark.streaming.sessions import _make_sessionizer
+
+    s = 1_000_000  # 1s in micros
+    fn = _make_sessionizer(gap_sec=60)
+    state = _FakeState()
+    assert _run_batch(fn, state, [1000 * s, 1030 * s]) == []
+    assert state.get == (1000 * s, 1030 * s, 2)
+
+    # batch 2: late event BEFORE the current end, and one before start
+    assert _run_batch(fn, state, [990 * s, 1010 * s]) == []
+    assert state.get == (990 * s, 1030 * s, 4), "must be min-start / max-end"
+
+    # batch 3: a gap-exceeding event closes the merged session intact
+    assert _run_batch(fn, state, [2000 * s]) == [(990 * s, 1030 * s, 4)]
+    assert state.get == (2000 * s, 2000 * s, 1)
+
+
+def test_sessionizer_far_late_event_is_own_session():
+    from big_data_tools_spark.streaming.sessions import _make_sessionizer
+
+    s = 1_000_000
+    fn = _make_sessionizer(gap_sec=60)
+    state = _FakeState((1000 * s, 1030 * s, 2))
+    # event >gap before the open session start: its own (closed) session
+    assert _run_batch(fn, state, [800 * s]) == [(800 * s, 800 * s, 1)]
+    assert state.get == (1000 * s, 1030 * s, 2)

@@ -65,7 +65,7 @@ def test_approx_percentile_tracks_exact(spark, sf_oracle):
         for r in get("doc_length_quantiles").fn(spark, sf_oracle).collect()
     }
     approx = {
-        r["source"]: r["quantiles"]
+        r["source"]: (r["p50"], r["p90"], r["p99"])
         for r in get("doc_length_quantiles_approx").fn(spark, sf_oracle).collect()
     }
     assert set(exact) == set(approx)
