@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from big_data_tools_spark.queries import all_queries
+from big_data_tools_spark.queries import ordered_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,11 +26,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator family from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in all_queries().items()}
+    """One entry per implemented operator family from SURVEY.md §2,
+    ordered so a capped driver sample covers every family first (the
+    driver checks the leading entries; see registry._PRIORITY)."""
+    return {name: spec.fn for name, spec in ordered_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle twins for every SQL-expressible query; rows-only
     ops (MinHash/SimHash/LSH — Spark-seeded hashing) are omitted."""
-    return {name: spec.sql for name, spec in all_queries().items() if spec.sql is not None}
+    return {
+        name: spec.sql for name, spec in ordered_queries().items() if spec.sql is not None
+    }

@@ -46,6 +46,11 @@ HEADLINE = [
     "knn_lsh_ann",
     "purchase_last_click_asof",
     "user_value_sliding_1h",
+    # widest plans in the repo — benched so regressions are visible
+    # round-over-round (VERDICT.md r1 #8)
+    "tfidf_top_terms",
+    "purchase_click_window",
+    "dedup_components",
 ]
 
 
@@ -63,13 +68,25 @@ def main() -> None:
     # MinHash signature/banding pipeline), then the timed run.
     # Single-run numbers mix seconds of one-time JVM compilation into
     # sub-second queries.
+    from big_data_tools_spark.operators.cache import release_caches
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
+
+        def run() -> int:
+            # operators persist() intermediates per call; release after
+            # each action so 4 back-to-back runs of every headline query
+            # don't accumulate cached partitions in one executor heap
+            df = spec.fn(spark, sf_dir)
+            n = df.count()
+            release_caches(df)
+            return n
+
         for _ in range(3):
-            spec.fn(spark, sf_dir).count()  # warm
+            run()  # warm (JIT/codegen)
         t0 = time.perf_counter()
-        n = spec.fn(spark, sf_dir).count()
+        n = run()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

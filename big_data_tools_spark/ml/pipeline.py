@@ -157,3 +157,19 @@ def feature_importances(model, feature_names: list[str]) -> list[tuple[str, floa
     pairs = [(feature_names[i] if i < len(feature_names) else f"f{i}", float(v))
              for i, v in zip(imp.indices, imp.values)]
     return sorted(pairs, key=lambda p: -p[1])
+
+
+def feature_names_from_metadata(df: DataFrame, features_col: str = "features") -> list[str]:
+    """Feature names in vector-slot order, read from the ``ml_attr``
+    column metadata Spark's feature stages attach — the same source the
+    reference's ExtractFeatureImp walks (``Databricks Notebook.py:
+    885-893``). Slots without a name fall back to ``f<idx>``."""
+    meta = df.schema[features_col].metadata
+    attrs = meta.get("ml_attr", {}).get("attrs", {})
+    by_idx: dict[int, str] = {}
+    n = meta.get("ml_attr", {}).get("num_attrs", 0)
+    for group in attrs.values():
+        for a in group:
+            by_idx[a["idx"]] = a.get("name", f"f{a['idx']}")
+            n = max(n, a["idx"] + 1)
+    return [by_idx.get(i, f"f{i}") for i in range(n)]

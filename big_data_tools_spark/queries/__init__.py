@@ -4,7 +4,7 @@ testdata tables, with an ANSI-SQL twin for the DuckDB oracle whenever
 the semantics are SQL-expressible.
 """
 
-from .registry import QuerySpec, all_queries, get, register
+from .registry import QuerySpec, all_queries, get, ordered_queries, register
 
 # Importing the modules populates the registry.
 from . import relational  # noqa: E402,F401
@@ -18,4 +18,4 @@ from . import mlstream  # noqa: E402,F401
 from . import scale  # noqa: E402,F401
 from . import temporal  # noqa: E402,F401
 
-__all__ = ["QuerySpec", "all_queries", "get", "register"]
+__all__ = ["QuerySpec", "all_queries", "get", "ordered_queries", "register"]

@@ -15,6 +15,23 @@ from ..io.sources import load_table
 from .registry import register
 
 
+def _orders_basetable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer feature basetable from orders; label = has at least
+    one URGENT order. Shared by the ML registry entries so train_eval
+    and feature_importance fit on identical features/split."""
+    o = load_table(spark, sf_dir, "orders")
+    feats = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum("o_totalprice").alias("sum_price"),
+        F.avg("o_totalprice").alias("avg_price"),
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("label"),
+        F.first("o_orderstatus").alias("status"),
+    )
+    return feats.withColumnRenamed("o_custkey", "business_id")
+
+
 @register(
     "ml_train_eval",
     sql=None,  # model metrics are not SQL-expressible
@@ -29,24 +46,48 @@ def ml_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.ml.classification import LogisticRegression
 
-    o = load_table(spark, sf_dir, "orders")
-    feats = o.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).cast("double").alias("n_orders"),
-        F.sum("o_totalprice").alias("sum_price"),
-        F.avg("o_totalprice").alias("avg_price"),
-        F.max(
-            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
-        ).alias("label"),
-        F.first("o_orderstatus").alias("status"),
-    )
-    basetable = feats.withColumnRenamed("o_custkey", "business_id")
     train, test, _ = featurize(
-        basetable, categorical_cols=("status",), select_percentile=None
+        _orders_basetable(spark, sf_dir),
+        categorical_cols=("status",),
+        select_percentile=None,
     )
     model = LogisticRegression(maxIter=10, regParam=0.01).fit(train)
     metrics = evaluate_model(model, train, "train") | evaluate_model(model, test, "test")
     rows = [(k, round(float(v), 6)) for k, v in sorted(metrics.items())]
     return spark.createDataFrame(rows, "metric string, value double")
+
+
+@register(
+    "ml_feature_importance",
+    sql=None,  # tree-model importances are not SQL-expressible
+    doc="Feature importances as a queryable table (reference "
+    "ExtractFeatureImp, Databricks Notebook.py:885-893): RF(numTrees="
+    "50, seed=7) on the same seeded split as ml_train_eval; names come "
+    "from the features column's ml_attr metadata, exactly the "
+    "reference's source. Returns (rank, feature, importance) rows "
+    "summing to ~1. Rows-only driver check; properties asserted in "
+    "tests/test_ml_pipeline.py.",
+)
+def ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import RandomForestClassifier
+
+    from ..ml.pipeline import (
+        SEED,
+        feature_importances,
+        feature_names_from_metadata,
+        featurize,
+    )
+
+    train, _test, _ = featurize(
+        _orders_basetable(spark, sf_dir),
+        categorical_cols=("status",),
+        select_percentile=None,
+    )
+    rf = RandomForestClassifier(numTrees=50, seed=SEED).fit(train)  # :873
+    names = feature_names_from_metadata(train, "features")
+    pairs = feature_importances(rf, names)
+    rows = [(i + 1, name, round(v, 6)) for i, (name, v) in enumerate(pairs)]
+    return spark.createDataFrame(rows, "rank int, feature string, importance double")
 
 
 @register(

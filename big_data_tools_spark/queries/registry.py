@@ -51,3 +51,81 @@ def all_queries() -> dict[str, QuerySpec]:
 
 def get(name: str) -> QuerySpec:
     return _REGISTRY[name]
+
+
+# The driver's correctness gate checks the FIRST 50 entries of
+# ``queries()`` (round 1 checked exactly registry positions 0-49, so
+# positions 50+ never got a driver row). This ordering guarantees the
+# checked window covers every SURVEY.md §2 family and every §2.11
+# operator: first the oracle twins that went unchecked in round 1, then
+# the rows-only operator surfaces (ML/streaming/LSH/yelp), then one
+# representative per remaining §2 family. Entries past the window are
+# near-duplicate demonstrations of families already covered inside it
+# (all still run in tests/test_oracle_parity.py at every round).
+_PRIORITY = [
+    # round-1 unchecked oracle twins (VERDICT.md "What's missing" #1)
+    "purchase_last_click_asof",   # as-of join
+    "purchase_click_window",      # range join
+    "salted_status_rollup",       # skew-salted two-phase agg
+    "event_funnel",               # sequential window funnel
+    "events_multires_rollup",     # grouping sets multi-resolution
+    "tfidf_top_terms",            # widest text plan (7 shuffles)
+    "user_value_hourly_ffill",    # resample + last(ignorenulls) ffill
+    "dedup_exact_docs",
+    "dedup_jaccard_pairs",
+    "dedup_components",           # connected components fixpoint
+    "dedup_embedding_cosine",
+    "embedding_label_stats",
+    "knn_cosine_brute",
+    # fixed result shape this round — needs its driver row back
+    "doc_length_quantiles_approx",
+    # rows-only operator surfaces (weaker check, but must have a row)
+    "dedup_minhash_pairs",
+    "knn_lsh_ann",
+    "ml_train_eval",
+    "ml_feature_importance",
+    "streaming_hourly_counts",
+    "streaming_sessions",
+    "yelp_basetable",
+    # one representative per remaining §2 family (all green in round 1)
+    "order_rollup_flagship",      # star join + distributed scalar + datediff
+    "pricing_summary",            # grouped multi-agg + conditional counts
+    "regional_revenue",           # broadcast dim joins
+    "nation_customer_value",      # two-level aggregation
+    "part_like_filter",           # LIKE disjunction
+    "null_audit_orders",          # null predicates + isnan
+    "distinct_status_priority",   # distinct values
+    "distinct_customer_count",    # distinct count
+    "dedup_orders_keep_first",    # deterministic dedup
+    "segment_pivot",              # pivot with declared values
+    "topk_orders_per_customer",   # row_number window
+    "top100_orders",              # TakeOrderedAndProject
+    "priority_union",             # union + inequality filter
+    "custkey_overlap_setops",     # intersect/except
+    "status_recode_operator",     # fold-left recode, batched withColumns
+    "customers_without_orders",   # anti join
+    "customers_with_urgent_orders",  # semi join
+    "revenue_rollup",             # rollup
+    "event_sessions",             # lag-based sessionization window
+    "lineitem_metric_unpivot",    # unpivot/stack
+    "string_date_parse",          # to_timestamp both patterns + ltrim
+    "fillna_policy",              # const + computed fill
+    "hours_parse",                # split/substring_index/concat hours
+    "bulk_rename",                # bulk + driver-side rename
+    "map_literal_parse",          # translate + create_map + map explode
+    "events_props_extract",       # semi-structured JSON extraction
+    "doc_token_stats",            # token counting
+    "doc_quality_by_source",      # quality scoring
+    "lang_id_confusion",          # language-ID
+]
+
+
+def ordered_queries() -> dict[str, QuerySpec]:
+    """Registry in driver-check order: ``_PRIORITY`` first, then the
+    remaining entries in registration order."""
+    missing = [n for n in _PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise ValueError(f"_PRIORITY names not registered: {missing}")
+    out = {n: _REGISTRY[n] for n in _PRIORITY}
+    out.update((n, s) for n, s in _REGISTRY.items() if n not in out)
+    return out

@@ -55,3 +55,53 @@ def test_featurize_without_selector(basetable):
     train, test, _ = featurize(basetable, select_percentile=None)
     assert "features" in train.columns
     assert train.count() > 0
+
+
+@pytest.fixture(scope="module")
+def parity_basetable(spark):
+    """The PARITY.md fixture: 2000 businesses, linear-ish planted signal,
+    ~3% label flips — calibrated so a correctly-wired pipeline lands in
+    the same metric regime the reference reports on real Yelp data
+    (test AUC ~0.96-0.98, BASELINE.md rows 18-23)."""
+    df = spark.range(2000).select(
+        F.concat(F.lit("b"), F.col("id")).alias("business_id"),
+        (F.col("id") % 11).cast("double").alias("review_count"),
+        (F.col("id") % 2).cast("int").alias("has_delivery_dummy"),
+        ((F.col("id") * 37) % 100).cast("double").alias("tip_count"),
+        F.when(F.col("id") % 3 == 0, "Springfield")
+        .when(F.col("id") % 3 == 1, "Shelbyville")
+        .otherwise("Capital City")
+        .alias("city"),
+        F.when(F.col("id") % 2 == 0, "IL").otherwise("IN").alias("state"),
+    )
+    score = F.col("review_count") + 3 * F.col("has_delivery_dummy") + F.col("tip_count") / 50
+    noise = (F.xxhash64("business_id") % 33) == 0
+    return df.withColumn("label", ((score >= 8) != noise).cast("int"))
+
+
+def test_parity_table_bands(parity_basetable):
+    """The band assertion PARITY.md cites: on the planted-signal parity
+    fixture every model must reproduce the reference's high-signal
+    regime (reference: LR test AUC 0.962 / F1 0.973, RF 0.965 / 0.977 —
+    real Yelp data, unavailable here)."""
+    train, test, _ = featurize(parity_basetable, select_percentile=0.9)
+    results = {r.name: r.metrics for r in train_models(train, test)}
+    for name in ("logistic_regression", "random_forest", "gbt"):
+        assert results[name]["test_auc"] >= 0.93, (name, results[name])
+        assert results[name]["test_f1"] >= 0.93, (name, results[name])
+
+
+def test_feature_importance_query(spark, sf_smoke):
+    """ExtractFeatureImp parity (reference :885-893): named, ranked,
+    importance-summing-to-1 table from the RF model."""
+    from big_data_tools_spark.queries.registry import get
+
+    rows = get("ml_feature_importance").fn(spark, sf_smoke).collect()
+    assert rows, "no importances returned"
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    vals = [r["importance"] for r in rows]
+    assert vals == sorted(vals, reverse=True), "must be ranked by importance"
+    assert abs(sum(vals) - 1.0) < 1e-3
+    names = {r["feature"] for r in rows}
+    # real metadata names, not f<idx> fallbacks, for the numeric features
+    assert {"n_orders", "sum_price", "avg_price"} <= names, names

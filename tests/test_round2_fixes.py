@@ -37,6 +37,37 @@ def test_no_shadowed_top_level_defs():
     assert not offenders, f"shadowed top-level defs: {offenders}"
 
 
+def test_driver_checked_window_covers_all_families():
+    """The driver's correctness gate samples the FIRST 50 entries of
+    __spark_entry__.queries() (round 1 checked exactly positions 0-49).
+    Pin that the checked window contains every round-1-unchecked oracle
+    twin, the fixed approx-quantile query, and every rows-only operator
+    surface — reordering regressions would silently drop driver rows."""
+    import __spark_entry__ as E
+
+    window = list(E.queries())[:50]
+    required = {
+        # round-1 unchecked oracle twins (VERDICT.md)
+        "purchase_last_click_asof", "purchase_click_window",
+        "salted_status_rollup", "event_funnel", "events_multires_rollup",
+        "tfidf_top_terms", "user_value_hourly_ffill", "dedup_exact_docs",
+        "dedup_jaccard_pairs", "dedup_components", "dedup_embedding_cosine",
+        "embedding_label_stats", "knn_cosine_brute",
+        # fixed shape this round
+        "doc_length_quantiles_approx",
+        # rows-only operator surfaces
+        "dedup_minhash_pairs", "knn_lsh_ann", "ml_train_eval",
+        "ml_feature_importance", "streaming_hourly_counts",
+        "streaming_sessions", "yelp_basetable",
+    }
+    missing = required - set(window)
+    assert not missing, f"driver window misses: {sorted(missing)}"
+    # and the ordered view must still expose the full registry
+    from big_data_tools_spark.queries import all_queries
+
+    assert set(E.queries()) == set(all_queries())
+
+
 def test_embedding_cosine_allpairs_guard_trips(spark):
     from big_data_tools_spark.operators.dedup import embedding_cosine_pairs
 
