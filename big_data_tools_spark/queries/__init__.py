@@ -9,6 +9,7 @@ from .registry import QuerySpec, all_queries, get, ordered_queries, register
 # Importing the modules populates the registry.
 from . import relational  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
+from . import advanced_agg  # noqa: E402,F401
 from . import cleaning  # noqa: E402,F401
 from . import semistructured  # noqa: E402,F401
 from . import text  # noqa: E402,F401
