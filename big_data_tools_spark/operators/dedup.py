@@ -393,3 +393,61 @@ def minhash_band_pairs(
     return track_cache(out, idx, cand)
 
 
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 3,
+    max_doc_freq: int | None = 100,
+) -> DataFrame:
+    """Near-dup candidates via winnowing fingerprints (Schleimer/
+    Wilkerson/Aiken, SIGMOD 2003): (id_a < id_b, shared) pairs of
+    documents sharing at least ``min_shared`` fingerprints.
+
+    Scale shape: posting-list self-join on the 8-byte fingerprint —
+    cost tracks shared-content density, never all-pairs. ``max_doc_freq``
+    drops fingerprints present in more than that many docs (boilerplate
+    guard, same idea as :func:`jaccard_pairs`). Fingerprints come from
+    :func:`big_data_tools_spark.operators.text.with_winnow_fingerprints`
+    (pure column exprs, oracle-checkable); the winnowing guarantee
+    means any shared run of >= K + W - 1 normalized chars surfaces at
+    least one shared fingerprint.
+    """
+    from .cache import track_cache
+    from .text import with_winnow_fingerprints
+
+    fps = with_winnow_fingerprints(
+        df.select(F.col(id_col).alias("doc"), text_col), text_col, "fp_set"
+    )
+    # explode_OUTER, then drop the null rows ourselves: plain explode
+    # triggers InferFiltersFromGenerate, whose `size(fp_set) > 0` filter
+    # gets predicate-pushed below the fingerprint projections with the
+    # whole expression tree inlined — re-evaluating the hash array
+    # inside every per-element lambda (O(n^3) per row; measured as a
+    # multi-minute hang on 500 docs). The infer rule skips outer
+    # generators, and the isNotNull filter on the GENERATED attribute
+    # cannot be pushed below the Generate.
+    idx = (
+        fps.select("doc", F.explode_outer("fp_set").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .persist()
+    )
+    capped = idx
+    if max_doc_freq is not None:
+        # broadcast the (small) HOT set and anti-join — broadcasting the
+        # keep-set would ship nearly every distinct fingerprint
+        freq = idx.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        hot = freq.filter(F.col("df") > max_doc_freq).select("fp")
+        capped = idx.join(F.broadcast(hot), "fp", "left_anti")
+    a = capped.select(F.col("doc").alias("id_a"), "fp")
+    b = capped.select(F.col("doc").alias("id_b"), "fp")
+    out = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return track_cache(out, idx)

@@ -193,3 +193,36 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (F.count(F.lit(1)) - 1).alias("n_removable"),
     )
+
+
+def _winnow_pairs_sql() -> str:
+    from .text import winnow_fps_sql
+
+    return f"""
+    WITH __wp_idx AS (
+      SELECT doc_id AS doc, unnest(fps) AS fp FROM ({winnow_fps_sql()})
+    ), __wp_capped AS (
+      SELECT doc, fp FROM __wp_idx
+      WHERE fp NOT IN (SELECT fp FROM __wp_idx GROUP BY fp HAVING count(*) > 100)
+    )
+    SELECT a.doc AS id_a, b.doc AS id_b, CAST(count(*) AS BIGINT) AS shared
+    FROM __wp_capped a JOIN __wp_capped b ON a.fp = b.fp AND a.doc < b.doc
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """
+
+
+@register(
+    "dedup_winnow_pairs",
+    sql=_winnow_pairs_sql(),
+    doc="Winnowing near-dup pairs (north-star dedup tier between exact "
+    "md5 and Jaccard shingles): docs sharing >= 3 winnowing "
+    "fingerprints, posting-list self-join on the 8-byte fingerprint "
+    "with a doc-frequency cap. The winnowing guarantee makes any "
+    "shared run of >= K+W-1 normalized chars detectable.",
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import winnow_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_pairs(d, "text", "doc_id", min_shared=3, max_doc_freq=100)

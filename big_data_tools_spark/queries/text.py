@@ -268,3 +268,67 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idf"),
         )
     )
+
+
+def winnow_fps_sql(table: str = "documents") -> str:
+    """Per-doc winnowing fingerprint sets ``(doc_id, fps)`` in DuckDB
+    SQL — the identical normalize -> char-code -> Rabin-Karp k-gram
+    hash -> w-window minimum -> distinct arithmetic as
+    :func:`big_data_tools_spark.operators.text.with_winnow_fingerprints`
+    (bit-identical bigints, verified by the oracle gate)."""
+    from ..operators.text import WINNOW_BASE, WINNOW_K, WINNOW_MOD, WINNOW_W
+
+    k, w, b, m = WINNOW_K, WINNOW_W, WINNOW_BASE, WINNOW_MOD
+    return f"""
+    WITH __wn_norm AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                            '[^ -~]', '', 'g') AS t
+      FROM {table}
+    ), __wn_codes AS (
+      SELECT doc_id,
+             list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT)) AS cs
+      FROM __wn_norm
+    ), __wn_hashes AS (
+      SELECT doc_id, cs,
+             list_transform(range(1, len(cs) - {k - 1} + 1),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                             list_slice(cs, i, i + {k - 1})),
+                                (acc, c) -> (acc * {b} + c) % {m})) AS hs
+      FROM __wn_codes
+    )
+    SELECT doc_id,
+           CASE WHEN len(cs) >= {k + w - 1} THEN
+             list_distinct(list_transform(range(1, len(hs) - {w - 1} + 1),
+               i -> list_min(list_slice(hs, i, i + {w - 1}))))
+           ELSE CAST([] AS BIGINT[]) END AS fps
+    FROM __wn_hashes
+    """
+
+
+@register(
+    "doc_winnow_stats",
+    sql=f"""
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fps,
+           list_min(fps) AS min_fp,
+           list_max(fps) AS max_fp
+    FROM ({winnow_fps_sql()})
+    """,
+    doc="Rolling-hash winnowing fingerprints (Schleimer et al. SIGMOD "
+    "2003) per document: k-gram Rabin-Karp hashes, w-window minima, "
+    "distinct — all pure column expressions, oracle-checked bigint-"
+    "identical against DuckDB. Emits per-doc count/min/max (scalar "
+    "shape for the driver canonicalizer).",
+)
+def doc_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import with_winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = with_winnow_fingerprints(d.select("doc_id", "text"), "text", "fps")
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("bigint").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )

@@ -118,3 +118,62 @@ def test_connected_components_transitive_closure(spark):
     assert comp[10] == comp[11] == 10
     assert comp[20] == comp[21] == comp[22] == 20
     assert len(comp) == 8
+
+
+def test_winnow_guarantee_shared_run_surfaces_fingerprint(spark):
+    """Winnowing guarantee (Schleimer et al. SIGMOD 2003 §3): any shared
+    normalized substring of length >= K + W - 1 yields at least one
+    shared fingerprint between the two documents."""
+    from big_data_tools_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        with_winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    rows = [
+        (1, f"alpha beta gamma {shared} delta epsilon"),
+        (2, f"zeta eta {shared} theta iota kappa lambda"),
+        (3, "completely different content with no overlap at all here xyz"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = with_winnow_fingerprints(df, "text", "fps")
+    by_id = {r["doc_id"]: set(r["fps"]) for r in out.collect()}
+    assert by_id[1] & by_id[2], "docs sharing a long run must share a fingerprint"
+    # the disjoint doc should not share with either (different 8-grams)
+    assert not (by_id[1] & by_id[3])
+
+
+def test_winnow_short_doc_yields_empty_set(spark):
+    from big_data_tools_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        with_winnow_fingerprints,
+    )
+
+    short = "x" * (WINNOW_K + WINNOW_W - 2)  # one char below the floor
+    df = spark.createDataFrame([(1, short), (2, "")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["fps"] for r in with_winnow_fingerprints(df, "text").collect()}
+    assert out[1] == [] and out[2] == []
+
+
+def test_winnow_pairs_plan_has_no_inlined_generate_filter(spark, sf_oracle):
+    """Regression: plain explode over the fingerprint array triggers
+    InferFiltersFromGenerate, whose size() filter gets predicate-pushed
+    below the fingerprint projections with the whole expression inlined
+    — re-evaluating the hash array inside every per-element lambda
+    (O(n^3) per row; a multi-minute hang on 500 docs). winnow_pairs uses
+    explode_outer + isNotNull on the generated attribute instead; no
+    Filter in the optimized plan may contain the k-gram aggregate."""
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.dedup import winnow_pairs
+
+    docs = load_table(spark, sf_oracle, "documents")
+    out = winnow_pairs(docs, "text", "doc_id")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if line.lstrip().startswith(("Filter", "+- Filter", ":- Filter")):
+            assert "aggregate(" not in line, (
+                "fingerprint expression inlined into a pushed-down filter:\n" + line
+            )
