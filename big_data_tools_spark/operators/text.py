@@ -228,3 +228,36 @@ def with_winnow_fingerprints(
         F.when(n >= k + w - 1, fps).otherwise(F.array().cast("array<bigint>")),
     )
     return out.drop(codes_c, hashes_c)
+
+
+# PII scrubbing patterns — restricted to the Java-regex/RE2 common
+# subset (no lookarounds) so the same strings run in Spark and DuckDB.
+# Order matters: email first (its local part may contain digits), then
+# the digit-group shapes from most to least specific. The replacement
+# tokens contain no digits, so later patterns cannot re-match inside
+# an earlier redaction.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("cc", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CC>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[ .-]\d{3}[ .-]\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails / IPv4s / credit-card / SSN / phone shapes with
+    typed tokens — chained JVM-side ``regexp_replace``, no UDF, linear
+    scan per document. The standard pre-training scrub pass."""
+    out = col
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """One ``n_<kind>`` count column per PII pattern (pre-scrub)."""
+    return [
+        F.regexp_count(col, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]

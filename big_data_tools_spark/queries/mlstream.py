@@ -141,6 +141,34 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup",
+    sql=None,  # runs through the streaming engine, not a SQL query
+    doc="Streaming exact dedup (§2.10 + north-star dedup): "
+    "dropDuplicatesWithinWatermark on event_id — per-key state is "
+    "held only within the watermark, so at-least-once sources dedup "
+    "with bounded state at any scale. Rows-only driver check; "
+    "redelivery semantics asserted in tests/test_streaming.py.",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import (
+        EVENTS_STREAM_SCHEMA,
+        dedup_events_stream,
+        run_available_now,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return run_available_now(
+        dedup_events_stream(stream), "bdt_stream_dedup_q", output_mode="append"
+    )
+
+
+@register(
     "yelp_basetable",
     sql=None,  # inputs are in-memory Yelp-shaped fixtures, not sf_dir tables
     doc="The reference's END-TO-END pipeline (Databricks Notebook.py "

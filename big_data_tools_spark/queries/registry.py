@@ -75,6 +75,7 @@ _PRIORITY = [
     "dedup_jaccard_pairs",
     "dedup_components",           # connected components fixpoint
     "dedup_embedding_cosine",
+    "dedup_winnow_pairs",         # winnowing fingerprint tier (round 2)
     "embedding_label_stats",
     "knn_cosine_brute",
     # fixed result shape this round — needs its driver row back

@@ -332,3 +332,66 @@ def doc_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("fps").alias("min_fp"),
         F.array_max("fps").alias("max_fp"),
     )
+
+
+def _pii_sql() -> str:
+    """DuckDB twin for pii_scrub_audit, generated from PII_PATTERNS so
+    the two engines always share the exact pattern strings."""
+    from ..operators.text import PII_PATTERNS
+
+    inject = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'"
+        " || CAST((doc_id * 7) % 256 AS VARCHAR)"
+        " || ' card 4111 1111 1111 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' tel 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    scrub = "text"
+    for _, pat, token in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    return f"""
+    WITH injected AS (SELECT doc_id, {inject} AS text FROM documents)
+    SELECT doc_id, {counts}, md5({scrub}) AS scrub_fp
+    FROM injected
+    """
+
+
+@register(
+    "pii_scrub_audit",
+    sql=_pii_sql(),
+    doc="PII scrubbing (north-star pre-training cleanup): typed-token "
+    "redaction of emails/IPv4/credit-card/SSN/phone shapes via chained "
+    "JVM-side regexp_replace (Java-regex/RE2 common subset — the same "
+    "pattern strings run on both engines). Deterministic PII derived "
+    "from doc_id is appended to each document so the scrub demonstrably "
+    "fires; output is per-doc counts by kind plus the md5 of the "
+    "scrubbed text, oracle-checked hash-identical against DuckDB.",
+)
+def pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import pii_counts, scrub_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+            F.lit(" ip 10.0."), (did % 256).cast("string"),
+            F.lit("."), ((did * 7) % 256).cast("string"),
+            F.lit(" card 4111 1111 1111 "),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" tel 415-555-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return injected.select(
+        "doc_id",
+        *pii_counts(F.col("text")),
+        F.md5(scrub_pii(F.col("text"))).alias("scrub_fp"),
+    )

@@ -1,0 +1,276 @@
+"""Classic TPC-H-shaped decision-support queries (Q11/Q15/Q17/Q18/Q22
+analogs restricted to the columns the driver testdata carries).
+
+These widen the relational family with the correlated-subquery shapes
+the reference's users write ad hoc (SURVEY.md §2.2-§2.6 generalized):
+each correlated scalar subquery is re-expressed Spark-first as a
+pre-aggregation + join (Catalyst de-correlates SQL subqueries the same
+way; stating the join explicitly keeps the plan visible and lets us
+broadcast the small side deliberately).
+
+Scale notes per query in the docstrings. Float policy: all double
+aggregates go through functions/agg (exact decimal sums — order- and
+engine-independent); per-row double arithmetic is bit-identical across
+engines, so threshold comparisons are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.agg import dsum, money_sum, sql_dsum, sql_money_sum
+from ..io.sources import load_table
+from .registry import register
+
+_Q17_BRAND = "Brand#11"
+_Q15_START, _Q15_END = "1996-01-01", "1996-04-01"
+_Q18_MIN_QTY = 250
+_Q11_FRACTION = 0.001
+
+
+@register(
+    "small_qty_part_revenue",
+    sql=f"""
+    WITH branded AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = '{_Q17_BRAND}'
+    ), part_avg AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(l_quantity) AS avg_qty
+        FROM branded GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(b.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0, 2) AS avg_weekly_revenue,
+           CAST(count(*) AS BIGINT) AS n_small_qty_lines
+    FROM branded b JOIN part_avg a ON b.l_partkey = a.l_partkey
+    WHERE b.l_quantity < 0.2 * a.avg_qty
+    """,
+    doc="TPC-H Q17 shape: revenue lost to small-quantity orders of one "
+    "brand. The correlated per-part avg(l_quantity) subquery is "
+    "rewritten as pre-aggregate + equi-join; the brand filter is "
+    "applied FIRST via a broadcast join so the per-part averages are "
+    "computed over the pruned fact rows only (at 100 TB the brand "
+    "predicate keeps ~1/25 of parts; computing averages for all parts "
+    "first would waste a full-fact shuffle). Exact decimal average so "
+    "the 0.2*avg threshold is engine-deterministic.",
+)
+def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    branded_parts = part.filter(F.col("p_brand") == _Q17_BRAND).select("p_partkey")
+    branded = lineitem.join(
+        F.broadcast(branded_parts),
+        lineitem.l_partkey == branded_parts.p_partkey,
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+
+    part_avg = branded.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("l_quantity")
+        ).alias("avg_qty")
+    )
+    small = branded.join(part_avg, "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0,
+            2,
+        ).alias("avg_weekly_revenue"),
+        F.count(F.lit(1)).alias("n_small_qty_lines"),
+    )
+
+
+@register(
+    "top_volume_orders",
+    sql=f"""
+    WITH big AS (
+        SELECT l_orderkey, {sql_money_sum('l_quantity')} AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING {sql_money_sum('l_quantity')} > {_Q18_MIN_QTY}
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="TPC-H Q18 shape (large-volume orders): group lineitem by "
+    "order, keep orders above a quantity threshold, graft order and "
+    "customer attributes. The HAVING filter runs on the aggregated "
+    "(small) side before both joins, so at scale the ORDER/CUSTOMER "
+    "joins see only the surviving keys — AQE broadcasts the filtered "
+    "agg; no limit, so the result set is deterministic.",
+)
+def top_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(money_sum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > _Q18_MIN_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
+@register(
+    "top_revenue_supplier",
+    sql=f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               {sql_dsum("l_extendedprice * (1.0 - l_discount)")} AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{_Q15_START}'
+          AND l_shipdate <  TIMESTAMP '{_Q15_END}'
+        GROUP BY l_suppkey
+    ), mx AS (SELECT max(total_rev) AS max_rev FROM rev)
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM rev r CROSS JOIN mx
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = mx.max_rev
+    """,
+    doc="TPC-H Q15 shape (top supplier by quarterly revenue): "
+    "per-supplier revenue in a ship-date window, then the max-revenue "
+    "supplier(s) including ties. The scalar max stays distributed — a "
+    "1-row aggregate broadcast-cross-joined onto the grouped frame "
+    "(the §4.3 collect-free pattern); revenue is an exact decimal sum "
+    "so the tie comparison is deterministic. The date filter pushes "
+    "down to the parquet scan.",
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scalar import with_global_max
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(_Q15_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q15_END).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias(
+                "total_rev"
+            )
+        )
+    )
+    top = with_global_max(rev, F.col("total_rev"), "max_rev").filter(
+        F.col("total_rev") == F.col("max_rev")
+    )
+    return top.join(
+        F.broadcast(supplier), top.l_suppkey == supplier.s_suppkey
+    ).select("s_suppkey", "s_name", "total_rev")
+
+
+@register(
+    "supplier_value_concentration",
+    sql=f"""
+    WITH per_supp AS (
+        SELECT l_suppkey,
+               {sql_dsum("l_extendedprice * (1.0 - l_discount)")} AS supp_value
+        FROM lineitem GROUP BY l_suppkey
+    ), tot AS (
+        SELECT CAST(sum(CAST(supp_value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM per_supp
+    )
+    SELECT p.l_suppkey AS s_suppkey, p.supp_value,
+           round(p.supp_value / t.total_value, 6) AS value_share
+    FROM per_supp p CROSS JOIN tot t
+    WHERE p.supp_value > {_Q11_FRACTION} * t.total_value
+    """,
+    doc="TPC-H Q11 shape (value concentration): suppliers whose "
+    "discounted lineitem value exceeds a fraction of the global total. "
+    "The global scalar is a 1-row aggregate over the ALREADY-GROUPED "
+    "per-supplier frame (|suppliers| rows, not |lineitem|), broadcast "
+    "back — two shuffles total, no driver collect. Sums are exact "
+    "decimals at every level, so the fraction threshold and the share "
+    "division are engine-deterministic.",
+)
+def supplier_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    per_supp = (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias(
+                "supp_value"
+            )
+        )
+    )
+    tot = per_supp.agg(
+        F.sum(F.col("supp_value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value")
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(tot))
+        .filter(F.col("supp_value") > _Q11_FRACTION * F.col("total_value"))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "supp_value",
+            F.round(F.col("supp_value") / F.col("total_value"), 6).alias("value_share"),
+        )
+    )
+
+
+@register(
+    "idle_rich_customers",
+    sql="""
+    WITH pos_avg AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(c_acctbal) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_bal
+    FROM customer c CROSS JOIN pos_avg a
+    WHERE c.c_acctbal > a.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape (idle high-balance customers, acctbal "
+    "variant): customers above the positive-balance average with no "
+    "URGENT orders, counted per nation. The scalar subquery is a "
+    "1-row broadcast; the NOT EXISTS is a left-anti join on a "
+    "pre-filtered orders projection (the priority predicate pushes "
+    "to the scan and the anti join shuffles 8 bytes/row); exact "
+    "decimal average makes the balance threshold "
+    "engine-deterministic.",
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    pos_avg = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("avg_bal")
+    )
+    rich = customer.crossJoin(F.broadcast(pos_avg)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    idle = rich.join(urgent, rich.c_custkey == F.col("o_custkey"), "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        money_sum(F.col("c_acctbal")).alias("total_bal"),
+    )

@@ -232,3 +232,24 @@ def test_range_join_rejects_bad_args(spark):
             df, df, on=["k"], left_ts="ts", right_ts="ts",
             lo_sec=0, hi_sec=1, how="full",
         )
+
+
+def test_scrub_pii_redacts_all_kinds(spark):
+    from big_data_tools_spark.operators.text import PII_PATTERNS, scrub_pii
+
+    from pyspark.sql import functions as F
+
+    text = (
+        "mail alice.smith+x@corp.example.org from 192.168.1.254, "
+        "card 4111 1111 1111 1111 or 4111-1111-1111-1111, "
+        "ssn 078-05-1120, call 415-555-0100 or 415 555 0100."
+    )
+    df = spark.createDataFrame([(text,)], ["t"])
+    out = df.select(scrub_pii(F.col("t")).alias("s")).first()["s"]
+    for token in ("<EMAIL>", "<IP>", "<CC>", "<SSN>", "<PHONE>"):
+        assert token in out, f"{token} missing in: {out}"
+    # nothing matching any pattern may survive the scrub
+    checks = df.select(
+        *[F.regexp_count(F.lit(out), F.lit(p)).alias(n) for n, p, _ in PII_PATTERNS]
+    ).first()
+    assert all(v == 0 for v in checks.asDict().values()), out

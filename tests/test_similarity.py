@@ -105,3 +105,39 @@ def test_ivf_index_fit_once_search_many(emb):
         assert reused < fresh
     finally:
         idx.unpersist()
+
+
+def test_int8_quantization_bounds_and_zero_vector(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_tools_spark.operators.similarity import with_int8_quantization
+
+    rows = [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [3.0, 3.0, 3.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: (r["q_vec"], r["q_scale"])
+        for r in with_int8_quantization(df).collect()
+    }
+    assert out[1][0] == [64, -127, 32]  # 0.5/(1/127)=63.5 -> HALF_UP 64
+    assert out[2] == ([0, 0, 0], 0.0)
+    assert out[3][0] == [127, 127, 127]
+    assert all(-127 <= q <= 127 for qs, _ in out.values() for q in qs)
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_oracle):
+    from pyspark.sql import functions as F
+
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    quant = quantized_topk(emb, queries, k=5).collect()
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    q = {(r["query_id"], r["neighbor_id"]) for r in quant}
+    recall = len(e & q) / len(e)
+    assert recall >= 0.9, f"int8 recall {recall:.2f}"

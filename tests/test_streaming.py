@@ -77,3 +77,26 @@ def test_stateful_sessions_match_batch_closed_sessions(spark, sf_smoke):
         .collect()
     }
     assert extras <= finals, f"unexpected sessions: {sorted(extras - finals)[:5]}"
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path, sf_smoke):
+    """Duplicated events (at-least-once redelivery) drain to exactly
+    one row per event_id, matching the batch distinct count."""
+    from pyspark.sql import functions as F
+
+    from big_data_tools_spark.streaming.events import dedup_events_stream
+
+    src = str(tmp_path / "dup_events")
+    events = load_table(spark, sf_smoke, "events").limit(500)
+    # re-written parquet carries micros timestamps — read the stream
+    # with the written schema, no nanos conversion needed
+    events.write.mode("overwrite").parquet(src)
+    # redeliver ~40% of events a second time (file source re-list)
+    events.filter(F.col("event_id") % 5 < 2).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = run_available_now(
+        dedup_events_stream(stream), "bdt_stream_dedup", output_mode="append"
+    )
+    assert out.count() == 500
+    assert out.select("event_id").distinct().count() == 500
