@@ -76,6 +76,7 @@ _PRIORITY = [
     "dedup_components",           # connected components fixpoint
     "dedup_embedding_cosine",
     "dedup_winnow_pairs",         # winnowing fingerprint tier (round 2)
+    "pretraining_corpus_pipeline",  # composed capstone (round 2)
     "embedding_label_stats",
     "knn_cosine_brute",
     # fixed result shape this round — needs its driver row back

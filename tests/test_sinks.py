@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from big_data_tools_spark.io.sinks import read_back, write_parquet
+from big_data_tools_spark.io.sources import load_table
 from big_data_tools_spark.queries import get
 
 
@@ -117,3 +118,38 @@ def test_orc_roundtrip(spark, sf_smoke, tmp_path_factory):
     a = o.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).first()[0]
     b = back.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).first()[0]
     assert a == b
+
+
+def test_compact_reduces_file_count(spark, sf_smoke, tmp_path_factory):
+    from big_data_tools_spark.operators.partitioning import compact
+
+    out = str(tmp_path_factory.mktemp("compacted"))
+    o = load_table(spark, sf_smoke, "orders").repartition(64)  # small-file mess
+    compacted = compact(o)  # tiny table -> a handful of partitions
+    compacted.write.mode("overwrite").parquet(out)
+    import os
+
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) <= 4, files
+    assert spark.read.parquet(out).count() == o.count()
+
+
+def test_compact_cluster_by_gives_disjoint_ranges(spark, sf_smoke, tmp_path_factory):
+    """Range-clustered output files have non-overlapping key spans, so
+    parquet min/max stats can skip whole files for key predicates."""
+    from pyspark.sql import functions as F
+
+    from big_data_tools_spark.operators.partitioning import compact
+
+    o = load_table(spark, sf_smoke, "orders")
+    clustered = compact(o, target_partition_bytes=8 * 1024, cluster_by=["o_custkey"])
+    spans = (
+        clustered.select(F.spark_partition_id().alias("pid"), "o_custkey")
+        .groupBy("pid")
+        .agg(F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi"))
+        .collect()
+    )
+    assert len(spans) > 1, "fixture should compact into multiple partitions"
+    ordered = sorted(((r["lo"], r["hi"]) for r in spans))
+    for (lo1, hi1), (lo2, hi2) in zip(ordered, ordered[1:]):
+        assert hi1 <= lo2, f"overlapping ranges ({lo1},{hi1}) vs ({lo2},{hi2})"
