@@ -51,6 +51,10 @@ HEADLINE = [
     "tfidf_top_terms",
     "purchase_click_window",
     "dedup_components",
+    # round-2 additions: winnowing tier, int8 ANN, composed capstone
+    "dedup_winnow_pairs",
+    "knn_cosine_int8",
+    "pretraining_corpus_pipeline",
 ]
 
 

@@ -117,17 +117,103 @@ def extract_media_features(
     return src.mapInPandas(batches, schema=MEDIA_FEATURE_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — requires a real decoder; intentionally
-    NotImplemented in this environment (media libs absent)."""
-    if _try_real_decoder() is None:
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_sec", T.DoubleType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, allow_stub: bool = True
+) -> DataFrame:
+    """Resize image rows (media_type image/*) via Arrow-batched
+    mapInPandas: 1 row in -> 1 row out with a new binary payload.
+
+    The Spark-side plumbing is real — image filter pushed before the
+    Python stage, Arrow batch transfer, schema-enforced binary output,
+    no driver collect. The pixel work is STUBBED (no PIL in this
+    environment): the fake 'resized' payload is the input bytes
+    tiled/truncated to ``width*height`` bytes, deterministic so tests
+    can pin it. ``allow_stub=False`` requires a real decoder.
+    """
+    if _try_real_decoder() is None and not allow_stub:
         raise NotImplementedError("image resize requires PIL; not available here")
-    raise NotImplementedError("real decoder path not wired yet")
+    n_out = width * height
+    src = df.filter(F.col("media_meta.media_type").startswith("image/")).select(
+        F.col("doc_id"), F.col("content")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = []
+            for content in pdf["content"]:
+                raw = bytes(content)
+                reps = -(-n_out // max(1, len(raw)))  # ceil-div tile
+                resized.append((raw * reps)[:n_out])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "content": resized,
+                    "n_bytes": [len(r) for r in resized],
+                }
+            )
+
+    return src.mapInPandas(batches, schema=RESIZED_IMAGE_SCHEMA)
 
 
-def sample_video_frames(df: DataFrame, every_n_seconds: float) -> DataFrame:
-    """Video frame sampling — requires a real decoder; intentionally
-    NotImplemented in this environment (media libs absent)."""
-    if _try_real_decoder() is None:
+def sample_video_frames(
+    df: DataFrame, every_n_seconds: float = 1.0, allow_stub: bool = True
+) -> DataFrame:
+    """Sample frames from video rows (media_type video/*) via
+    Arrow-batched mapInPandas: 1 row in -> N frame rows out (the
+    flatMap batch shape real frame extraction needs).
+
+    Plumbing is real (video filter before the Python stage, per-frame
+    fan-out inside the batch, schema-enforced binary frames); the
+    decode is STUBBED: fake duration = ``n_bytes % 30 + 1`` seconds
+    and each 'frame' is the payload rotated by the frame index —
+    deterministic, so row counts and content are test-pinnable.
+    """
+    if _try_real_decoder() is None and not allow_stub:
         raise NotImplementedError("frame sampling requires av/ffmpeg; not available here")
-    raise NotImplementedError("real decoder path not wired yet")
+    src = df.filter(F.col("media_meta.media_type").startswith("video/")).select(
+        F.col("doc_id"), F.col("content"), F.col("media_meta.n_bytes").alias("n_bytes")
+    )
+    step = float(every_n_seconds)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, tss, frames = [], [], [], []
+            for doc_id, content, n_bytes in zip(
+                pdf["doc_id"], pdf["content"], pdf["n_bytes"]
+            ):
+                raw = bytes(content)
+                duration = int(n_bytes) % 30 + 1
+                n_frames = int(duration / step) + 1
+                for i in range(n_frames):
+                    rot = (i * 7) % max(1, len(raw))
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * step)
+                    frames.append(raw[rot:] + raw[:rot])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "ts_sec": tss, "frame": frames}
+            )
+
+    return src.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)

@@ -85,6 +85,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_frames",
+    sql=None,  # Arrow mapInPandas 1->N fan-out; not SQL-expressible
+    doc="Multimodal frame sampling (§2.11): video rows fan out to one "
+    "row per sampled frame inside the Arrow batch (the flatMap shape "
+    "real decoders need); decode deterministically stubbed. Rows-only "
+    "driver check; fan-out counts pinned in tests/test_multimodal.py.",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_fake_media, sample_video_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_video_frames(attach_fake_media(docs), every_n_seconds=2.0)
+
+
+@register(
     "documents_stratified_sample",
     sql=None,  # xxhash64 membership has no DuckDB twin; determinism
     # and per-stratum rates are test-pinned instead
