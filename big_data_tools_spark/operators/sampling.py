@@ -51,3 +51,32 @@ def train_test_split_by_key(
     bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(_BUCKETS))
     cut = int(test_fraction * _BUCKETS)
     return df.filter(bucket >= cut), df.filter(bucket < cut)
+
+
+def hash_topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+    salt: str = "s0",
+) -> DataFrame:
+    """EXACTLY-k-per-group deterministic sample: rank each group's rows
+    by md5(key || salt) and keep the first ``k``.
+
+    The fraction-based samplers above keep ~fraction per group but
+    cannot promise an exact count; balanced-dataset curation ("2000
+    docs per language") needs exact k. Hash ordering gives a
+    uniform-ish, layout-independent, engine-reproducible draw (md5,
+    not xxhash64, so a DuckDB oracle can rank the identical bytes).
+    One window shuffle on the group keys; change ``salt`` for an
+    independent draw.
+    """
+    from pyspark.sql.window import Window
+
+    order = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(*group_cols).orderBy(order.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

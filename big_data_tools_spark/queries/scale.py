@@ -124,3 +124,29 @@ def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@register(
+    "documents_balanced_per_lang",
+    sql="""
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || 's0') ASC, doc_id ASC
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 40
+    """,
+    doc="Exactly-k-per-group deterministic sampling (north-star "
+    "curation): 40 docs per language ranked by md5 of the doc key — "
+    "layout-independent and engine-reproducible (the DuckDB oracle "
+    "ranks the identical md5 bytes), unlike fraction samplers that "
+    "cannot promise exact counts. One window shuffle on the group "
+    "key.",
+)
+def documents_balanced_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_topk_per_group
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return hash_topk_per_group(d, ["lang"], "doc_id", k=40)

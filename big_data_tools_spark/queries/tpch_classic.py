@@ -274,3 +274,40 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_custs"),
         money_sum(F.col("c_acctbal")).alias("total_bal"),
     )
+
+
+_TRADE_BALANCE_SQL = f"""
+    WITH cust_rev AS (
+        SELECT c.c_nationkey AS nationkey,
+               {sql_money_sum('o.o_totalprice')} AS buy_value
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey
+    ), supp_rev AS (
+        SELECT s.s_nationkey AS nationkey,
+               {sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)')} AS sell_value
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey
+    )
+    SELECT n.n_name, b.buy_value, s.sell_value,
+           round(b.buy_value - s.sell_value, 2) AS trade_balance
+    FROM nation n
+    JOIN cust_rev b ON n.n_nationkey = b.nationkey
+    JOIN supp_rev s ON n.n_nationkey = s.nationkey
+"""
+
+
+@register(
+    "nation_trade_balance_sql",
+    sql=_TRADE_BALANCE_SQL,
+    doc="SQL front-end surface (S-family): the SAME SQL text runs "
+    "through spark.sql() over temp views AND through the DuckDB "
+    "oracle — zero dialect divergence (decimal-sum float policy "
+    "included), demonstrating that users of the reference can bring "
+    "ad-hoc SQL untouched. Catalyst plans it like the DataFrame "
+    "equivalents: two grouped aggregates joined onto the broadcast "
+    "nation dim.",
+)
+def nation_trade_balance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer", "lineitem", "supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TRADE_BALANCE_SQL)

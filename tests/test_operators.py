@@ -253,3 +253,21 @@ def test_scrub_pii_redacts_all_kinds(spark):
         *[F.regexp_count(F.lit(out), F.lit(p)).alias(n) for n, p, _ in PII_PATTERNS]
     ).first()
     assert all(v == 0 for v in checks.asDict().values()), out
+
+
+def test_hash_topk_per_group_exact_k_and_layout_independent(spark, sf_oracle):
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.sampling import hash_topk_per_group
+
+    d = load_table(spark, sf_oracle, "documents").select("doc_id", "lang")
+    out = hash_topk_per_group(d, ["lang"], "doc_id", k=10)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(10, sizes[lang])
+    # layout independence: a different partitioning picks the same rows
+    repart = hash_topk_per_group(d.repartition(17), ["lang"], "doc_id", k=10)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in repart.collect()}
+    # independent draw under a different salt
+    other = hash_topk_per_group(d, ["lang"], "doc_id", k=10, salt="s1")
+    assert {r["doc_id"] for r in out.collect()} != {r["doc_id"] for r in other.collect()}
