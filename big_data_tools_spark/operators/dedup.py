@@ -418,8 +418,12 @@ def winnow_pairs(
     from .cache import track_cache
     from .text import with_winnow_fingerprints
 
+    # fingerprinting is the compute-heavy per-row step — spread
+    # single-file inputs across all cores before it (no-op at scale)
     fps = with_winnow_fingerprints(
-        df.select(F.col(id_col).alias("doc"), text_col), text_col, "fp_set"
+        fan_out(df, id_col).select(F.col(id_col).alias("doc"), text_col),
+        text_col,
+        "fp_set",
     )
     # explode_OUTER, then drop the null rows ourselves: plain explode
     # triggers InferFiltersFromGenerate, whose `size(fp_set) > 0` filter
