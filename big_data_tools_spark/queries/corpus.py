@@ -126,3 +126,80 @@ def pretraining_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
         dmean(F.col("quality"), 3).alias("avg_quality"),
     )
+
+
+_TEST_MOD = 17  # doc_id % 17 == 0 -> held-out pseudo-benchmark split
+
+
+@register(
+    "benchmark_contamination",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 4),
+                      i -> array_to_string(t[i:i+4], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 5
+    ), tr AS (
+        SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % {_TEST_MOD} <> 0
+    ), trc AS (
+        SELECT tr.train_id, tr.shingle FROM tr
+        JOIN (SELECT shingle FROM tr GROUP BY 1
+              HAVING count(*) <= 10000) ok USING (shingle)
+    ), te AS (
+        SELECT doc_id AS test_id, shingle FROM sh WHERE doc_id % {_TEST_MOD} = 0
+    ), shared AS (
+        SELECT train_id, test_id, CAST(count(*) AS BIGINT) AS shared
+        FROM trc JOIN te USING (shingle) GROUP BY 1, 2
+    )
+    SELECT train_id,
+           CAST(count(*) AS BIGINT) AS n_test_docs,
+           CAST(max(shared) AS BIGINT) AS max_shared
+    FROM shared GROUP BY 1
+    """,
+    doc="Benchmark-contamination report (north-star extension): "
+    "training docs sharing any 5-gram with the held-out eval split "
+    "(doc_id % 17 == 0 stands in for a benchmark table). Inverted-"
+    "index join with the eval side broadcast — the 100 TB train "
+    "corpus never shuffles. See operators/contamination.py.",
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.contamination import ngram_contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % _TEST_MOD != 0)
+    test = d.filter(F.col("doc_id") % _TEST_MOD == 0)
+    return ngram_contamination(train, test, "text", "doc_id", n=5, min_shared=1)
+
+
+@register(
+    "token_shard_packing",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 8 AS bucket,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, bucket, n_tok,
+               CAST(floor((sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tok) / 2000.0)
+                    AS BIGINT) AS shard
+        FROM toks
+    )
+    SELECT bucket, shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM packed GROUP BY 1, 2
+    """,
+    doc="Token-budget shard packing manifest (north-star extension): "
+    "greedy running-sum pack of docs into ~2000-token training shards, "
+    "bucketed (doc_id % 8) so each pack window is an independent task "
+    "instead of one global-sort task. See operators/packing.py.",
+)
+def token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_token_shards, shard_manifest
+
+    d = load_table(spark, sf_dir, "documents")
+    return shard_manifest(pack_token_shards(d, "text", "doc_id", budget=2000, n_buckets=8))

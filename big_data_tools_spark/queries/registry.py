@@ -77,6 +77,9 @@ _PRIORITY = [
     "dedup_embedding_cosine",
     "dedup_winnow_pairs",         # winnowing fingerprint tier (round 2)
     "pretraining_corpus_pipeline",  # composed capstone (round 2)
+    "benchmark_contamination",    # train-vs-eval n-gram overlap (round 2)
+    "token_shard_packing",        # bucketed token-budget pack (round 2)
+    "boilerplate_ngrams",         # heavy-hitter shingle report (round 2)
     "embedding_label_stats",
     "knn_cosine_brute",
     # fixed result shape this round — needs its driver row back
@@ -96,29 +99,30 @@ _PRIORITY = [
     "nation_customer_value",      # two-level aggregation
     "part_like_filter",           # LIKE disjunction
     "null_audit_orders",          # null predicates + isnan
-    "distinct_status_priority",   # distinct values
     "distinct_customer_count",    # distinct count
     "dedup_orders_keep_first",    # deterministic dedup
     "segment_pivot",              # pivot with declared values
     "topk_orders_per_customer",   # row_number window
-    "top100_orders",              # TakeOrderedAndProject
-    "priority_union",             # union + inequality filter
     "custkey_overlap_setops",     # intersect/except
     "status_recode_operator",     # fold-left recode, batched withColumns
     "customers_without_orders",   # anti join
     "customers_with_urgent_orders",  # semi join
     "revenue_rollup",             # rollup
-    "event_sessions",             # lag-based sessionization window
     "lineitem_metric_unpivot",    # unpivot/stack
     "string_date_parse",          # to_timestamp both patterns + ltrim
     "fillna_policy",              # const + computed fill
     "hours_parse",                # split/substring_index/concat hours
-    "bulk_rename",                # bulk + driver-side rename
     "map_literal_parse",          # translate + create_map + map explode
     "events_props_extract",       # semi-structured JSON extraction
     "doc_token_stats",            # token counting
     "doc_quality_by_source",      # quality scoring
     "lang_id_confusion",          # language-ID
+    # past-window: family near-duplicates (in-window coverage noted)
+    "distinct_status_priority",   # distinct values
+    "top100_orders",              # TakeOrderedAndProject
+    "priority_union",             # union + inequality filter
+    "event_sessions",             # lag-based sessionization window
+    "bulk_rename",                # bulk + driver-side rename
 ]
 
 

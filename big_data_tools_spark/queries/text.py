@@ -395,3 +395,37 @@ def pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         *pii_counts(F.col("text")),
         F.md5(scrub_pii(F.col("text"))).alias("scrub_fp"),
     )
+
+
+@register(
+    "boilerplate_ngrams",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 2),
+                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3
+    )
+    SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq
+    FROM sh GROUP BY 1
+    ORDER BY doc_freq DESC, shingle LIMIT 20
+    """,
+    doc="Boilerplate / heavy-hitter 3-gram detection (north-star "
+    "extension): the top-20 shingles by document frequency — the "
+    "list a cleaning pass strips and the df-cap tiers (jaccard_pairs, "
+    "ngram_contamination) drop. Grouped count + TakeOrderedAndProject: "
+    "only 20 rows ever reach the driver, no global sort.",
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_index
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = shingle_index(d, "text", "doc_id", 3, hashed=False)
+    return (
+        idx.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(20)
+    )

@@ -271,3 +271,56 @@ def test_hash_topk_per_group_exact_k_and_layout_independent(spark, sf_oracle):
     # independent draw under a different salt
     other = hash_topk_per_group(d, ["lang"], "doc_id", k=10, salt="s1")
     assert {r["doc_id"] for r in out.collect()} != {r["doc_id"] for r in other.collect()}
+
+
+def test_pack_token_shards_budget_property(spark, sf_oracle):
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.packing import pack_token_shards, shard_manifest
+
+    d = load_table(spark, sf_oracle, "documents")
+    packed = pack_token_shards(d, "text", "doc_id", budget=500, n_buckets=4)
+    # every doc assigned exactly once
+    assert packed.count() == d.count()
+    man = shard_manifest(packed).collect()
+    max_tok = packed.agg(F.max("n_tok")).first()[0]
+    last_shard = {}
+    for r in man:
+        last_shard[r["bucket"]] = max(last_shard.get(r["bucket"], -1), r["shard"])
+    for r in man:
+        # docs are never split, so a boundary-straddling doc moves a
+        # non-final shard off the budget by at most its own length
+        if r["shard"] != last_shard[r["bucket"]]:
+            assert 500 - max_tok < r["total_tokens"] <= 500 + max_tok, r
+    # deterministic under relayout
+    repacked = pack_token_shards(d.repartition(13), "text", "doc_id", budget=500, n_buckets=4)
+    assert {tuple(r) for r in packed.collect()} == {tuple(r) for r in repacked.collect()}
+
+
+def test_ngram_contamination_detects_planted_overlap(spark):
+    from big_data_tools_spark.operators.contamination import ngram_contamination
+
+    phrase = "alpha beta gamma delta epsilon zeta"  # 6 tokens -> two 5-grams
+    train = spark.createDataFrame(
+        [
+            (1, f"lead in {phrase} tail words here"),
+            (2, "totally unrelated content with many different words"),
+        ],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame([(100, f"prefix {phrase} suffix")], ["doc_id", "text"])
+    out = {r["train_id"]: r for r in ngram_contamination(train, test, n=5).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_test_docs"] == 1 and out[1]["max_shared"] == 2
+
+
+def test_ngram_contamination_df_cap_drops_boilerplate(spark):
+    from big_data_tools_spark.operators.contamination import ngram_contamination
+
+    boiler = "one two three four five"
+    train = spark.createDataFrame(
+        [(i, boiler) for i in range(1, 5)], ["doc_id", "text"]
+    )
+    test = spark.createDataFrame([(100, boiler)], ["doc_id", "text"])
+    # the only shared 5-gram appears in 4 train docs; cap at 3 kills it
+    assert ngram_contamination(train, test, n=5, max_doc_freq=3).count() == 0
+    assert ngram_contamination(train, test, n=5, max_doc_freq=None).count() == 4
