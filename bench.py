@@ -51,10 +51,13 @@ HEADLINE = [
     "tfidf_top_terms",
     "purchase_click_window",
     "dedup_components",
-    # round-2 additions: winnowing tier, int8 ANN, composed capstone
+    # round-2 additions: winnowing tier, int8 ANN, composed capstone,
+    # contamination sweep, SemDeDup (KMeans fit + in-cluster scan)
     "dedup_winnow_pairs",
     "knn_cosine_int8",
     "pretraining_corpus_pipeline",
+    "benchmark_contamination",
+    "dedup_semantic_groups",
 ]
 
 

@@ -43,9 +43,15 @@ def ngram_contamination(
     with at least one qualifying collision (``shared >= min_shared``)
     appear — at corpus scale the clean majority never leaves the join.
     """
+    from .cache import track_cache
+
     tr = shingle_index(train, text_col, id_col, n, hashed=True)
-    te = shingle_index(test, text_col, id_col, n, hashed=True).select(
-        F.col("doc").alias("test_id"), "shingle"
+    # the eval index feeds two broadcasts (its distinct shingle set and
+    # the shingle->test_id map); persist so the eval scan runs once
+    te = (
+        shingle_index(test, text_col, id_col, n, hashed=True)
+        .select(F.col("doc").alias("test_id"), "shingle")
+        .persist()
     )
     # eval side is the small side by construction — broadcast it so the
     # train corpus streams through map-side; AQE would pick this up at
@@ -58,19 +64,25 @@ def ngram_contamination(
         # `hits` keeps every train row for such shingles — so df computed
         # on the matched stream equals global train df, at a fraction of
         # the cost of aggregating the full index. Bounds the pair
-        # expansion below before it happens.
+        # expansion below before it happens. The matched stream is tiny
+        # vs the corpus (contamination is the exception, not the rule);
+        # persist it so the df pass and the pair join share one train scan.
+        hits = hits.persist()
         freq = hits.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        hits = hits.join(
+        capped = hits.join(
             F.broadcast(freq.filter(F.col("df") <= max_doc_freq).select("shingle")),
             "shingle",
         )
+    else:
+        capped = hits
     shared = (
-        hits.join(F.broadcast(te), "shingle")
+        capped.join(F.broadcast(te), "shingle")
         .groupBy(F.col("doc").alias("train_id"), "test_id")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
-    return shared.groupBy("train_id").agg(
+    out = shared.groupBy("train_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_test_docs"),
         F.max("shared").cast("bigint").alias("max_shared"),
     )
+    return track_cache(out, te, hits)

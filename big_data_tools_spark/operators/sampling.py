@@ -43,6 +43,51 @@ def stratified_hash_sample(
     return df.filter(bucket < F.coalesce(thresh, F.lit(0)))
 
 
+def mixture_rebalance_plan(
+    df: DataFrame, strata_col: str, targets: dict[str, float]
+) -> DataFrame:
+    """Per-stratum keep fractions that downsample a corpus to a target
+    domain mixture (the "data mixture" step of every pretraining run —
+    fixed-weight version of DoReMi-style reweighting).
+
+    With target shares t_s and stratum counts n_s, the largest corpus
+    honoring the mixture without upsampling keeps M = min_s(n_s / t_s)
+    rows, so keep_frac_s = t_s * M / n_s (strata absent from
+    ``targets`` drop to 0). Feed the result to
+    :func:`stratified_hash_sample` for the deterministic sample itself.
+
+    One grouped count, then the scalar min rides a 1-row broadcast
+    cross join (distributed-scalar pattern, operators/scalar.py) — no
+    driver round-trip, no full-data shuffle beyond the count.
+    """
+    tgt_map = F.create_map(
+        *[x for k, v in targets.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    with_tgt = counts.withColumn(
+        "tgt", F.coalesce(tgt_map[F.col(strata_col)], F.lit(0.0))
+    )
+    cap = with_tgt.filter(F.col("tgt") > 0).agg(
+        F.min(F.col("n_rows") / F.col("tgt")).alias("cap")
+    )
+    return (
+        with_tgt.crossJoin(F.broadcast(cap))
+        .select(
+            strata_col,
+            "n_rows",
+            F.when(
+                F.col("tgt") > 0, (F.col("tgt") * F.col("cap")) / F.col("n_rows")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("keep_frac"),
+        )
+        .withColumn(
+            "expected_rows",
+            F.floor(F.col("n_rows") * F.col("keep_frac")).cast("bigint"),
+        )
+    )
+
+
 def train_test_split_by_key(
     df: DataFrame, key_col: str, test_fraction: float = 0.3, salt: str = "split0"
 ) -> tuple[DataFrame, DataFrame]:

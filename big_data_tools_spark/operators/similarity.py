@@ -129,7 +129,14 @@ class IvfIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         n_clusters: int = 16,
+        max_iter: int = 20,
+        init_mode: str = "k-means||",
     ) -> "IvfIndex":
+        """``max_iter``/``init_mode`` trade centroid quality for fit
+        cost. ANN search wants the defaults; bucketing uses (SemDeDup)
+        care only that near-identical vectors co-cluster, which random
+        init + a few Lloyd iterations already guarantees — and each
+        saved iteration is a full corpus pass."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -138,7 +145,10 @@ class IvfIndex:
             F.col(vec_col).alias("c_vec"),
             array_to_vector(_as_double(F.col(vec_col))).alias("features"),
         )
-        model = KMeans(k=n_clusters, seed=7, featuresCol="features").fit(c)
+        model = KMeans(
+            k=n_clusters, seed=7, featuresCol="features",
+            maxIter=max_iter, initMode=init_mode,
+        ).fit(c)
         assigned = model.transform(c).select(
             "neighbor_id", "c_vec", F.col("prediction").alias("cluster_id")
         ).persist()

@@ -134,6 +134,21 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def repetition_ratio(col: Column, n: int = 3) -> Column:
+    """Gopher-style intra-document repetition score (Rae et al. 2021,
+    appendix A1.1 quality filters): the fraction of n-gram OCCURRENCES
+    that repeat an earlier n-gram — 1 - distinct/total. 0.0 for docs
+    with fewer than ``n`` tokens. Pure expression, no shuffle; feeds
+    the same filter tier as :func:`quality_score`."""
+    t = tokens(col)
+    total = F.size(t) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), total), lambda i: F.concat_ws(" ", F.slice(t, i, n))
+    )
+    ratio = F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double")
+    return F.when(total >= 1, ratio).otherwise(F.lit(0.0))
+
+
 # GPT-style pre-tokenizer shape, restricted to constructs RE2 and Java
 # regex agree on (no lookahead/backrefs): a token is an optionally
 # space-prefixed letter run, digit run, or punctuation run. Counting

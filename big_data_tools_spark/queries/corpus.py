@@ -203,3 +203,42 @@ def token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return shard_manifest(pack_token_shards(d, "text", "doc_id", budget=2000, n_buckets=8))
+
+
+_MIXTURE = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_CASE = " ".join(
+    f"WHEN '{s}' THEN CAST({w} AS DOUBLE)" for s, w in _MIXTURE.items()
+)
+
+
+@register(
+    "source_mixture_plan",
+    sql=f"""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+        FROM documents GROUP BY 1
+    ), wt AS (
+        SELECT source, n_rows,
+               CASE source {_MIX_CASE} ELSE CAST(0 AS DOUBLE) END AS tgt
+        FROM counts
+    ), cap AS (
+        SELECT min(n_rows / tgt) AS cap FROM wt WHERE tgt > 0
+    )
+    SELECT source, n_rows,
+           CASE WHEN tgt > 0 THEN (tgt * cap) / n_rows ELSE 0.0 END AS keep_frac,
+           CAST(floor(n_rows * (CASE WHEN tgt > 0 THEN (tgt * cap) / n_rows
+                                     ELSE 0.0 END)) AS BIGINT) AS expected_rows
+    FROM wt, cap
+    """,
+    doc="Domain-mixture rebalancing plan (north-star extension): "
+    "per-source keep fractions that downsample to a target mixture "
+    "without upsampling (fixed-weight DoReMi-style step). Grouped "
+    "count + distributed scalar min via 1-row broadcast cross join; "
+    "feed to stratified_hash_sample for the deterministic sample. "
+    "See operators/sampling.py:mixture_rebalance_plan.",
+)
+def source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import mixture_rebalance_plan
+
+    d = load_table(spark, sf_dir, "documents")
+    return mixture_rebalance_plan(d, "source", _MIXTURE)

@@ -226,3 +226,20 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return winnow_pairs(d, "text", "doc_id", min_shared=3, max_doc_freq=100)
+
+
+@register(
+    "dedup_semantic_groups",
+    sql=None,  # seeded KMeans fit has no SQL twin
+    doc="SemDeDup semantic dedup groups (Abbas et al. 2023): seeded "
+    "KMeans buckets the corpus, exact cosine runs only within "
+    "clusters (n^2/k, bounded by max_cluster_size guard), transitive "
+    "closure via min-label components. Rows-only; subset-of-exact and "
+    "determinism pinned in tests/test_dedup.py. See "
+    "operators/semdedup.py.",
+)
+def dedup_semantic_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.semdedup import semantic_dedup_groups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_groups(emb, "vec_id", "embedding", threshold=0.45, n_clusters=8)

@@ -80,12 +80,15 @@ _PRIORITY = [
     "benchmark_contamination",    # train-vs-eval n-gram overlap (round 2)
     "token_shard_packing",        # bucketed token-budget pack (round 2)
     "boilerplate_ngrams",         # heavy-hitter shingle report (round 2)
+    "doc_repetition_by_source",   # Gopher repetition filter (round 2)
+    "source_mixture_plan",        # domain-mixture rebalance (round 2)
     "embedding_label_stats",
     "knn_cosine_brute",
     # fixed result shape this round — needs its driver row back
     "doc_length_quantiles_approx",
     # rows-only operator surfaces (weaker check, but must have a row)
     "dedup_minhash_pairs",
+    "dedup_semantic_groups",      # SemDeDup (round 2)
     "knn_lsh_ann",
     "ml_train_eval",
     "ml_feature_importance",
@@ -100,14 +103,11 @@ _PRIORITY = [
     "part_like_filter",           # LIKE disjunction
     "null_audit_orders",          # null predicates + isnan
     "distinct_customer_count",    # distinct count
-    "dedup_orders_keep_first",    # deterministic dedup
     "segment_pivot",              # pivot with declared values
     "topk_orders_per_customer",   # row_number window
     "custkey_overlap_setops",     # intersect/except
     "status_recode_operator",     # fold-left recode, batched withColumns
     "customers_without_orders",   # anti join
-    "customers_with_urgent_orders",  # semi join
-    "revenue_rollup",             # rollup
     "lineitem_metric_unpivot",    # unpivot/stack
     "string_date_parse",          # to_timestamp both patterns + ltrim
     "fillna_policy",              # const + computed fill
@@ -118,6 +118,9 @@ _PRIORITY = [
     "doc_quality_by_source",      # quality scoring
     "lang_id_confusion",          # language-ID
     # past-window: family near-duplicates (in-window coverage noted)
+    "dedup_orders_keep_first",    # deterministic dedup
+    "customers_with_urgent_orders",  # semi join
+    "revenue_rollup",             # rollup
     "distinct_status_priority",   # distinct values
     "top100_orders",              # TakeOrderedAndProject
     "priority_union",             # union + inequality filter

@@ -429,3 +429,38 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), F.asc("shingle"))
         .limit(20)
     )
+
+
+@register(
+    "doc_repetition_by_source",
+    sql=f"""
+    WITH scored AS (
+        SELECT source,
+               CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
+                   1.0 - len(list_distinct(list_transform(
+                             generate_series(1, len(string_split(lower(text), ' ')) - 2),
+                             i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))))
+                         / CAST(len(string_split(lower(text), ' ')) - 2 AS DOUBLE)
+               ELSE 0.0 END AS rep
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {sql_dmean('rep', 4)} AS avg_repetition,
+           CAST(sum(CASE WHEN rep > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS high_rep_docs
+    FROM scored GROUP BY 1
+    """,
+    doc="Gopher-style intra-doc repetition filter (Rae et al. 2021 "
+    "A1.1): fraction of 3-gram occurrences that repeat, rolled up per "
+    "source with a >0.1 flag count. Pure expression + one grouped agg.",
+)
+def doc_repetition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import repetition_ratio
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    rep = d.select("source", repetition_ratio(F.col("text"), 3).alias("rep"))
+    return rep.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        dmean(F.col("rep"), 4).alias("avg_repetition"),
+        F.sum(F.when(F.col("rep") > 0.1, 1).otherwise(0)).cast("bigint").alias("high_rep_docs"),
+    )

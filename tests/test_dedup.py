@@ -177,3 +177,46 @@ def test_winnow_pairs_plan_has_no_inlined_generate_filter(spark, sf_oracle):
             assert "aggregate(" not in line, (
                 "fingerprint expression inlined into a pushed-down filter:\n" + line
             )
+
+
+def test_semantic_dedup_pairs_subset_of_exact_and_deterministic(spark, sf_oracle):
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.dedup import embedding_cosine_pairs
+    from big_data_tools_spark.operators.semdedup import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45).collect()
+    }
+    sem = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            emb, "vec_id", "embedding", threshold=0.45, n_clusters=8
+        ).collect()
+    }
+    # candidates are scored with the same exact cosine, so semdedup can
+    # only MISS cross-cluster pairs, never invent one
+    assert sem <= exact
+    assert len(sem) > 0
+    # seeded fit + exact scoring -> identical output on rerun
+    sem2 = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            emb, "vec_id", "embedding", threshold=0.45, n_clusters=8
+        ).collect()
+    }
+    assert sem == sem2
+
+
+def test_semantic_dedup_cluster_size_guard_trips(spark, sf_oracle):
+    import pytest
+
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.semdedup import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        semantic_dedup_pairs(
+            emb, "vec_id", "embedding", n_clusters=2, max_cluster_size=10
+        )

@@ -324,3 +324,38 @@ def test_ngram_contamination_df_cap_drops_boilerplate(spark):
     # the only shared 5-gram appears in 4 train docs; cap at 3 kills it
     assert ngram_contamination(train, test, n=5, max_doc_freq=3).count() == 0
     assert ngram_contamination(train, test, n=5, max_doc_freq=None).count() == 4
+
+
+def test_repetition_ratio_expression(spark):
+    from big_data_tools_spark.operators.text import repetition_ratio
+
+    rows = [
+        (1, "a b c a b c a b c"),   # 7 3-grams, 3 distinct -> 4/7
+        (2, "w x y z"),             # 2 distinct 3-grams -> 0.0
+        (3, "too short"),           # < 3 tokens -> 0.0
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {r["i"]: r["rep"] for r in df.select("i", repetition_ratio(F.col("t")).alias("rep")).collect()}
+    assert abs(got[1] - 4 / 7) < 1e-12
+    assert got[2] == 0.0 and got[3] == 0.0
+
+
+def test_mixture_rebalance_plan_properties(spark, sf_oracle):
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.sampling import mixture_rebalance_plan
+
+    d = load_table(spark, sf_oracle, "documents")
+    targets = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    plan = {r["source"]: r for r in mixture_rebalance_plan(d, "source", targets).collect()}
+    # no upsampling, zero for untargeted strata
+    for s, r in plan.items():
+        assert 0.0 <= r["keep_frac"] <= 1.0
+        if s not in targets:
+            assert r["keep_frac"] == 0.0
+    # at least one stratum is the binding constraint (kept fully)
+    assert any(abs(plan[s]["keep_frac"] - 1.0) < 1e-9 for s in targets)
+    # realized mixture matches the target shares
+    total = sum(plan[s]["n_rows"] * plan[s]["keep_frac"] for s in targets)
+    for s, t in targets.items():
+        share = plan[s]["n_rows"] * plan[s]["keep_frac"] / total
+        assert abs(share - t) < 1e-9, (s, share, t)
