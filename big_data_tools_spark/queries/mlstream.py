@@ -188,3 +188,30 @@ def yelp_basetable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # deterministic column order for the driver's schema check
     return bt.select(*sorted(bt.columns))
+
+
+@register(
+    "streaming_segment_revenue",
+    sql=None,  # runs through the streaming engine, not a SQL query
+    doc="Stream-static enrichment (§2.10): streaming events joined to "
+    "the static customer dim (broadcast, stateless per micro-batch) "
+    "then watermarked hourly count/value per market segment. "
+    "Rows-only driver check; stream==batch equivalence asserted in "
+    "tests/test_streaming.py. See streaming/enrich.py.",
+)
+def streaming_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.sources import load_table
+    from ..streaming.enrich import segment_value_hourly
+    from ..streaming.events import EVENTS_STREAM_SCHEMA, run_available_now
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    customers = load_table(spark, sf_dir, "customer")
+    return run_available_now(
+        segment_value_hourly(stream, customers), "bdt_stream_segment"
+    )

@@ -100,3 +100,21 @@ def test_streaming_dedup_within_watermark(spark, tmp_path, sf_smoke):
     )
     assert out.count() == 500
     assert out.select("event_id").distinct().count() == 500
+
+
+def test_stream_static_enrich_equals_batch(spark, events_dir, sf_smoke):
+    """Stream-static broadcast enrichment drains to exactly the batch
+    join's result; unmatched users roll up under UNKNOWN."""
+    from big_data_tools_spark.streaming.enrich import segment_value_hourly
+
+    customers = load_table(spark, sf_smoke, "customer")
+    stream = read_events_stream(spark, events_dir)
+    result = run_available_now(
+        segment_value_hourly(stream, customers), "enrich_test"
+    )
+    batch = segment_value_hourly(load_table(spark, sf_smoke, "events"), customers)
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
+    assert {r[1] for r in got} - {"UNKNOWN"}  # real segments present
