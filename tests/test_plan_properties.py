@@ -102,3 +102,38 @@ def test_multires_rollup_scans_events_once(spark, sf_smoke):
     # resolution: one Scan parquet node + Expand feeding one agg pair
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Expand" in plan
+
+
+def test_contamination_train_side_joins_are_broadcast(spark, sf_smoke):
+    """The 100 TB contract: every join the train index participates in
+    builds on a broadcast side — no sort-merge shuffle of the corpus."""
+    from big_data_tools_spark.operators.cache import release_caches
+
+    df = get("benchmark_contamination").fn(spark, sf_smoke)
+    plan = _txt(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    release_caches(df)
+
+
+def test_shard_packing_window_is_partitioned(spark, sf_smoke):
+    """The pack windows must hash-partition by bucket; a global
+    running sum would plan Exchange SinglePartition (one task)."""
+    df = get("token_shard_packing").fn(spark, sf_smoke)
+    plan = _txt(df)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(bucket" in plan, plan
+
+
+def test_boilerplate_ngrams_plans_take_ordered(spark, sf_smoke):
+    """Top-k must not materialize a global sort."""
+    df = get("boilerplate_ngrams").fn(spark, sf_smoke)
+    assert "TakeOrderedAndProject" in _txt(df)
+
+
+def test_repetition_rollup_single_shuffle_after_fanout(spark, sf_smoke):
+    # pure-expression scoring + partial/final agg: the only exchanges
+    # are the fan_out input spread and the group-key shuffle
+    df = get("doc_repetition_by_source").fn(spark, sf_smoke)
+    assert count_exchanges(df) <= 2
