@@ -37,11 +37,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Parquet TIMESTAMP(isAdjustedToUTC=false) would otherwise infer as
+        # TIMESTAMP_NTZ (Spark >=3.4 default), which cannot be epoch-cast and
+        # whose downstream date_trunc/window semantics depend on nothing we
+        # can pin. Reading it as LTZ treats the stored int64 micros as UTC
+        # instants — session-timezone-independent, and exactly how DuckDB's
+        # epoch() sees the same file.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
             # integer div, NOT /1000+cast: nano epochs (~1.7e18) exceed
             # double's 2^53 mantissa, so float division rounds the µs
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            # fallback if the conf is ignored; correct under UTC session tz
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

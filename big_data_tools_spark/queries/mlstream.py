@@ -100,18 +100,12 @@ def ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import (
-        EVENTS_STREAM_SCHEMA,
         hourly_event_counts,
+        read_events_stream,
         run_available_now,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = read_events_stream(spark, sf_dir, path_glob="events.parquet")
     return run_available_now(hourly_event_counts(stream), "bdt_stream_hourly")
 
 
@@ -125,16 +119,10 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "twin is asserted in tests/test_streaming.py.",
 )
 def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.events import EVENTS_STREAM_SCHEMA, run_available_now
+    from ..streaming.events import read_events_stream, run_available_now
     from ..streaming.sessions import sessionize_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = read_events_stream(spark, sf_dir, path_glob="events.parquet")
     return run_available_now(
         sessionize_stream(stream), "bdt_stream_sessions", output_mode="append"
     )
@@ -151,18 +139,12 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import (
-        EVENTS_STREAM_SCHEMA,
         dedup_events_stream,
+        read_events_stream,
         run_available_now,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = read_events_stream(spark, sf_dir, path_glob="events.parquet")
     return run_available_now(
         dedup_events_stream(stream), "bdt_stream_dedup_q", output_mode="append"
     )
@@ -202,15 +184,9 @@ def yelp_basetable(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io.sources import load_table
     from ..streaming.enrich import segment_value_hourly
-    from ..streaming.events import EVENTS_STREAM_SCHEMA, run_available_now
+    from ..streaming.events import read_events_stream, run_available_now
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = read_events_stream(spark, sf_dir, path_glob="events.parquet")
     customers = load_table(spark, sf_dir, "customer")
     return run_available_now(
         segment_value_hourly(stream, customers), "bdt_stream_segment"

@@ -19,27 +19,54 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet stores ts as TIMESTAMP(NANOS); with the legacy conf we
-# read it as long nanos and convert in-plan (same policy as io.sources).
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# events.parquet has shipped ts as TIMESTAMP(NANOS) (reads as long with
+# the legacy conf) and as TIMESTAMP(MICROS, isAdjustedToUTC=false); both
+# normalize to an LTZ TIMESTAMP of the same UTC instant (io.sources
+# policy). readStream needs an explicit schema, so probe the footer via
+# a batch read (lazy — schema only, no data scan) and pick the variant.
 
 
-def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """Streaming source over a directory of events parquet files."""
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+EVENTS_STREAM_SCHEMA = _events_stream_schema(T.TimestampType())
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, path_glob: str | None = None
+) -> DataFrame:
+    """Streaming source over a directory of events parquet files.
+
+    ``path_glob`` narrows the directory listing (e.g.
+    ``"events.parquet"`` when streaming straight off an sf_dir that
+    also holds the other tables).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(source_dir)
-    # integer div (see io.sources): double division rounds the µs for
-    # nano epochs beyond 2^53
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    batch = spark.read
+    if path_glob:
+        batch = batch.option("pathGlobFilter", path_glob)
+    probe = dict(batch.parquet(source_dir).dtypes).get("ts")
+    ts_type = T.LongType() if probe == "bigint" else T.TimestampType()
+    reader = spark.readStream.schema(_events_stream_schema(ts_type))
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    raw = reader.parquet(source_dir)
+    if probe == "bigint":  # TIMESTAMP(NANOS) under the legacy conf
+        # integer div (see io.sources): double division rounds the µs
+        # for nano epochs beyond 2^53
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def hourly_event_counts(
