@@ -58,6 +58,10 @@ HEADLINE = [
     "pretraining_corpus_pipeline",
     "benchmark_contamination",
     "dedup_semantic_groups",
+    # round-2b: SCD-2 merge (full-outer + explode) and the Q21 window
+    # rewrite (widest single-shuffle window plan)
+    "customer_scd2_merge",
+    "waiting_supplier_lines",
 ]
 
 

@@ -20,5 +20,6 @@ from . import scale  # noqa: E402,F401
 from . import temporal  # noqa: E402,F401
 from . import tpch_classic  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
+from . import dimensions  # noqa: E402,F401
 
 __all__ = ["QuerySpec", "all_queries", "get", "ordered_queries", "register"]

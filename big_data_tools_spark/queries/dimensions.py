@@ -1,0 +1,103 @@
+"""Dimension-maintenance queries: SCD-2 history merge.
+
+The reference joins point-in-time dimension snapshots into its
+basetable (``Databricks Notebook.py:620-642``); production refreshes of
+that pipeline need the type-2 merge implemented in
+:mod:`big_data_tools_spark.operators.scd2`. The demonstration derives a
+deterministic update batch from the orders table so the oracle can
+replay the exact same merge in SQL: customers at or above the order
+count threshold move to segment 'VIP', everyone else's update row is
+attribute-identical — exercising both the changed (close + new
+version) and the updated-but-unchanged (carried) merge paths on real
+rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from .registry import register
+
+_SNAP_DATE = "2020-01-01"
+_EFF_DATE = "2020-06-01"
+_VIP_ORDERS = 15
+
+
+@register(
+    "customer_scd2_merge",
+    sql=f"""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               DATE '{_SNAP_DATE}' AS valid_from
+        FROM customer
+    ), upd AS (
+        SELECT c.c_custkey,
+               CASE WHEN count(o.o_orderkey) >= {_VIP_ORDERS}
+                    THEN 'VIP' ELSE c.c_mktsegment END AS c_mktsegment,
+               c.c_acctbal
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment, c.c_acctbal
+    ), changed AS (
+        SELECT d.c_custkey
+        FROM dim d JOIN upd u ON d.c_custkey = u.c_custkey
+        WHERE d.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+           OR d.c_acctbal IS DISTINCT FROM u.c_acctbal
+    )
+    SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal, d.valid_from,
+           CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+    FROM dim d WHERE d.c_custkey NOT IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal, d.valid_from,
+           DATE '{_EFF_DATE}' AS valid_to, FALSE AS is_current
+    FROM dim d WHERE d.c_custkey IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+           DATE '{_EFF_DATE}' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+    FROM upd u WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+    """,
+    doc="SCD type-2 dimension merge (operators/scd2.py): customer "
+    "snapshot vs a deterministic update batch (segment moves to 'VIP' "
+    "at >=15 orders; other update rows are attribute-identical, so "
+    "both the changed and carried merge paths fire on real rows). One "
+    "full-outer shuffle on the business key, null-safe change "
+    "detection, 0/1/2 output rows per key emitted via array+explode in "
+    "one projection — no triple scan of the join. Grain invariant "
+    "(<=1 current row per key) asserted in tests/test_operators.py.",
+)
+def customer_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit(_SNAP_DATE).cast("date").alias("valid_from"),
+    )
+    upd = (
+        orders.join(
+            cust.select("c_custkey", "c_mktsegment", "c_acctbal"),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_custkey", "c_mktsegment", "c_acctbal")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .select(
+            "c_custkey",
+            F.when(F.col("n_orders") >= _VIP_ORDERS, F.lit("VIP"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            "c_acctbal",
+        )
+    )
+    return scd2_apply(
+        dim,
+        upd,
+        key="c_custkey",
+        attrs=("c_mktsegment", "c_acctbal"),
+        eff_date=_EFF_DATE,
+    )

@@ -151,6 +151,26 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_attribution",
+    sql=None,  # runs through the streaming engine, not a SQL query
+    doc="Stream-stream interval join (§2.10): purchases and clicks "
+    "from the same event stream, inner-joined on user with the click "
+    "in the hour before the purchase. Watermarks on both sides plus "
+    "the interval condition bound both state buffers (see "
+    "streaming/joins.py). Rows-only driver check; stream==batch "
+    "equivalence asserted in tests/test_streaming.py.",
+)
+def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import read_events_stream, run_available_now
+    from ..streaming.joins import purchase_click_pairs
+
+    stream = read_events_stream(spark, sf_dir, path_glob="events.parquet")
+    return run_available_now(
+        purchase_click_pairs(stream), "bdt_stream_attrib", output_mode="append"
+    )
+
+
+@register(
     "yelp_basetable",
     sql=None,  # inputs are in-memory Yelp-shaped fixtures, not sf_dir tables
     doc="The reference's END-TO-END pipeline (Databricks Notebook.py "

@@ -82,6 +82,8 @@ _PRIORITY = [
     "boilerplate_ngrams",         # heavy-hitter shingle report (round 2)
     "doc_repetition_by_source",   # Gopher repetition filter (round 2)
     "source_mixture_plan",        # domain-mixture rebalance (round 2)
+    "customer_scd2_merge",        # SCD-2 dimension merge (round 2)
+    "waiting_supplier_lines",     # Q21 shape: 1-shuffle window rewrite (round 2)
     "embedding_label_stats",
     "knn_cosine_brute",
     # fixed result shape this round — needs its driver row back
@@ -94,17 +96,19 @@ _PRIORITY = [
     "ml_feature_importance",
     "streaming_hourly_counts",
     "streaming_sessions",
+    "streaming_attribution",      # stream-stream interval join (round 2)
     "yelp_basetable",
-    # one representative per remaining §2 family (all green in round 1)
+    # one representative per remaining §2 family (all green in round 1).
+    # Conditional-count agg rides order_rollup_flagship (A1), two-level
+    # aggregation rides waiting_supplier_lines, rank windows ride
+    # customer_spend_deciles locally — their dedicated demos moved past
+    # the window to make room for the round-2 shapes above.
     "order_rollup_flagship",      # star join + distributed scalar + datediff
-    "pricing_summary",            # grouped multi-agg + conditional counts
     "regional_revenue",           # broadcast dim joins
-    "nation_customer_value",      # two-level aggregation
     "part_like_filter",           # LIKE disjunction
     "null_audit_orders",          # null predicates + isnan
     "distinct_customer_count",    # distinct count
     "segment_pivot",              # pivot with declared values
-    "topk_orders_per_customer",   # row_number window
     "custkey_overlap_setops",     # intersect/except
     "status_recode_operator",     # fold-left recode, batched withColumns
     "customers_without_orders",   # anti join
@@ -118,6 +122,9 @@ _PRIORITY = [
     "doc_quality_by_source",      # quality scoring
     "lang_id_confusion",          # language-ID
     # past-window: family near-duplicates (in-window coverage noted)
+    "pricing_summary",            # grouped multi-agg + conditional counts
+    "nation_customer_value",      # two-level aggregation
+    "topk_orders_per_customer",   # row_number window
     "dedup_orders_keep_first",    # deterministic dedup
     "customers_with_urgent_orders",  # semi join
     "revenue_rollup",             # rollup

@@ -311,3 +311,164 @@ def nation_trade_balance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer", "lineitem", "supplier", "nation"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_TRADE_BALANCE_SQL)
+
+
+_Q19_TIERS = [
+    ("Brand#12", 1, 15, 1, 15),
+    ("Brand#23", 1, 25, 10, 30),
+    ("Brand#3", 10, 40, 20, 45),
+]
+
+
+def _q19_sql_pred() -> str:
+    ors = [
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {s0} AND {s1}"
+        f" AND l.l_quantity BETWEEN {q0} AND {q1})"
+        for b, s0, s1, q0, q1 in _Q19_TIERS
+    ]
+    return " OR ".join(ors)
+
+
+@register(
+    "promo_revenue_multibrand",
+    sql=f"""
+    SELECT {sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {_q19_sql_pred()}
+    """,
+    doc="TPC-H Q19 shape: disjunction of per-brand (size-range x "
+    "quantity-range) tiers. The part side is pre-filtered to the three "
+    "brands and broadcast, so the OR-of-ANDs runs as a residual "
+    "predicate on broadcast-hash join probes — no shuffle of lineitem "
+    "at any scale; only the brand membership (a single IN) prunes the "
+    "dim before the join. The quantity half of each tier stays on the "
+    "fact side where the parquet reader can min/max-skip row groups.",
+)
+def promo_revenue_multibrand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    brands = [t[0] for t in _Q19_TIERS]
+    dim = part.filter(F.col("p_brand").isin(brands)).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    tier = None
+    for b, s0, s1, q0, q1 in _Q19_TIERS:
+        c = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(s0, s1)
+            & F.col("l_quantity").between(q0, q1)
+        )
+        tier = c if tier is None else (tier | c)
+    joined = lineitem.join(
+        F.broadcast(dim), lineitem.l_partkey == dim.p_partkey
+    ).filter(tier)
+    return joined.agg(
+        dsum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q4_LATE_DAYS = 30
+
+
+@register(
+    "late_ship_priority_counts",
+    sql=f"""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q4_LATE_DAYS} DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: orders with at least one line shipped more "
+    "than 30 days after the order date, counted per priority. The "
+    "correlated EXISTS runs as a LEFT SEMI hash join on o_orderkey "
+    "with the date comparison as the residual condition — the semi "
+    "join dedups matches inside the join operator, so no distinct is "
+    "needed and each order flows through at most once regardless of "
+    "how many late lines it has.",
+)
+def late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    cond = (orders.o_orderkey == lineitem.l_orderkey) & (
+        lineitem.l_shipdate
+        > orders.o_orderdate + F.expr(f"INTERVAL {_Q4_LATE_DAYS} DAYS")
+    )
+    late = orders.join(lineitem, cond, "left_semi")
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "waiting_supplier_lines",
+    sql="""
+    WITH per_supp AS (
+        SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+        FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ), windowed AS (
+        SELECT l_orderkey, l_suppkey, smax,
+               max(smax) OVER (PARTITION BY l_orderkey) AS gmax,
+               count(*) OVER (PARTITION BY l_orderkey) AS n_supp
+        FROM per_supp
+    ), ranked AS (
+        SELECT *,
+               sum(CASE WHEN smax = gmax THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY l_orderkey) AS n_at_max
+        FROM windowed
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM ranked r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.smax = r.gmax AND r.n_at_max = 1 AND r.n_supp > 1
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    doc="TPC-H Q21 shape: on multi-supplier orders, the supplier whose "
+    "lines shipped strictly last (sole latecomer). The classic "
+    "EXISTS + NOT EXISTS double self-join on the fact table is "
+    "rewritten as ONE grouped aggregate to (order, supplier) grain "
+    "plus window functions over the order — the fact table shuffles "
+    "once on l_orderkey instead of three times, and the 'strictly "
+    "later than every other supplier' condition becomes unique-max "
+    "arithmetic (n_at_max = 1) instead of an anti join.",
+)
+def waiting_supplier_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    per_supp = lineitem.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("smax")
+    )
+    w = Window.partitionBy("l_orderkey")
+    ranked = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "smax",
+        F.max("smax").over(w).alias("gmax"),
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+    ).withColumn(
+        "n_at_max",
+        F.sum(F.when(F.col("smax") == F.col("gmax"), 1).otherwise(0)).over(w),
+    )
+    sole_late = ranked.filter(
+        (F.col("smax") == F.col("gmax"))
+        & (F.col("n_at_max") == 1)
+        & (F.col("n_supp") > 1)
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            sole_late.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

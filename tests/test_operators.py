@@ -359,3 +359,48 @@ def test_mixture_rebalance_plan_properties(spark, sf_oracle):
     for s, t in targets.items():
         share = plan[s]["n_rows"] * plan[s]["keep_frac"] / total
         assert abs(share - t) < 1e-9, (s, share, t)
+
+
+# ---------------------------------------------------------------------- scd2
+def test_scd2_apply_three_paths_and_grain(spark):
+    from big_data_tools_spark.operators.scd2 import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, "A", 10.0, "2020-01-01"),  # changed attr
+            (2, "B", 20.0, "2020-01-01"),  # update row identical -> carried
+            (3, None, 30.0, "2020-01-01"),  # NULL -> value change (null-safe)
+            (4, "D", 40.0, "2020-01-01"),  # absent from updates -> carried
+        ],
+        "k int, seg string, bal double, valid_from string",
+    ).withColumn("valid_from", F.col("valid_from").cast("date"))
+    upd = spark.createDataFrame(
+        [
+            (1, "A2", 10.0),
+            (2, "B", 20.0),
+            (3, "C", 30.0),
+            (5, "E", 50.0),  # brand-new key -> inserted
+        ],
+        "k int, seg string, bal double",
+    )
+    out = scd2_apply(dim, upd, key="k", attrs=("seg", "bal"), eff_date="2020-06-01")
+    rows = {(r.k, r.seg, r.is_current): r for r in out.collect()}
+
+    # changed keys: closed old version + new current version
+    for k, old_seg, new_seg in [(1, "A", "A2"), (3, None, "C")]:
+        closed, new = rows[(k, old_seg, False)], rows[(k, new_seg, True)]
+        assert str(closed.valid_to) == "2020-06-01" and str(new.valid_from) == "2020-06-01"
+        assert new.valid_to is None
+    # carried keys: single open row, original valid_from
+    for k, seg in [(2, "B"), (4, "D")]:
+        r = rows[(k, seg, True)]
+        assert str(r.valid_from) == "2020-01-01" and r.valid_to is None
+    # inserted key
+    r = rows[(5, "E", True)]
+    assert str(r.valid_from) == "2020-06-01" and r.valid_to is None
+
+    # keys 1,3 emit 2 rows each (closed + new); 2,4,5 emit 1 -> 7 rows
+    assert out.count() == 7
+    # grain invariant: at most one current row per key
+    cur = out.filter("is_current").groupBy("k").count().filter("count > 1")
+    assert cur.count() == 0

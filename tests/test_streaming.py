@@ -118,3 +118,19 @@ def test_stream_static_enrich_equals_batch(spark, events_dir, sf_smoke):
     assert got == want
     assert len(got) > 0
     assert {r[1] for r in got} - {"UNKNOWN"}  # real segments present
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir, sf_smoke):
+    """Stream-stream interval join (purchase<-click attribution) drains
+    to exactly the batch self-join's pairs."""
+    from big_data_tools_spark.streaming.joins import purchase_click_pairs
+
+    stream = read_events_stream(spark, events_dir)
+    result = run_available_now(
+        purchase_click_pairs(stream), "attrib_test", output_mode="append"
+    )
+    batch = purchase_click_pairs(load_table(spark, sf_smoke, "events"))
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
