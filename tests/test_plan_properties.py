@@ -137,3 +137,42 @@ def test_repetition_rollup_single_shuffle_after_fanout(spark, sf_smoke):
     # are the fan_out input spread and the group-key shuffle
     df = get("doc_repetition_by_source").fn(spark, sf_smoke)
     assert count_exchanges(df) <= 2
+
+
+def test_scd2_merge_bounded_shuffles(spark, sf_smoke):
+    """SCD-2 merge: update-batch agg + one full-outer join — no extra
+    exchanges from the array+explode row emission."""
+    df = get("customer_scd2_merge").fn(spark, sf_smoke)
+    assert count_exchanges(df) <= 3
+    plan = _txt(df)
+    assert "Generate" in plan  # explode emission, not a triple union scan
+    assert plan.count("FileScan") <= 3  # customer x2 (dim + upd) + orders
+
+
+def test_promo_revenue_broadcasts_pruned_dim(spark, sf_smoke):
+    """Q19 shape: part side broadcast after brand pruning; the
+    OR-of-ANDs reaches the lineitem scan as a pushed quantity filter."""
+    df = get("promo_revenue_multibrand").fn(spark, sf_smoke)
+    assert has_broadcast_hash_join(df)
+    assert count_exchanges(df) == 1  # only the final scalar agg
+    pushed = pushed_filters(df)
+    assert any("l_quantity" in p for p in pushed), pushed
+
+
+def test_late_ship_uses_semi_join(spark, sf_smoke):
+    """Q4 shape: the EXISTS must plan as LeftSemi (dedup inside the
+    join), never as inner join + distinct."""
+    plan = _txt(get("late_ship_priority_counts").fn(spark, sf_smoke))
+    assert "LeftSemi" in plan
+    assert "HashAggregate" in plan
+
+
+def test_waiting_supplier_partial_aggregates_before_window(spark, sf_smoke):
+    """Q21 shape: the fact table must reduce to (order, supplier) grain
+    BEFORE the order-partition window — the window never sees raw
+    lineitem rows, and the supplier dim rides a broadcast."""
+    plan = _txt(get("waiting_supplier_lines").fn(spark, sf_smoke))
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert 0 <= agg_pos < win_pos, (agg_pos, win_pos)
+    assert has_broadcast_hash_join(get("waiting_supplier_lines").fn(spark, sf_smoke))
