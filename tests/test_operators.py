@@ -404,3 +404,24 @@ def test_scd2_apply_three_paths_and_grain(spark):
     # grain invariant: at most one current row per key
     cur = out.filter("is_current").groupBy("k").count().filter("count > 1")
     assert cur.count() == 0
+
+
+def test_scd2_apply_idempotent(spark):
+    """Re-applying the same update batch to the merged dimension's
+    current rows closes nothing — merge is idempotent."""
+    from big_data_tools_spark.operators.scd2 import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "A", "2020-01-01"), (2, "B", "2020-01-01")],
+        "k int, seg string, valid_from string",
+    ).withColumn("valid_from", F.col("valid_from").cast("date"))
+    upd = spark.createDataFrame([(1, "A2"), (3, "C")], "k int, seg string")
+
+    once = scd2_apply(dim, upd, key="k", attrs=("seg",), eff_date="2020-06-01")
+    current = once.filter("is_current").select("k", "seg", "valid_from")
+    twice = scd2_apply(current, upd, key="k", attrs=("seg",), eff_date="2020-07-01")
+
+    assert twice.filter("NOT is_current").count() == 0  # nothing closes
+    a = {tuple(r) for r in current.collect()}
+    b = {tuple(r) for r in twice.select("k", "seg", "valid_from").collect()}
+    assert a == b
