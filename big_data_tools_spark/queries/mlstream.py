@@ -211,3 +211,57 @@ def streaming_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         segment_value_hourly(stream, customers), "bdt_stream_segment"
     )
+
+
+@register(
+    "ml_cv_select",
+    sql=None,  # CV metrics are not SQL-expressible
+    doc="Hyperparameter selection via 3-fold CrossValidator over the "
+    "LR regularization grid — explicitly the step the reference SKIPPED "
+    "for platform-speed reasons (Final Report p.3: 'Cross validation "
+    "or hyper parameter tuning could not be used'). Each fold/param "
+    "fit is an independent Spark job; parallelism=4 fits folds "
+    "concurrently. Returns one row per grid point with its mean AUC "
+    "plus the selected best. Rows-only driver check; selection "
+    "properties asserted in tests/test_ml_pipeline.py.",
+)
+def ml_cv_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    from ..ml.pipeline import SEED, featurize
+
+    train, _test, _ = featurize(
+        _orders_basetable(spark, sf_dir),
+        categorical_cols=("status",),
+        select_percentile=None,
+    )
+    lr = LogisticRegression(maxIter=10)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(lr.regParam, [0.001, 0.01, 0.1])
+        .build()
+    )
+    evaluator = BinaryClassificationEvaluator(metricName="areaUnderROC")
+    cv = CrossValidator(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=3,
+        seed=SEED,
+        parallelism=4,
+    )
+    model = cv.fit(train)
+    best_reg = model.bestModel.getRegParam()
+    rows = [
+        (
+            float(pm[lr.regParam]),
+            round(float(m), 6),
+            pm[lr.regParam] == best_reg,
+        )
+        for pm, m in zip(grid, model.avgMetrics)
+    ]
+    return spark.createDataFrame(
+        rows, "reg_param double, mean_auc double, selected boolean"
+    )

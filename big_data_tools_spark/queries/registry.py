@@ -84,6 +84,7 @@ _PRIORITY = [
     "source_mixture_plan",        # domain-mixture rebalance (round 2)
     "customer_scd2_merge",        # SCD-2 dimension merge (round 2)
     "waiting_supplier_lines",     # Q21 shape: 1-shuffle window rewrite (round 2)
+    "event_sessions_builtin",     # native session_window aggregation (round 2)
     "embedding_label_stats",
     "knn_cosine_brute",
     # fixed result shape this round — needs its driver row back
@@ -107,7 +108,6 @@ _PRIORITY = [
     "regional_revenue",           # broadcast dim joins
     "part_like_filter",           # LIKE disjunction
     "null_audit_orders",          # null predicates + isnan
-    "distinct_customer_count",    # distinct count
     "segment_pivot",              # pivot with declared values
     "custkey_overlap_setops",     # intersect/except
     "status_recode_operator",     # fold-left recode, batched withColumns
@@ -122,6 +122,7 @@ _PRIORITY = [
     "doc_quality_by_source",      # quality scoring
     "lang_id_confusion",          # language-ID
     # past-window: family near-duplicates (in-window coverage noted)
+    "distinct_customer_count",    # distinct count (rides setops row counts)
     "pricing_summary",            # grouped multi-agg + conditional counts
     "nation_customer_value",      # two-level aggregation
     "topk_orders_per_customer",   # row_number window

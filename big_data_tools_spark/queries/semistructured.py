@@ -178,3 +178,63 @@ def map_literal_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("n_true"))
     )
+
+
+@register(
+    "events_props_variant",
+    sql="""
+    SELECT event_type,
+           CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+               AS k_distinct
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured path via Spark 4's VARIANT type: parse_json "
+    "once into a binary variant, then typed variant_get extraction — "
+    "the open-format successor to from_json-with-declared-schema for "
+    "schema-drifting JSON (no schema declared, extraction stays "
+    "predicate-pushable and codegen'd). Same grouped rollup shape as "
+    "events_props_extract so the two semi-structured paths are "
+    "directly comparable.",
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.countDistinct("k").alias("k_distinct"),
+        )
+    )
+
+
+@register(
+    "synthetic_source_rollup",
+    sql=None,  # input comes from the Python DataSource, not a parquet table
+    doc="Custom Python DataSource (Spark 4 DataSource API, io/"
+    "pysource.py): a deterministic partitioned generator registered "
+    "per-session and read like any format — partition planning on the "
+    "driver, per-slice generation on executors. Rolled up per event "
+    "type. Rows-only driver check; exact deterministic content "
+    "asserted in tests/test_pysource.py.",
+)
+def synthetic_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.pysource import SyntheticEventsDataSource
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 20_000)
+        .option("partitions", 16)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "value_sum"
+        ),
+    )

@@ -236,3 +236,50 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum(F.col("value")).alias("value_sum"),
         F.grouping("hour").cast("int").alias("g_hour"),
     )
+
+
+@register(
+    "event_sessions_builtin",
+    sql="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessioned AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessioned GROUP BY user_id, sid
+    """,
+    doc="Sessionization via Spark's NATIVE session_window aggregation — "
+    "the built-in scale path beside the lag-window batch form "
+    "(event_sessions) and the custom stateful streaming operator "
+    "(streaming_sessions). One shuffle; dynamic-gap merging happens "
+    "inside the aggregation operator, and the same expression streams "
+    "with a watermark unchanged. Boundary semantics differ from the "
+    "lag form: a gap of EXACTLY the 30-min threshold starts a new "
+    "session here (window end is last-event + gap, exclusive), which "
+    "the oracle twin mirrors with >= in the lag test.",
+)
+def event_sessions_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

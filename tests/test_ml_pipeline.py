@@ -105,3 +105,17 @@ def test_feature_importance_query(spark, sf_smoke):
     names = {r["feature"] for r in rows}
     # real metadata names, not f<idx> fallbacks, for the numeric features
     assert {"n_orders", "sum_price", "avg_price"} <= names, names
+
+
+def test_cv_select_properties(spark, sf_oracle):
+    """3-fold CV grid: one row per grid point, exactly one selected,
+    and the selected row attains the maximum mean AUC."""
+    from big_data_tools_spark.queries import get
+
+    rows = get("ml_cv_select").fn(spark, sf_oracle).collect()
+    assert len(rows) == 3
+    assert sorted(r.reg_param for r in rows) == [0.001, 0.01, 0.1]
+    sel = [r for r in rows if r.selected]
+    assert len(sel) == 1
+    assert sel[0].mean_auc == max(r.mean_auc for r in rows)
+    assert all(0.0 <= r.mean_auc <= 1.0 for r in rows)
