@@ -74,14 +74,27 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Multimodal plumbing (§2.11): opaque binary media column + "
     "typed metadata struct -> Arrow-batched mapInPandas feature "
     "extraction (decode deterministically stubbed — media libs absent "
-    "by design). Rows-only driver check; schema/determinism asserted "
+    "by design). The feature vector stays internal; the registered "
+    "output projects per-item scalars (dim count, L2 norm, first "
+    "component) because the driver's canonicalizer cannot hash "
+    "array-valued cells (round-1 doc_length_quantiles_approx lesson). "
+    "Rows-only driver check; full-vector schema/determinism asserted "
     "in tests/test_multimodal.py.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_fake_media, extract_media_features
 
     docs = load_table(spark, sf_dir, "documents")
-    return extract_media_features(attach_fake_media(docs), feature_dim=8)
+    feats = extract_media_features(attach_fake_media(docs), feature_dim=8)
+    vec = F.col("feature")
+    return feats.select(
+        *[c for c in feats.columns if c != "feature"],
+        F.size(vec).alias("feature_dim"),
+        F.round(
+            F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("feature_norm"),
+        F.round(vec.getItem(0).cast("double"), 4).alias("feature_0"),
+    )
 
 
 @register(
