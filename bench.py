@@ -94,11 +94,16 @@ def main() -> None:
             release_caches(df)
             return n
 
-        for _ in range(3):
+        for _ in range(2):
             run()  # warm (JIT/codegen)
-        t0 = time.perf_counter()
-        n = run()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2 timed: one stray GC pause / co-tenant burst on a
+        # shared box otherwise lands in a single-shot number
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = run()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
