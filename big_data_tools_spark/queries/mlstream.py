@@ -265,3 +265,26 @@ def ml_cv_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "reg_param double, mean_auc double, selected boolean"
     )
+
+
+@register(
+    "streaming_upsert_rollup",
+    sql=None,  # runs through the streaming engine + foreachBatch sink
+    doc="foreachBatch upsert sink (§2.10): the stream maintains a "
+    "keyed parquet rollup table by dynamically overwriting only the "
+    "key partitions each micro-batch touches (update mode -> changed "
+    "keys only; idempotent under batch replay). Returns the maintained "
+    "table. Rows-only driver check; table==batch-agg equality and "
+    "replay idempotence asserted in tests/test_streaming.py.",
+)
+def streaming_upsert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.events import read_events_stream
+    from ..streaming.upsert import read_rollup, upsert_rollup_sink
+
+    out = tempfile.gettempdir() + "/bdt_upsert_rollup_q"
+    stream = read_events_stream(spark, sf_dir, path_glob="events.parquet")
+    q = upsert_rollup_sink(stream, out, query_name="bdt_upsert_rollup_q")
+    q.awaitTermination()
+    return read_rollup(spark, out)

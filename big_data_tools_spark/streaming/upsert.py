@@ -1,0 +1,79 @@
+"""Streaming upsert sink via foreachBatch (SURVEY.md §2.10 stretch).
+
+The production shape for "maintain a rollup table from a stream"
+without a transactional table format: each micro-batch's aggregated
+delta is MERGED into a keyed parquet table by overwriting only the key
+partitions the batch touched (dynamic partition overwrite). Properties
+that matter at scale:
+
+- **Idempotent re-delivery**: a replayed micro-batch recomputes the
+  same per-key totals from state and overwrites the same partitions —
+  the sink converges instead of double-counting. That is what makes
+  foreachBatch + overwrite safe under Structured Streaming's
+  at-least-once batch re-execution contract.
+- **Bounded writes**: only partitions present in the batch rewrite;
+  an idle key's files are never touched (dynamic, not static,
+  overwrite mode).
+- **No driver collect**: the merge is executor-side parquet IO; the
+  driver only coordinates the micro-batch.
+
+A real deployment would point this at Delta/Iceberg `MERGE INTO`; the
+parquet form keeps the repo dependency-free while exercising the same
+plan shape (keyed agg -> partitioned overwrite per batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def upsert_rollup_sink(
+    stream: DataFrame,
+    path: str,
+    key_col: str = "event_type",
+    watermark: str = "2 hours",
+    query_name: str = "bdt_upsert_rollup",
+):
+    """Start an availableNow foreachBatch query maintaining a per-key
+    rollup table at ``path``, partitioned by ``key_col``. Returns the
+    StreamingQuery; callers await termination then read the table."""
+    spark = stream.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_dec"),
+        )
+        .select(
+            key_col,
+            "n",
+            F.round(F.col("value_dec").cast("double"), 2).alias("value_sum"),
+        )
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # update-mode batches carry the new FULL totals of only the
+        # keys this batch changed: overwrite exactly those key
+        # partitions (idempotent on batch replay — same state, same
+        # partitions, same bytes)
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy(key_col)
+            .parquet(path)
+        )
+
+    return (
+        agg.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

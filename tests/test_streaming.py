@@ -134,3 +134,40 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir, sf_smoke):
     want = {tuple(r) for r in batch.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_foreachbatch_upsert_rollup(spark, events_dir, sf_smoke, tmp_path):
+    """foreachBatch upsert sink: the maintained rollup table equals the
+    batch aggregation, and re-draining the same input is idempotent."""
+    from big_data_tools_spark.streaming.upsert import read_rollup, upsert_rollup_sink
+
+    out = str(tmp_path / "rollup")
+
+    def drain():
+        stream = read_events_stream(spark, events_dir)
+        q = upsert_rollup_sink(stream, out)
+        q.awaitTermination()
+
+    drain()
+    got = {tuple(r) for r in read_rollup(spark, out).collect()}
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_smoke, "events")
+    want = {
+        tuple(r)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("value_sum"),
+        )
+        .select("n", "value_sum", "event_type")  # partition col reads last
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    drain()  # replay the same input: totals unchanged (idempotent)
+    again = {tuple(r) for r in read_rollup(spark, out).collect()}
+    assert again == got
