@@ -163,3 +163,34 @@ def documents_balanced_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return hash_topk_per_group(d, ["lang"], "doc_id", k=40)
+
+
+@register(
+    "observed_rollup_audit",
+    sql=None,  # Observation metrics ride accumulators, not a SQL result
+    doc="S5 modernized (operators/observe.py): the reference re-scans "
+    "its tables nine times for count probes (Databricks Notebook.py:39-"
+    "723); df.observe computes row counts / null counts / domain "
+    "checks as accumulators DURING the query's own action — zero extra "
+    "scans at any scale. Runs the flagship rollup once with an audit "
+    "attached and returns the metrics as rows. Rows-only driver check; "
+    "metric==direct-aggregation equality asserted in "
+    "tests/test_operators.py.",
+)
+def observed_rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.observe import with_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    observed, obs = with_audit(
+        orders,
+        metrics={
+            "n_urgent": F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)),
+            "max_price": F.round(F.max("o_totalprice"), 2),
+        },
+        null_cols=("o_custkey",),
+    )
+    # the one action everything rides on (any downstream query works;
+    # count keeps the demo free of result-shape noise)
+    observed.count()
+    rows = sorted((k, float(v)) for k, v in obs.get.items())
+    return spark.createDataFrame(rows, "metric string, value double")

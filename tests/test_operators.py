@@ -425,3 +425,23 @@ def test_scd2_apply_idempotent(spark):
     a = {tuple(r) for r in current.collect()}
     b = {tuple(r) for r in twice.select("k", "seg", "valid_from").collect()}
     assert a == b
+
+
+# -------------------------------------------------------------------- observe
+def test_with_audit_matches_direct_aggregation(spark, sf_oracle):
+    """Observed metrics equal a direct aggregation over the same frame
+    (and cost zero extra scans — they ride the action's accumulators)."""
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.observe import with_audit
+
+    orders = load_table(spark, sf_oracle, "orders")
+    observed, obs = with_audit(orders, null_cols=("o_custkey",))
+    n = observed.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    direct = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("nulls"),
+    ).first()
+    assert got["n_rows"] == direct["n"]
+    assert got["null_o_custkey"] == direct["nulls"]
