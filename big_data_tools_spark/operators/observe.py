@@ -12,6 +12,16 @@ the difference is nine wasted full-table passes.
 Constraint inherited from Spark: observed metrics must be aggregate
 expressions with no distinct/filter-clause forms; conditional counts
 ride ``count(when(...))`` exactly like A10/A11 audits.
+
+Spark 4.1.2 caveat (regression-pinned in tests/test_operators.py):
+the session's ObservationManager initializes lazily on the first
+``observe`` and is NOT serializable. Once initialized, any later task
+closure whose serialization graph reaches the SparkSession — notably
+an ML model carrying its training summary — throws
+NotSerializableException. When mixing observations and ML fits in one
+process, build the observed frame on a forked ``spark.newSession()``
+(shares the SparkContext; parent session stays clean), as
+``observed_rollup_audit`` does.
 """
 
 from __future__ import annotations

@@ -180,7 +180,13 @@ def documents_balanced_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def observed_rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.observe import with_audit
 
-    orders = load_table(spark, sf_dir, "orders")
+    # fork the session for the observed action: Spark 4.1.2's
+    # ObservationManager initializes lazily on first observe and is not
+    # serializable, which poisons LATER ml-model serialization on the
+    # same session (see operators/observe.py docstring). The fork
+    # shares the SparkContext; the caller's session stays clean.
+    obs_spark = spark.newSession()
+    orders = load_table(obs_spark, sf_dir, "orders")
     observed, obs = with_audit(
         orders,
         metrics={

@@ -434,7 +434,10 @@ def test_with_audit_matches_direct_aggregation(spark, sf_oracle):
     from big_data_tools_spark.io.sources import load_table
     from big_data_tools_spark.operators.observe import with_audit
 
-    orders = load_table(spark, sf_oracle, "orders")
+    # forked session: observe must not initialize the shared session's
+    # ObservationManager (see operators/observe.py Spark 4.1.2 caveat)
+    obs_spark = spark.newSession()
+    orders = load_table(obs_spark, sf_oracle, "orders")
     observed, obs = with_audit(orders, null_cols=("o_custkey",))
     n = observed.count()
     got = obs.get
@@ -445,3 +448,16 @@ def test_with_audit_matches_direct_aggregation(spark, sf_oracle):
     ).first()
     assert got["n_rows"] == direct["n"]
     assert got["null_o_custkey"] == direct["nulls"]
+
+
+def test_ml_eval_healthy_after_observed_query(spark, sf_smoke):
+    """Regression: running the observed-audit query must not poison
+    later ML model evaluation on the caller's session (Spark 4.1.2's
+    lazily-initialized ObservationManager is not serializable)."""
+    from big_data_tools_spark.queries import get
+
+    get("observed_rollup_audit").fn(spark, sf_smoke).count()
+    # model.transform + evaluator serialize a summary-bearing model;
+    # this throws NotSerializableException if the session was poisoned
+    metrics = {r.metric: r.value for r in get("ml_train_eval").fn(spark, sf_smoke).collect()}
+    assert "test_auc" in metrics
