@@ -153,3 +153,94 @@ def test_compact_cluster_by_gives_disjoint_ranges(spark, sf_smoke, tmp_path_fact
     ordered = sorted(((r["lo"], r["hi"]) for r in spans))
     for (lo1, hi1), (lo2, hi2) in zip(ordered, ordered[1:]):
         assert hi1 <= lo2, f"overlapping ranges ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_zorder_files_narrow_on_both_dims(spark, sf_oracle, tmp_path):
+    """Z-order clustering: every written file carries a narrow min/max
+    span on BOTH interleaved columns, where a linear sort leaves the
+    second column's span at ~100% (no skipping possible)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.zorder import with_zorder_key
+
+    li = load_table(spark, sf_oracle, "lineitem").select("l_partkey", "l_suppkey")
+    gspan = li.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("p"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("s"),
+    ).first()
+
+    def file_spans(path):
+        spans = []
+        for f in (p for p in __import__("pathlib").Path(path).rglob("*.parquet")):
+            md = pq.read_metadata(str(f))
+            mins = {c: None for c in ("l_partkey", "l_suppkey")}
+            maxs = {c: None for c in ("l_partkey", "l_suppkey")}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        st = col.statistics
+                        mins[name] = st.min if mins[name] is None else min(mins[name], st.min)
+                        maxs[name] = st.max if maxs[name] is None else max(maxs[name], st.max)
+            spans.append(
+                (
+                    (maxs["l_partkey"] - mins["l_partkey"]) / gspan["p"],
+                    (maxs["l_suppkey"] - mins["l_suppkey"]) / gspan["s"],
+                )
+            )
+        return spans
+
+    # z-order into 8 files
+    zpath = str(tmp_path / "zordered")
+    keyed = with_zorder_key(li, ["l_partkey", "l_suppkey"])
+    (
+        keyed.repartitionByRange(8, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(zpath)
+    )
+    zspans = file_spans(zpath)
+    assert len(zspans) == 8
+
+    # linear sort on partkey only, same file count
+    lpath = str(tmp_path / "linear")
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    lspans = file_spans(lpath)
+
+    zp = sum(s[0] for s in zspans) / len(zspans)
+    zs = sum(s[1] for s in zspans) / len(zspans)
+    lp = sum(s[0] for s in lspans) / len(lspans)
+    ls = sum(s[1] for s in lspans) / len(lspans)
+    # z-order: BOTH dims narrow (8 files ~ 2-3 curve splits per dim)
+    assert zp < 0.7 and zs < 0.7, (zp, zs)
+    # linear: first dim very narrow, second dim unskippable (~full span)
+    assert lp < 0.3 and ls > 0.9, (lp, ls)
+    # the multi-dim win: product of spans (2-D skip selectivity)
+    assert zp * zs < 0.5 * (lp * ls + 1e-9) or zs < 0.7 < ls
+
+
+def test_zorder_compact_preserves_rows(spark, sf_smoke, tmp_path):
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.zorder import zorder_compact
+
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    out = zorder_compact(li, ["l_partkey", "l_suppkey"])
+    assert out.columns == li.columns  # helper key dropped
+    p = str(tmp_path / "zc")
+    out.write.mode("overwrite").parquet(p)
+    back = spark.read.parquet(p)
+    assert back.count() == li.count()
+    a = {tuple(r) for r in back.collect()}
+    b = {tuple(r) for r in li.collect()}
+    assert a == b
