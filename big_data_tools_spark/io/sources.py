@@ -111,3 +111,19 @@ def read_csv(
     else:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """XML source (Spark 4 native, no external package): one row per
+    ``row_tag`` element. Same explicit-schema policy as JSON/CSV —
+    inference costs a full extra scan at scale; nested elements
+    surface as structs/arrays exactly like JSON's."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

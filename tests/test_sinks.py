@@ -244,3 +244,32 @@ def test_zorder_compact_preserves_rows(spark, sf_smoke, tmp_path):
     a = {tuple(r) for r in back.collect()}
     b = {tuple(r) for r in li.collect()}
     assert a == b
+
+
+def test_read_xml_native_source(spark, tmp_path):
+    """Spark 4 native XML source through the engine's reader policy:
+    inferred and explicit-schema reads agree."""
+    from pyspark.sql import types as T
+
+    from big_data_tools_spark.io.sources import read_xml
+
+    p = str(tmp_path / "orders.xml")
+    with open(p, "w") as f:
+        f.write(
+            "<orders>"
+            "<order><id>1</id><status>O</status><total>100.5</total></order>"
+            "<order><id>2</id><status>F</status><total>7.25</total></order>"
+            "</orders>"
+        )
+    inferred = read_xml(spark, p, row_tag="order")
+    assert inferred.count() == 2
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    explicit = read_xml(spark, p, row_tag="order", schema=schema)
+    rows = {tuple(r) for r in explicit.collect()}
+    assert rows == {(1, "O", 100.5), (2, "F", 7.25)}
