@@ -36,15 +36,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Parquet TIMESTAMP(isAdjustedToUTC=false) would otherwise infer as
         # TIMESTAMP_NTZ (Spark >=3.4 default), which cannot be epoch-cast and
         # whose downstream date_trunc/window semantics depend on nothing we
         # can pin. Reading it as LTZ treats the stored int64 micros as UTC
         # instants — session-timezone-independent, and exactly how DuckDB's
-        # epoch() sees the same file.
+        # epoch() sees the same file. The NTZ-inference conf is SCOPED
+        # to this read (schema inference happens eagerly at reader
+        # creation) and restored, so other tables' timestamp dtype
+        # never depends on whether events loaded earlier in the
+        # session. nanosAsLong stays sticky — it is consulted at
+        # EXECUTION for TIMESTAMP(NANOS) files, so restoring it would
+        # break later actions on a nanos-format events frame.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        prev_ntz = spark.conf.get(
+            "spark.sql.parquet.inferTimestampNTZ.enabled", None
+        )
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev_ntz is None:
+                spark.conf.unset("spark.sql.parquet.inferTimestampNTZ.enabled")
+            else:
+                spark.conf.set(
+                    "spark.sql.parquet.inferTimestampNTZ.enabled", prev_ntz
+                )
         dt = dict(df.dtypes).get("ts")
         if dt == "bigint":
             # integer div, NOT /1000+cast: nano epochs (~1.7e18) exceed

@@ -52,11 +52,21 @@ def read_events_stream(
     also holds the other tables).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # scope the NTZ-inference conf to the footer probe (io.sources
+    # policy: other tables' dtypes must not depend on load order); the
+    # stream itself reads with an explicit schema, inference-free
+    prev_ntz = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", None)
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    batch = spark.read
-    if path_glob:
-        batch = batch.option("pathGlobFilter", path_glob)
-    probe = dict(batch.parquet(source_dir).dtypes).get("ts")
+    try:
+        batch = spark.read
+        if path_glob:
+            batch = batch.option("pathGlobFilter", path_glob)
+        probe = dict(batch.parquet(source_dir).dtypes).get("ts")
+    finally:
+        if prev_ntz is None:
+            spark.conf.unset("spark.sql.parquet.inferTimestampNTZ.enabled")
+        else:
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev_ntz)
     ts_type = T.LongType() if probe == "bigint" else T.TimestampType()
     reader = spark.readStream.schema(_events_stream_schema(ts_type))
     if path_glob:
