@@ -220,10 +220,13 @@ def streaming_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LR regularization grid — explicitly the step the reference SKIPPED "
     "for platform-speed reasons (Final Report p.3: 'Cross validation "
     "or hyper parameter tuning could not be used'). Each fold/param "
-    "fit is an independent Spark job; parallelism=4 fits folds "
-    "concurrently. Returns one row per grid point with its mean AUC "
-    "plus the selected best. Rows-only driver check; selection "
-    "properties asserted in tests/test_ml_pipeline.py.",
+    "fit is an independent Spark job (parallelism stays 1: concurrent "
+    "fold fits share the session across threads, which is legal but "
+    "flake-prone in a long-lived shared session; on a real cluster "
+    "raise it — fold fits are embarrassingly parallel). Returns one "
+    "row per grid point with its mean AUC plus the selected best. "
+    "Rows-only driver check; selection properties asserted in "
+    "tests/test_ml_pipeline.py.",
 )
 def ml_cv_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.classification import LogisticRegression
@@ -250,7 +253,7 @@ def ml_cv_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         evaluator=evaluator,
         numFolds=3,
         seed=SEED,
-        parallelism=4,
+        parallelism=1,
     )
     model = cv.fit(train)
     best_reg = model.bestModel.getRegParam()

@@ -472,3 +472,83 @@ def waiting_supplier_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+_Q8_REGION = "EUROPE"
+_Q8_NATION = "NATION_7"
+
+
+@register(
+    "nation_market_share",
+    sql=f"""
+    WITH region_sales AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               l.l_extendedprice * (1.0 - l.l_discount) AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o    ON l.l_orderkey = o.o_orderkey
+        JOIN customer c  ON o.o_custkey = c.c_custkey
+        JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+        JOIN region r    ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+        WHERE r.r_name = '{_Q8_REGION}'
+    )
+    SELECT o_year,
+           round(
+             CAST(sum(CASE WHEN supp_nation = '{_Q8_NATION}'
+                           THEN CAST(round(volume, 6) AS DECIMAL(28,8)) END)
+                  AS DOUBLE)
+             / CAST(sum(CAST(round(volume, 6) AS DECIMAL(28,8))) AS DOUBLE),
+             4) AS mkt_share
+    FROM region_sales GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: one nation's suppliers' share of a region's "
+    "customer revenue per year — the deepest star join in the repo "
+    "(fact -> orders -> customer -> nation -> region on the demand "
+    "side, fact -> supplier -> nation on the supply side). All five "
+    "dimension sides are broadcast; the only shuffles are "
+    "lineitem<->orders co-partitioning and the final year rollup. The "
+    "share is a conditional-sum / sum ratio in exact decimal "
+    "(functions/agg.py row-quantize policy) so the division is "
+    "engine-deterministic.",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+    demand_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == _Q8_REGION)),
+            nation.n_regionkey == region.r_regionkey,
+        ).select(F.col("n_nationkey").alias("cnk"))
+    )
+    sales = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(demand_nations), cust.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    vol_dec = F.round(F.col("volume"), 6).cast("decimal(28,8)")
+    return sales.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == _Q8_NATION, vol_dec)).cast("double")
+            / F.sum(vol_dec).cast("double"),
+            4,
+        ).alias("mkt_share")
+    )

@@ -176,3 +176,12 @@ def test_waiting_supplier_partial_aggregates_before_window(spark, sf_smoke):
     win_pos = plan.find("Window")
     assert 0 <= agg_pos < win_pos, (agg_pos, win_pos)
     assert has_broadcast_hash_join(get("waiting_supplier_lines").fn(spark, sf_smoke))
+
+
+def test_market_share_broadcasts_all_dims(spark, sf_smoke):
+    """Q8 shape: five dimension sides broadcast; shuffles are only the
+    fact co-partitioning and the year rollup."""
+    df = get("nation_market_share").fn(spark, sf_smoke)
+    plan = _txt(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan.count("BroadcastHashJoin")
+    assert count_exchanges(df) <= 3
