@@ -242,3 +242,105 @@ def source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return mixture_rebalance_plan(d, "source", _MIXTURE)
+
+
+_CHUNK_SIZE = 400
+_CHUNK_STRIDE = 300  # 100-char overlap
+
+
+@register(
+    "doc_chunk_windows",
+    sql=f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0,
+                   CAST(greatest(ceil((length(text) - {_CHUNK_SIZE})
+                                      / {_CHUNK_STRIDE}.0), 0) AS BIGINT)))
+                   AS chunk_id
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           substring(text, CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS INT),
+                     {_CHUNK_SIZE}) AS chunk,
+           CAST(length(substring(text,
+                CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS INT),
+                {_CHUNK_SIZE})) AS BIGINT) AS chunk_chars
+    FROM base
+    """,
+    doc="Overlapping document chunking (the context-window prep step "
+    "every RAG / pretraining pipeline runs): fixed-size windows with "
+    "stride, one output row per chunk. Pure expressions — a sequence "
+    "of chunk starts exploded then substring'd; no UDF, no shuffle "
+    "(chunking rides the scan). Chunk count per doc is "
+    "ceil((len - size) / stride) + 1, so tail text is always covered; "
+    "deterministic ids (doc_id, chunk_id) keep downstream dedup and "
+    "shard packing reproducible.",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_chunks = F.greatest(
+        F.ceil((F.length("text") - _CHUNK_SIZE) / _CHUNK_STRIDE), F.lit(0)
+    ).cast("long")
+    chunks = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks)).alias("chunk_id"),
+    )
+    chunk = F.substring(
+        F.col("text"), (F.col("chunk_id") * _CHUNK_STRIDE + 1).cast("int"), _CHUNK_SIZE
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        chunk.alias("chunk"),
+        F.length(chunk).cast("long").alias("chunk_chars"),
+    )
+
+
+_VOCAB_SIZE = 200
+_VOCAB_MIN_COUNT = 10
+
+
+@register(
+    "corpus_vocabulary",
+    sql=f"""
+    WITH words AS (
+        SELECT lower(unnest(regexp_split_to_array(text, '\\s+'))) AS w
+        FROM documents
+    ), counts AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq
+        FROM words WHERE w <> '' GROUP BY w
+        HAVING count(*) >= {_VOCAB_MIN_COUNT}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY freq DESC, w ASC) AS BIGINT)
+               AS token_id,
+           w AS token, freq
+    FROM counts
+    ORDER BY token_id LIMIT {_VOCAB_SIZE}
+    """,
+    doc="Vocabulary construction (tokenizer-training prep): whitespace "
+    "tokens lowercased, frequency-counted, min-count filtered, and "
+    "assigned contiguous ids by (freq desc, token asc) — fully "
+    "deterministic, so shards built against the vocab agree across "
+    "runs. One explode + one grouped count (map-side combining) + one "
+    "rank over the SURVIVING vocab (tiny after min-count), planned as "
+    "TakeOrdered for the id assignment at bounded size.",
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .filter(F.col("freq") >= _VOCAB_MIN_COUNT)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("w").asc())
+    return (
+        counts.withColumn("token_id", F.row_number().over(w).cast("long"))
+        .filter(F.col("token_id") <= _VOCAB_SIZE)
+        .select("token_id", F.col("w").alias("token"), "freq")
+    )
