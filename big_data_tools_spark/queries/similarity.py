@@ -185,3 +185,77 @@ def knn_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return quantized_topk(emb, queries, k=5)
+
+
+@register(
+    "embedding_hard_negatives",
+    sql="""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS q_label,
+               CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS neighbor_id, label AS c_label,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))), 4) AS cos_sim
+        FROM q CROSS JOIN c
+        WHERE query_id != neighbor_id AND q_label != c_label
+    )
+    SELECT * FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+               ) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="Hard-negative mining (contrastive-training prep): for each "
+    "query vector, the top-k most-similar vectors with a DIFFERENT "
+    "label — the negatives that actually move the loss. Same broadcast "
+    "query-set x corpus shape as knn_cosine_brute with the label "
+    "inequality as an extra join residual; at scale the corpus side "
+    "routes through the IVF/LSH candidate tiers exactly like positive "
+    "retrieval (the label filter composes with any candidate "
+    "generator).",
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import fan_out
+    from ..operators.similarity import cosine
+    from ..operators.windows import top_k_per_group
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    c = fan_out(emb, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("q_label") != F.col("c_label"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        keys=["query_id"],
+        order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=5,
+    )
