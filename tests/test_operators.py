@@ -461,3 +461,48 @@ def test_ml_eval_healthy_after_observed_query(spark, sf_smoke):
     # this throws NotSerializableException if the session was poisoned
     metrics = {r.metric: r.value for r in get("ml_train_eval").fn(spark, sf_smoke).collect()}
     assert "test_auc" in metrics
+
+
+# --------------------------------------------------------------- expectations
+def test_check_constraints_single_pass(spark, sf_smoke):
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.expectations import (
+        ConstraintViolation,
+        check_constraints,
+    )
+
+    orders = load_table(spark, sf_smoke, "orders")
+    ok = check_constraints(
+        orders,
+        {
+            "custkey_present": F.col("o_custkey").isNotNull(),
+            "price_positive": F.col("o_totalprice") > 0,
+            "status_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+    )
+    assert set(ok.values()) == {0}
+
+    with pytest.raises(ConstraintViolation) as exc:
+        check_constraints(
+            orders,
+            {
+                "price_positive": F.col("o_totalprice") > 0,
+                "impossible": F.col("o_totalprice") > 1e12,
+            },
+        )
+    # only the failed check reported, with its violation count
+    assert "impossible" in str(exc.value)
+    assert "price_positive" not in exc.value.counts
+    assert exc.value.counts["impossible"] == orders.count()
+
+
+def test_check_constraints_null_is_violation(spark):
+    from big_data_tools_spark.operators.expectations import (
+        ConstraintViolation,
+        check_constraints,
+    )
+
+    df = spark.createDataFrame([(1,), (None,)], "v int")
+    with pytest.raises(ConstraintViolation) as exc:
+        check_constraints(df, {"v_gt0": F.col("v") > 0})
+    assert exc.value.counts["v_gt0"] == 1  # NULL > 0 is unknown -> violation
