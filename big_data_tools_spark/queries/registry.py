@@ -85,6 +85,7 @@ _PRIORITY = [
     "customer_scd2_merge",        # SCD-2 dimension merge (round 2)
     "waiting_supplier_lines",     # Q21 shape: 1-shuffle window rewrite (round 2)
     "event_sessions_builtin",     # native session_window aggregation (round 2)
+    "doc_chunk_windows",          # stride-window chunking (round 2)
     "embedding_label_stats",
     "knn_cosine_brute",
     # fixed result shape this round — needs its driver row back
@@ -118,10 +119,10 @@ _PRIORITY = [
     "hours_parse",                # split/substring_index/concat hours
     "map_literal_parse",          # translate + create_map + map explode
     "events_props_extract",       # semi-structured JSON extraction
-    "doc_token_stats",            # token counting
     "doc_quality_by_source",      # quality scoring
     "lang_id_confusion",          # language-ID
     # past-window: family near-duplicates (in-window coverage noted)
+    "doc_token_stats",            # token counting (inside corpus pipeline's oracle)
     "distinct_customer_count",    # distinct count (rides setops row counts)
     "pricing_summary",            # grouped multi-agg + conditional counts
     "nation_customer_value",      # two-level aggregation
