@@ -200,3 +200,44 @@ def observed_rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed.count()
     rows = sorted((k, float(v)) for k, v in obs.get.items())
     return spark.createDataFrame(rows, "metric string, value double")
+
+
+@register(
+    "orders_quality_gate",
+    sql="""
+    SELECT 'custkey_present' AS check_name,
+           CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+               AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'price_positive',
+           CAST(count(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
+                           THEN 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'status_domain',
+           CAST(count(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'),
+                                             FALSE) THEN 1 END) AS BIGINT)
+    FROM orders
+    """,
+    doc="Data-quality gate (operators/expectations.py) as a queryable "
+    "report: three per-row constraints on orders evaluated as "
+    "conditional counts in ONE aggregate pass (the raising form is "
+    "check_constraints; this emits the counts as rows). The oracle "
+    "twin re-derives each count independently, so the single-pass "
+    "evaluation is provably equal to one-scan-per-check.",
+)
+def orders_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import check_constraints
+
+    orders = load_table(spark, sf_dir, "orders")
+    counts = check_constraints(
+        orders,
+        {
+            "custkey_present": F.col("o_custkey").isNotNull(),
+            "price_positive": F.col("o_totalprice") > 0,
+            "status_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+    )
+    rows = [(k, v) for k, v in sorted(counts.items())]
+    return spark.createDataFrame(rows, "check_name string, violations long")
