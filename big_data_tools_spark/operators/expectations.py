@@ -32,6 +32,38 @@ class ConstraintViolation(ValueError):
         super().__init__(f"constraint violations (of {total} rows): {msg}")
 
 
+def _violation_exprs(checks: Mapping[str, Column]) -> list[Column]:
+    """Per-check violation-count aggregates (nulls are violations).
+    Check names may not start with ``__`` — that prefix is reserved
+    for internal aliases (``__total``) and would silently collide."""
+    bad_names = [n for n in checks if n.startswith("__")]
+    if bad_names:
+        raise ValueError(
+            f"check names may not start with '__' (reserved): {bad_names}"
+        )
+    return [
+        F.count(F.when(~F.coalesce(col, F.lit(False)), 1)).alias(name)
+        for name, col in checks.items()
+    ]
+
+
+def constraint_report(df: DataFrame, checks: Mapping[str, Column]) -> DataFrame:
+    """The non-raising form of :func:`check_constraints`: the same
+    ONE-pass conditional-count aggregation, returned as a DataFrame of
+    ``(check_name, violations)`` rows instead of raised. Stays fully
+    in-plan (agg -> unpivot, no driver collect), so it composes as a
+    query and never errors on dirty data — use it for reporting;
+    use ``check_constraints`` as the hard pipeline gate."""
+    if not checks:
+        return df.sparkSession.createDataFrame(
+            [], "check_name string, violations long"
+        )
+    wide = df.agg(*_violation_exprs(checks))
+    return wide.unpivot(
+        [], list(checks), "check_name", "violations"
+    ).select("check_name", F.col("violations").cast("long").alias("violations"))
+
+
 def check_constraints(df: DataFrame, checks: Mapping[str, Column]) -> dict[str, int]:
     """Validate ``checks`` (name -> must-hold-per-row boolean Column)
     in one aggregate job. Returns the per-check violation counts (all
@@ -39,10 +71,7 @@ def check_constraints(df: DataFrame, checks: Mapping[str, Column]) -> dict[str, 
     the failed checks otherwise."""
     if not checks:
         return {}
-    exprs = [F.count(F.lit(1)).alias("__total")] + [
-        F.count(F.when(~F.coalesce(col, F.lit(False)), 1)).alias(name)
-        for name, col in checks.items()
-    ]
+    exprs = [F.count(F.lit(1)).alias("__total")] + _violation_exprs(checks)
     row = df.agg(*exprs).first()
     counts = {name: int(row[name]) for name in checks}
     bad = {k: v for k, v in counts.items() if v > 0}

@@ -306,7 +306,7 @@ _VOCAB_MIN_COUNT = 10
     "corpus_vocabulary",
     sql=f"""
     WITH words AS (
-        SELECT lower(unnest(regexp_split_to_array(text, '\\s+'))) AS w
+        SELECT unnest(string_split(lower(text), ' ')) AS w
         FROM documents
     ), counts AS (
         SELECT w, CAST(count(*) AS BIGINT) AS freq

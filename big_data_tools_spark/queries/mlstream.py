@@ -281,12 +281,17 @@ def ml_cv_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "replay idempotence asserted in tests/test_streaming.py.",
 )
 def streaming_upsert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from ..streaming.events import read_events_stream
     from ..streaming.upsert import read_rollup, upsert_rollup_sink
 
+    # fresh table per run: dynamic overwrite never DROPS partitions for
+    # keys absent from the current input, so a stale dir from a prior
+    # run over different data would leak rows into the result
     out = tempfile.gettempdir() + "/bdt_upsert_rollup_q"
+    shutil.rmtree(out, ignore_errors=True)
     stream = read_events_stream(spark, sf_dir, path_glob="events.parquet")
     q = upsert_rollup_sink(stream, out, query_name="bdt_upsert_rollup_q")
     q.awaitTermination()

@@ -54,87 +54,110 @@ def get(name: str) -> QuerySpec:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of
-# ``queries()`` (round 1 checked exactly registry positions 0-49, so
-# positions 50+ never got a driver row). This ordering guarantees the
-# checked window covers every SURVEY.md §2 family and every §2.11
-# operator: first the oracle twins that went unchecked in round 1, then
-# the rows-only operator surfaces (ML/streaming/LSH/yelp), then one
-# representative per remaining §2 family. Entries past the window are
-# near-duplicate demonstrations of families already covered inside it
-# (all still run in tests/test_oracle_parity.py at every round).
+# ``queries()``. The window ROTATES each round (tests/test_rotation.py
+# enforces it against checked_rounds.json): round 3 front-loads the 19
+# oracle twins that had never had a driver row in rounds 1-2
+# (VERDICT.md r2 "What's missing" #1), the streaming surfaces that
+# never had even a rows-only row (ask #6), and the round-3 additions
+# (real multimodal decode, parquet-backed basetable oracle) — then one
+# in-window representative per SURVEY.md §2 family. Entries past the
+# window were driver-green in r1/r2 and still run against the same
+# DuckDB oracle in tests/test_oracle_parity.py at every round.
 _PRIORITY = [
-    # round-1 unchecked oracle twins (VERDICT.md "What's missing" #1)
+    # -- never driver-checked oracle twins (r2 VERDICT ask #1) --
+    "small_qty_part_revenue",     # TPC-H Q17 shape: per-part avg threshold
+    "top_volume_orders",          # Q18 shape: HAVING over two-level agg
+    "top_revenue_supplier",       # Q15 shape: window max over revenue agg
+    "supplier_value_concentration",  # Q11 shape: global scalar threshold
+    "idle_rich_customers",        # Q22 shape: anti join + avg filter
+    "nation_trade_balance_sql",   # Q7 shape via spark.sql entry point
+    "late_ship_priority_counts",  # Q4 shape: semi join + conditional counts
+    "promo_revenue_multibrand",   # Q19 shape: disjunctive pushdown bands
+    "nation_market_share",        # Q8 shape: ratio of conditional aggs
+    "pii_scrub_audit",            # chained regexp_replace PII scrub
+    "embedding_int8_audit",       # int8 quantization error audit
+    "knn_cosine_int8",            # quantized kNN (exact bigint dot)
+    "dedup_fuzzy_part_names",     # blocked levenshtein fuzzy dedup
+    "corpus_vocabulary",          # tokenizer-prep vocabulary build
+    "embedding_hard_negatives",   # hard-negative mining band
+    "orders_quality_gate",        # one-pass constraint report
+    "events_props_variant",       # VARIANT ingestion + typed extraction
+    "doc_winnow_stats",           # winnowing fingerprint density
+    "documents_balanced_per_lang",  # deterministic stratified balance
+    # -- streaming surfaces with no driver row in any round (ask #6) --
+    "streaming_upsert_rollup",    # foreachBatch dynamic-partition upsert
+    "streaming_dedup",            # watermarked dropDuplicates stream
+    "streaming_segment_revenue",  # stream-static broadcast enrich
+    # -- round-3 additions --
+    "multimodal_features",        # REAL image decode via mapInPandas (r3)
+    # -- one representative per §2 family (driver-green r1/r2; the
+    #    rotated-out siblings keep their local oracle-parity coverage) --
+    "order_rollup_flagship",      # star join + distributed scalar + datediff
+    "event_sessions_builtin",     # session_window; oracle fixed per ADVICE r2
     "purchase_last_click_asof",   # as-of join
     "purchase_click_window",      # range join
-    "salted_status_rollup",       # skew-salted two-phase agg
-    "event_funnel",               # sequential window funnel
     "events_multires_rollup",     # grouping sets multi-resolution
     "tfidf_top_terms",            # widest text plan (7 shuffles)
-    "user_value_hourly_ffill",    # resample + last(ignorenulls) ffill
-    "dedup_exact_docs",
-    "dedup_jaccard_pairs",
+    "dedup_jaccard_pairs",        # posting-list n-gram Jaccard
     "dedup_components",           # connected components fixpoint
-    "dedup_embedding_cosine",
-    "dedup_winnow_pairs",         # winnowing fingerprint tier (round 2)
-    "pretraining_corpus_pipeline",  # composed capstone (round 2)
-    "benchmark_contamination",    # train-vs-eval n-gram overlap (round 2)
-    "token_shard_packing",        # bucketed token-budget pack (round 2)
-    "boilerplate_ngrams",         # heavy-hitter shingle report (round 2)
-    "doc_repetition_by_source",   # Gopher repetition filter (round 2)
-    "source_mixture_plan",        # domain-mixture rebalance (round 2)
-    "customer_scd2_merge",        # SCD-2 dimension merge (round 2)
-    "waiting_supplier_lines",     # Q21 shape: 1-shuffle window rewrite (round 2)
-    "event_sessions_builtin",     # native session_window aggregation (round 2)
-    "doc_chunk_windows",          # stride-window chunking (round 2)
-    "embedding_label_stats",
-    "knn_cosine_brute",
-    # fixed result shape this round — needs its driver row back
-    "doc_length_quantiles_approx",
-    # rows-only operator surfaces (weaker check, but must have a row)
-    "dedup_minhash_pairs",
-    "dedup_semantic_groups",      # SemDeDup (round 2)
-    "knn_lsh_ann",
-    "ml_train_eval",
-    "ml_feature_importance",
-    "streaming_hourly_counts",
-    "streaming_sessions",
-    "streaming_attribution",      # stream-stream interval join (round 2)
-    "yelp_basetable",
-    # one representative per remaining §2 family (all green in round 1).
-    # Conditional-count agg rides order_rollup_flagship (A1), two-level
-    # aggregation rides waiting_supplier_lines, rank windows ride
-    # customer_spend_deciles locally — their dedicated demos moved past
-    # the window to make room for the round-2 shapes above.
-    "order_rollup_flagship",      # star join + distributed scalar + datediff
-    "regional_revenue",           # broadcast dim joins
+    "pretraining_corpus_pipeline",  # composed corpus capstone
+    "benchmark_contamination",    # train-vs-eval n-gram overlap
+    "token_shard_packing",        # bucketed token-budget pack
+    "doc_repetition_by_source",   # Gopher repetition filter
+    "source_mixture_plan",        # domain-mixture rebalance
+    "customer_scd2_merge",        # SCD-2 dimension merge
+    "doc_chunk_windows",          # stride-window chunking
     "part_like_filter",           # LIKE disjunction
     "null_audit_orders",          # null predicates + isnan
     "segment_pivot",              # pivot with declared values
     "custkey_overlap_setops",     # intersect/except
     "status_recode_operator",     # fold-left recode, batched withColumns
-    "customers_without_orders",   # anti join
     "lineitem_metric_unpivot",    # unpivot/stack
     "string_date_parse",          # to_timestamp both patterns + ltrim
     "fillna_policy",              # const + computed fill
     "hours_parse",                # split/substring_index/concat hours
     "map_literal_parse",          # translate + create_map + map explode
     "events_props_extract",       # semi-structured JSON extraction
-    "doc_quality_by_source",      # quality scoring
-    "lang_id_confusion",          # language-ID
-    # past-window: family near-duplicates (in-window coverage noted)
-    "doc_token_stats",            # token counting (inside corpus pipeline's oracle)
-    "distinct_customer_count",    # distinct count (rides setops row counts)
-    "pricing_summary",            # grouped multi-agg + conditional counts
-    "nation_customer_value",      # two-level aggregation
-    "topk_orders_per_customer",   # row_number window
-    "dedup_orders_keep_first",    # deterministic dedup
-    "customers_with_urgent_orders",  # semi join
-    "revenue_rollup",             # rollup
-    "distinct_status_priority",   # distinct values
-    "top100_orders",              # TakeOrderedAndProject
-    "priority_union",             # union + inequality filter
-    "event_sessions",             # lag-based sessionization window
-    "bulk_rename",                # bulk + driver-side rename
+    # ---- window boundary (~50) ----
+    # past-window: driver-green in r1/r2, families represented above;
+    # all still oracle-checked locally every round
+    "salted_status_rollup",
+    "event_funnel",
+    "user_value_hourly_ffill",
+    "dedup_exact_docs",
+    "dedup_embedding_cosine",
+    "dedup_winnow_pairs",
+    "boilerplate_ngrams",
+    "waiting_supplier_lines",
+    "embedding_label_stats",
+    "knn_cosine_brute",
+    "doc_length_quantiles_approx",
+    "dedup_minhash_pairs",
+    "dedup_semantic_groups",
+    "knn_lsh_ann",
+    "ml_train_eval",
+    "ml_feature_importance",
+    "streaming_hourly_counts",
+    "streaming_sessions",
+    "streaming_attribution",
+    "yelp_basetable",
+    "doc_quality_by_source",
+    "lang_id_confusion",
+    "regional_revenue",
+    "customers_without_orders",
+    "doc_token_stats",
+    "distinct_customer_count",
+    "pricing_summary",
+    "nation_customer_value",
+    "topk_orders_per_customer",
+    "dedup_orders_keep_first",
+    "customers_with_urgent_orders",
+    "revenue_rollup",
+    "distinct_status_priority",
+    "top100_orders",
+    "priority_union",
+    "event_sessions",
+    "bulk_rename",
 ]
 
 

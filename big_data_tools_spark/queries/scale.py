@@ -222,16 +222,19 @@ def observed_rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Data-quality gate (operators/expectations.py) as a queryable "
     "report: three per-row constraints on orders evaluated as "
-    "conditional counts in ONE aggregate pass (the raising form is "
-    "check_constraints; this emits the counts as rows). The oracle "
-    "twin re-derives each count independently, so the single-pass "
-    "evaluation is provably equal to one-scan-per-check.",
+    "conditional counts in ONE aggregate pass via the non-raising "
+    "constraint_report form (the raising pipeline gate is "
+    "check_constraints; the report never throws on dirty data, it "
+    "returns the counts — so the driver row survives a future round "
+    "shipping violations). The oracle twin re-derives each count "
+    "independently, so the single-pass evaluation is provably equal "
+    "to one-scan-per-check.",
 )
 def orders_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.expectations import check_constraints
+    from ..operators.expectations import constraint_report
 
     orders = load_table(spark, sf_dir, "orders")
-    counts = check_constraints(
+    report = constraint_report(
         orders,
         {
             "custkey_present": F.col("o_custkey").isNotNull(),
@@ -239,5 +242,4 @@ def orders_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status_domain": F.col("o_orderstatus").isin("O", "F", "P"),
         },
     )
-    rows = [(k, v) for k, v in sorted(counts.items())]
-    return spark.createDataFrame(rows, "check_name string, violations long")
+    return report.orderBy("check_name")

@@ -244,7 +244,7 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
         SELECT user_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
-                    OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+                    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -38,9 +38,6 @@ def upsert_rollup_sink(
     """Start an availableNow foreachBatch query maintaining a per-key
     rollup table at ``path``, partitioned by ``key_col``. Returns the
     StreamingQuery; callers await termination then read the table."""
-    spark = stream.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(key_col)
@@ -59,9 +56,12 @@ def upsert_rollup_sink(
         # update-mode batches carry the new FULL totals of only the
         # keys this batch changed: overwrite exactly those key
         # partitions (idempotent on batch replay — same state, same
-        # partitions, same bytes)
+        # partitions, same bytes). Dynamic overwrite is requested on
+        # the WRITER, not the session conf — the caller's session-wide
+        # overwrite semantics stay untouched.
         (
             batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(key_col)
             .parquet(path)
         )

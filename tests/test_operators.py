@@ -506,3 +506,34 @@ def test_check_constraints_null_is_violation(spark):
     with pytest.raises(ConstraintViolation) as exc:
         check_constraints(df, {"v_gt0": F.col("v") > 0})
     assert exc.value.counts["v_gt0"] == 1  # NULL > 0 is unknown -> violation
+
+
+def test_constraint_report_never_raises(spark):
+    """The non-raising form returns violation counts as rows even on
+    dirty data (ADVICE r2: a driver row must survive violations)."""
+    from big_data_tools_spark.operators.expectations import constraint_report
+
+    df = spark.createDataFrame([(1,), (None,), (-3,)], "v int")
+    rows = {
+        r.check_name: r.violations
+        for r in constraint_report(
+            df, {"v_present": F.col("v").isNotNull(), "v_gt0": F.col("v") > 0}
+        ).collect()
+    }
+    assert rows == {"v_present": 1, "v_gt0": 2}
+    assert constraint_report(df, {}).count() == 0
+
+
+def test_check_names_reserved_prefix_rejected(spark):
+    """ADVICE r2: a check literally named __total collided with the
+    internal total-count alias; reserved names now fail loudly."""
+    from big_data_tools_spark.operators.expectations import (
+        check_constraints,
+        constraint_report,
+    )
+
+    df = spark.createDataFrame([(1,)], "v int")
+    with pytest.raises(ValueError, match="__"):
+        check_constraints(df, {"__total": F.col("v") > 0})
+    with pytest.raises(ValueError, match="__"):
+        constraint_report(df, {"__shadow": F.col("v") > 0})

@@ -1,0 +1,42 @@
+"""Regenerate the current round's entry in checked_rounds.json.
+
+The driver's correctness gate checks only the FIRST 50 entries of
+``__spark_entry__.queries()``, so which operators get a hard driver
+signal is decided by ``registry._PRIORITY`` ordering. To make window
+rotation a mechanical invariant instead of a per-round judgement call,
+this manifest records the checked window of every committed round;
+``tests/test_rotation.py`` fails the build if any oracle twin would go
+3 consecutive rounds without a driver row.
+
+Usage: ``python tools/update_checked_rounds.py r3`` (run whenever
+``_PRIORITY`` changes; the test also verifies the latest entry matches
+the live registry so the manifest cannot go stale).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+WINDOW = 50
+
+
+def current_window() -> list[str]:
+    sys.path.insert(0, str(REPO))
+    from big_data_tools_spark.queries import ordered_queries
+
+    return list(ordered_queries())[:WINDOW]
+
+
+def main(round_key: str) -> None:
+    path = REPO / "checked_rounds.json"
+    data = json.loads(path.read_text()) if path.exists() else {}
+    data[round_key] = current_window()
+    path.write_text(json.dumps(data, indent=1) + "\n")
+    print(f"{round_key}: {len(data[round_key])} entries written")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "r3")
