@@ -71,15 +71,17 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features",
     sql=None,  # Arrow mapInPandas path; not SQL-expressible
-    doc="Multimodal plumbing (§2.11): opaque binary media column + "
-    "typed metadata struct -> Arrow-batched mapInPandas feature "
-    "extraction (decode deterministically stubbed — media libs absent "
-    "by design). The feature vector stays internal; the registered "
-    "output projects per-item scalars (dim count, L2 norm, first "
+    doc="Multimodal decode (§2.11): binary media column + typed "
+    "metadata struct -> Arrow-batched mapInPandas with REAL decoding "
+    "(operators/imagecodec.py: pure-stdlib PNG inflate+unfilter, WAV "
+    "PCM16, MP4 mvhd; PIL preferred when installed) — decoded "
+    "width/height/duration and pixel/signal statistics, not fakes. "
+    "The feature vector stays internal; the registered output "
+    "projects per-item scalars (dims, duration, L2 norm, first "
     "component) because the driver's canonicalizer cannot hash "
     "array-valued cells (round-1 doc_length_quantiles_approx lesson). "
-    "Rows-only driver check; full-vector schema/determinism asserted "
-    "in tests/test_multimodal.py.",
+    "Rows-only driver check; decoded values pinned against fixture "
+    "formulas in tests/test_multimodal.py.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_fake_media, extract_media_features

@@ -1,16 +1,22 @@
-"""Multimodal plumbing tests: binary columns + metadata struct + Arrow
-mapInPandas feature extraction (decode stubbed — media libs absent)."""
+"""Multimodal operator tests: binary columns + metadata struct + Arrow
+mapInPandas extraction with REAL decoding (pure-stdlib PNG/WAV/MP4
+codecs — see tests/test_imagecodec.py for the codec layer itself).
+Decoded dimensions/durations are asserted against the known fixture
+formulas, so a decoder regression (not just a plumbing one) fails."""
 
 from __future__ import annotations
 
 import pytest
 
 from big_data_tools_spark.io.sources import load_table
+from big_data_tools_spark.operators.imagecodec import decode_png
 from big_data_tools_spark.operators.multimodal import (
     MEDIA_FEATURE_SCHEMA,
     attach_fake_media,
     extract_media_features,
     resize_images,
+    sample_video_frames,
+    synth_media_bytes,
 )
 
 
@@ -20,78 +26,92 @@ def media_df(spark, sf_smoke):
     return attach_fake_media(docs)
 
 
-def test_media_columns_schema(media_df):
+def test_media_columns_are_valid_media(media_df):
     dtypes = dict(media_df.dtypes)
     assert dtypes["content"] == "binary"
     assert dtypes["media_meta"].startswith("struct<media_type:string")
-    row = media_df.select("media_meta.n_bytes").first()
-    assert row["n_bytes"] == 64  # 4 x md5 hex -> 64 bytes
+    magic = {"image/png": b"\x89PNG", "audio/wav": b"RIFF", "video/mp4": None}
+    for r in media_df.select("media_meta.media_type", "content").collect():
+        raw = bytes(r["content"])
+        if magic[r["media_type"]]:
+            assert raw.startswith(magic[r["media_type"]]), r["media_type"]
+        else:
+            assert raw[4:8] == b"ftyp"  # MP4 box framing
 
 
-def test_extract_features_schema_and_determinism(media_df):
+def test_extract_features_real_decoded_values(media_df):
     feats = extract_media_features(media_df, feature_dim=8)
     assert feats.schema == MEDIA_FEATURE_SCHEMA
-    rows1 = sorted(feats.collect(), key=lambda r: r["doc_id"])
-    rows2 = sorted(extract_media_features(media_df, feature_dim=8).collect(),
-                   key=lambda r: r["doc_id"])
-    assert rows1 == rows2
-    assert all(len(r["feature"]) == 8 for r in rows1)
-    assert all(0.0 <= v <= 1.0 for r in rows1 for v in r["feature"])
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert rows
+    for doc_id, r in rows.items():
+        kind = doc_id % 3
+        if kind == 0:  # image: decoded dims must match the fixture formula
+            assert (r["width"], r["height"]) == (8 + doc_id % 9, 6 + doc_id % 7)
+            assert r["duration_sec"] is None
+            assert all(0.0 <= v <= 1.0 for v in r["feature"])
+        elif kind == 1:  # audio: decoded duration = n_samples / rate
+            n = 400 + (doc_id % 10) * 200
+            assert r["duration_sec"] == pytest.approx(n / 8000.0)
+            assert r["width"] is None and r["height"] is None
+        else:  # video: real mvhd container duration
+            assert r["duration_sec"] == pytest.approx(float(doc_id % 30 + 1))
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in extract_media_features(media_df, feature_dim=8).collect()}
+    assert rows == again
 
 
-def test_real_decoder_paths_clearly_stubbed(media_df):
-    from big_data_tools_spark.operators.multimodal import sample_video_frames
-
-    with pytest.raises(NotImplementedError):
-        extract_media_features(media_df, allow_stub=False)
-    with pytest.raises(NotImplementedError):
-        resize_images(media_df, 128, 128, allow_stub=False)
+def test_video_frame_payloads_clearly_stubbed(media_df):
+    """Frame payload decode is the one remaining stub: the eager raise
+    documents it; extract's video features degrade to metadata-only
+    and raise executor-side when stubs are disallowed."""
     with pytest.raises(NotImplementedError):
         sample_video_frames(media_df, allow_stub=False)
+    with pytest.raises(Exception, match="H.264"):
+        extract_media_features(media_df, allow_stub=False).collect()
 
 
-def test_resize_images_schema_and_determinism(spark, sf_smoke):
-    from big_data_tools_spark.io.sources import load_table
-    from big_data_tools_spark.operators.multimodal import (
-        attach_fake_media,
-        resize_images,
-    )
-
+def test_resize_images_real_decode_and_resample(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents").limit(60)
     media = attach_fake_media(docs)
-    out = resize_images(media, width=8, height=4)
+    out = resize_images(media, width=8, height=4, allow_stub=False)
     rows = out.collect()
     n_images = media.filter("media_meta.media_type like 'image/%'").count()
     assert len(rows) == n_images > 0
-    assert all(r["n_bytes"] == 8 * 4 == len(bytes(r["content"])) for r in rows)
-    again = {r["doc_id"]: bytes(r["content"]) for r in resize_images(media, 8, 4).collect()}
-    assert {r["doc_id"]: bytes(r["content"]) for r in rows} == again
+    for r in rows:
+        w, h, ch, px = decode_png(bytes(r["content"]))  # output is a real PNG
+        assert (w, h, ch) == (8, 4, 3)
+        assert len(px) == 8 * 4 * 3
+    # nearest-neighbor is pinned against a driver-side reference resize
+    from big_data_tools_spark.operators.imagecodec import resize_nearest
+
+    doc_id = rows[0]["doc_id"]
+    _, src_png = synth_media_bytes(int(doc_id))
+    sw, sh, sch, spx = decode_png(src_png)
+    expect = resize_nearest(spx, sw, sh, sch, 8, 4)
+    got = decode_png(bytes([r for r in rows if r["doc_id"] == doc_id][0]["content"]))[3]
+    assert got == expect
 
 
-def test_sample_video_frames_fan_out(spark, sf_smoke):
-    from big_data_tools_spark.io.sources import load_table
-    from big_data_tools_spark.operators.multimodal import (
-        attach_fake_media,
-        sample_video_frames,
-    )
-
+def test_sample_video_frames_fan_out_from_real_duration(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents").limit(60)
     media = attach_fake_media(docs)
-    out = sample_video_frames(media, every_n_seconds=2.0)
-    rows = out.collect()
+    rows = sample_video_frames(media, every_n_seconds=2.0).collect()
     vids = media.filter("media_meta.media_type like 'video/%'")
     n_videos = vids.count()
     assert n_videos > 0
-    # 1 -> N fan-out: every video contributes duration//2 + 1 frames
     per_doc = {}
     for r in rows:
         per_doc.setdefault(r["doc_id"], []).append(r)
     assert len(per_doc) == n_videos
-    for vid in vids.select("doc_id", "media_meta.n_bytes").collect():
-        expect = int(int(vid["n_bytes"]) % 30 + 1) // 2 + 1
-        got = len(per_doc[vid["doc_id"]])
-        assert got == expect, (vid["doc_id"], got, expect)
+    for vid in vids.select("doc_id").collect():
+        # frame count comes from the REAL decoded mvhd duration
+        duration = vid["doc_id"] % 30 + 1
+        assert len(per_doc[vid["doc_id"]]) == int(duration / 2.0) + 1
     # frame 0 is the unrotated payload
     f0 = [r for r in rows if r["frame_idx"] == 0][0]
-    src = {r["doc_id"]: bytes(r["content"]) for r in media.select("doc_id", "content").collect()}
+    src = {
+        r["doc_id"]: bytes(r["content"])
+        for r in media.select("doc_id", "content").collect()
+    }
     assert bytes(f0["frame"]) == src[f0["doc_id"]]
