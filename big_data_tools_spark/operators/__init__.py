@@ -1,3 +1,4 @@
+from .dedup_facade import TIERS, dedup
 from .cleaning import (
     dedup_keep_min,
     null_audit,
@@ -11,6 +12,8 @@ from .star import star_join
 from .windows import top_k_per_group
 
 __all__ = [
+    "dedup",
+    "TIERS",
     "dedup_keep_min",
     "null_audit",
     "recode_enum",

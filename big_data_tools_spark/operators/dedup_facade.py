@@ -1,0 +1,127 @@
+"""One front door for the dedup tiers (r2 VERDICT ask #4).
+
+The repo ships five near-dup implementations because no single
+algorithm is right at every cost/recall point; this facade makes the
+TIER the user-facing choice and keeps the implementations internal.
+
+Cost model (each tier subsumes the one above it in recall, at higher
+cost — pick the FIRST tier that detects what you need to remove):
+
+| tier       | detects                          | plan shape / cost at 100 TB        |
+|------------|----------------------------------|------------------------------------|
+| `exact`    | byte-identical (post-normalize)  | 1 hash shuffle on a 128-bit        |
+|            | copies                           | fingerprint — cheapest, run always |
+| `winnow`   | shared substrings >= k+w-1 chars | posting-list self-join on 8-byte   |
+|            | (quotes, mirrored passages)      | fingerprints; cost tracks shared-  |
+|            |                                  | content density, never all-pairs   |
+| `jaccard`  | high n-gram overlap (EXACT       | inverted-index join + per-pair     |
+|            | Jaccard >= threshold)            | exact overlap; doc-freq capped —   |
+|            |                                  | the verify pass after a candidate  |
+|            |                                  | tier, or standalone at moderate SF |
+| `minhash`  | high n-gram overlap (APPROX,     | one-permutation signatures + salted|
+|            | banded LSH)                      | band join; cost tracks near-dup    |
+|            |                                  | density — the web-scale default    |
+| `simhash`  | small Hamming-distance content   | 64-bit signature band join; tiny   |
+|            | drift (near-identical boiler-    | state per doc — cheapest <i>fuzzy</i>  |
+|            | plate variants)                  | tier when shingle sets are huge    |
+| `semantic` | meaning-level duplicates         | KMeans/IVF bucket + in-cluster     |
+|            | (embedding cosine, SemDeDup)     | cosine (n^2/k, guarded) — needs an |
+|            |                                  | embedding column, costliest        |
+
+Every tier routes to the SAME operator its registry query uses
+(``dedup_exact_docs``, ``dedup_winnow_pairs``, ``dedup_jaccard_pairs``,
+``dedup_minhash_pairs``, ``dedup_simhash``, ``dedup_semantic_groups``),
+so the driver-green correctness evidence transfers to the facade
+verbatim — asserted in tests/test_dedup_facade.py.
+
+``output="groups"`` post-processes pair tiers through the
+connected-components fixpoint (transitive closure, min-id survivor),
+matching the groups form the registry exposes for exact/semantic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .components import connected_components
+from .dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_band_pairs,
+    simhash_candidate_pairs,
+    winnow_pairs,
+)
+from .semdedup import semantic_dedup_groups, semantic_dedup_pairs
+
+TIERS = ("exact", "winnow", "jaccard", "minhash", "simhash", "semantic")
+
+
+def dedup(
+    df: DataFrame,
+    tier: str = "exact",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    output: str = "pairs",
+    **tier_kwargs,
+) -> DataFrame:
+    """Run the selected dedup ``tier`` (see module cost model).
+
+    ``output``: ``"pairs"`` returns the tier's native candidate/match
+    pairs (``id_a < id_b`` + the tier's score column); ``"groups"``
+    returns one row per duplicate-group member ``(id, keep_id)`` with
+    the minimum id as the survivor (transitive closure). The ``exact``
+    tier is inherently grouped; asking it for pairs is refused rather
+    than silently expanding groups quadratically.
+
+    Extra ``tier_kwargs`` pass through to the underlying operator
+    (e.g. ``threshold=`` for jaccard/minhash/semantic, ``min_shared=``
+    for winnow, ``max_hamming=`` for simhash).
+    """
+    if tier not in TIERS:
+        raise ValueError(f"unknown dedup tier {tier!r}; pick one of {TIERS}")
+    if output not in ("pairs", "groups"):
+        raise ValueError(f"output must be 'pairs' or 'groups', got {output!r}")
+
+    if tier == "exact":
+        if output == "pairs":
+            raise ValueError(
+                "tier='exact' is grouped by construction (a size-k group "
+                "would expand to k^2/2 pairs); use output='groups'"
+            )
+        groups = exact_dedup_groups(df, text_col, id_col)
+        # explode back to (id, keep_id) membership — join on the
+        # fingerprint, never pair-expand
+        from .text import fingerprint
+
+        return (
+            df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+            .join(groups.select("fp", "keep_id"), "fp")
+            .select(F.col(id_col).alias("id"), "keep_id")
+        )
+
+    if tier == "semantic":
+        if output == "groups":
+            return semantic_dedup_groups(df, id_col=id_col, vec_col=vec_col, **tier_kwargs)
+        return semantic_dedup_pairs(df, id_col=id_col, vec_col=vec_col, **tier_kwargs)
+
+    if tier == "simhash":
+        from .dedup import simhash64
+
+        n = tier_kwargs.pop("n", 3)
+        pairs = simhash_candidate_pairs(
+            simhash64(df, text_col, id_col, n=n), **tier_kwargs
+        )
+    else:
+        pair_fns = {
+            "winnow": winnow_pairs,
+            "jaccard": jaccard_pairs,
+            "minhash": minhash_band_pairs,
+        }
+        pairs = pair_fns[tier](df, text_col=text_col, id_col=id_col, **tier_kwargs)
+    if output == "pairs":
+        return pairs
+    comps = connected_components(pairs, "id_a", "id_b")
+    return comps.select(F.col("node").alias("id"), F.col("component_id").alias("keep_id"))
