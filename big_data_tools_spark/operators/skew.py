@@ -86,6 +86,34 @@ def salted_self_pairs(
     return track_cache(out, keyed)
 
 
+def with_boilerplate_hotband(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    every_n: int = 10,
+    n_tokens: int = 120,
+) -> DataFrame:
+    """Skew STRESS FIXTURE (r2 VERDICT ask #5): replace every
+    ``every_n``-th document's text with shared boilerplate plus a tiny
+    doc-specific tail. The affected docs' shingle sets are near-
+    identical, so they produce the same MinHash signature and pile
+    behind ONE set of LSH band keys — the realistic worst case
+    (licence headers, templated pages) where an unsalted band
+    self-join funnels d^2/2 candidate pairs through a single reducer.
+    Deterministic (keyed on ``id_col``), so salted-vs-unsalted pair
+    sets are comparable run to run."""
+    # distinct tokens (not periodic): ~n_tokens distinct shingles per
+    # doc, so the doc-specific tail moves pairwise Jaccard only from
+    # 1.0 to ~0.95 — comfortably above any sane near-dup threshold
+    boiler = " ".join(f"boiler{i}" for i in range(n_tokens))
+    hot = F.col(id_col) % every_n == 0
+    text = F.when(
+        hot,
+        F.concat(F.lit(boiler + " tail "), F.col(id_col).cast("string")),
+    ).otherwise(F.col(text_col))
+    return df.withColumn(text_col, text)
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],

@@ -90,6 +90,7 @@ _PRIORITY = [
     "streaming_segment_revenue",  # stream-static broadcast enrich
     # -- round-3 additions --
     "multimodal_features",        # REAL image decode via mapInPandas (r3)
+    "yelp_basetable_mini",        # full pipeline vs DuckDB twin on parquet fixtures (r3)
     # -- one representative per §2 family (driver-green r1/r2; the
     #    rotated-out siblings keep their local oracle-parity coverage) --
     "order_rollup_flagship",      # star join + distributed scalar + datediff
