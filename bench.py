@@ -62,6 +62,10 @@ HEADLINE = [
     # rewrite (widest single-shuffle window plan)
     "customer_scd2_merge",
     "waiting_supplier_lines",
+    # round-3: BM25 retrieval + unigram-LM quality filter (broadcast
+    # model join over the exploded token stream)
+    "bm25_topk_docs",
+    "doc_perplexity_by_source",
 ]
 
 

@@ -91,6 +91,8 @@ _PRIORITY = [
     # -- round-3 additions --
     "multimodal_features",        # REAL image decode via mapInPandas (r3)
     "yelp_basetable_mini",        # full pipeline vs DuckDB twin on parquet fixtures (r3)
+    "bm25_topk_docs",             # Okapi BM25 lexical retrieval (r3)
+    "doc_perplexity_by_source",   # unigram-LM quality filter, CCNet shape (r3)
     # -- one representative per §2 family (driver-green r1/r2; the
     #    rotated-out siblings keep their local oracle-parity coverage) --
     "order_rollup_flagship",      # star join + distributed scalar + datediff
@@ -104,8 +106,6 @@ _PRIORITY = [
     "pretraining_corpus_pipeline",  # composed corpus capstone
     "benchmark_contamination",    # train-vs-eval n-gram overlap
     "token_shard_packing",        # bucketed token-budget pack
-    "doc_repetition_by_source",   # Gopher repetition filter
-    "source_mixture_plan",        # domain-mixture rebalance
     "customer_scd2_merge",        # SCD-2 dimension merge
     "doc_chunk_windows",          # stride-window chunking
     "part_like_filter",           # LIKE disjunction

@@ -1,0 +1,200 @@
+"""Retrieval & LM-quality scoring over the document corpus (round-3
+additions to the §2.11 LLM-data-pipeline surface).
+
+Two classic text-pipeline scorers, both pure Catalyst expressions with
+exact DuckDB twins:
+
+- **BM25** (Robertson/Sparck Jones; the Okapi formula) — the lexical
+  retrieval baseline every RAG stack starts from. Corpus statistics
+  (df_t, avgdl, N) are computed distributed, the query's terms are a
+  tiny literal set, and scoring is one shuffle per aggregation level —
+  no all-pairs anything.
+- **Unigram LM negative-log-likelihood** per document, rolled up by
+  source — the shape of CCNet's LM-perplexity quality filter (Wenzek
+  et al., LREC 2020): score each document against a language model
+  trained on the corpus itself, flag outlier sources. A real pipeline
+  swaps the unigram model for KenLM; the dataflow (model build ->
+  broadcast -> per-token score -> two-level rollup) is identical.
+
+Float policy: ln() last-ulp differences between engines are absorbed
+by the functions/agg.py quantize-then-decimal-sum policy (same as the
+oracle-green tfidf_top_terms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.agg import dmean, sql_dmean
+from ..io.sources import load_table
+from ..operators.text import token_count, tokens
+from .registry import register
+
+# Fixed query for the BM25 demo: deterministic, present in every SF's
+# synthetic vocabulary.
+_BM25_TERMS = ("spark", "join", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "bm25_topk_docs",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ), doclen AS (
+        SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                   AS dl
+        FROM documents
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               sum(dl) * 1.0 / count(*) AS avgdl
+        FROM doclen
+    ), tf AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE w IN ({_TERMS_SQL}) GROUP BY doc_id, w
+    ), idf AS (
+        SELECT w,
+               ln((s.n_docs - count(DISTINCT t.doc_id) + 0.5)
+                  / (count(DISTINCT t.doc_id) + 0.5) + 1) AS idf
+        FROM tf t CROSS JOIN stats s GROUP BY w, s.n_docs
+    ), scored AS (
+        SELECT t.doc_id,
+               i.idf * t.tf * ({_BM25_K1} + 1)
+               / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+                  + {_BM25_B} * d.dl / s.avgdl)) AS term_score
+        FROM tf t
+        JOIN idf i USING (w)
+        JOIN doclen d USING (doc_id)
+        CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           round(CAST(sum(CAST(round(term_score, 6) AS DECIMAL(28,8)))
+                      AS DOUBLE), 4) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT {_BM25_TOPK}
+    """,
+    doc="Okapi BM25 top-k retrieval for a literal query term set: "
+    "corpus stats distributed (df per term, global avgdl as a "
+    "broadcast 1-row aggregate), per-(doc,term) scores summed with "
+    "the quantized-decimal policy, TakeOrderedAndProject for the "
+    "top-k. Scale shape: the only shuffles are the grouped tf/df "
+    "aggregations — candidate set is docs CONTAINING a query term "
+    "(inverted-index semantics via the early isin filter on the "
+    "exploded tokens), never the full corpus x query product.",
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    doclen = d.select("doc_id", token_count(F.col("text")).alias("dl"))
+
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+    tf = (
+        toks.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("w")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "w",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1).alias(
+                "idf"
+            ),
+        )
+    )
+    term_score = (
+        F.col("idf")
+        * F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "w")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select("doc_id", term_score.alias("term_score"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.round(F.col("term_score"), 6).cast("decimal(28,8)")).cast("double"),
+            4,
+        ).alias("bm25")
+    )
+    return per_doc.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(_BM25_TOPK)
+
+
+@register(
+    "doc_perplexity_by_source",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ), filtered AS (
+        SELECT * FROM toks WHERE w <> ''
+    ), model AS (
+        SELECT w, count(*) * 1.0 / (SELECT count(*) FROM filtered) AS p
+        FROM filtered GROUP BY w
+    ), per_doc AS (
+        SELECT doc_id, source,
+               round(CAST(sum(CAST(round(-ln(m.p), 6) AS DECIMAL(28,8)))
+                          AS DOUBLE) / count(*), 6) AS nll
+        FROM filtered f JOIN model m USING (w)
+        GROUP BY doc_id, source
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           {sql_dmean('nll', 3)} AS avg_nll
+    FROM per_doc GROUP BY source
+    """,
+    doc="Unigram-LM quality scoring (the CCNet perplexity-filter "
+    "shape): token probabilities from the corpus itself, per-document "
+    "mean negative log-likelihood, rolled up per source. Scale shape: "
+    "the model (vocab -> p) is a grouped count — bounded by vocabulary "
+    "size, broadcast to the scoring join so the token stream never "
+    "shuffles on the (power-law hot) token key; per-doc and per-source "
+    "rollups are ordinary combiner-friendly aggregations. Swap the "
+    "broadcast for an AQE skew join when the vocab outgrows the "
+    "broadcast threshold (real subword vocabs don't).",
+)
+def doc_perplexity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
+    model = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .crossJoin(F.broadcast(total))
+        .select("w", (F.col("tc") * F.lit(1.0) / F.col("n_tokens")).alias("p"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(model), "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.sum(F.round(-F.log("p"), 6).cast("decimal(28,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("nll")
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dmean(F.col("nll"), 3).alias("avg_nll"),
+    )
