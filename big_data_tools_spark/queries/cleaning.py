@@ -123,3 +123,39 @@ def bulk_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("region_key", "region_name")
         .agg(F.count(F.lit(1)).alias("n_nations"))
     )
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       CAST(count(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@register(
+    "orders_profile",
+    sql=_PROFILE_SQL,
+    doc="Single-pass schema-wide profile (operators/profile.py): "
+    "every column's null count + distinct count from ONE aggregation, "
+    "long-form output. Modernizes the reference's per-table inspection "
+    "loop (shape probes :39-723, distinct audits :228-266, uniqueness "
+    "probe :296 — one full job each there). Exact distinct here for "
+    "the oracle; approx=True (HLL++, no Expand) is the 100 TB form.",
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_table
+
+    return profile_table(
+        load_table(spark, sf_dir, "orders"), columns=list(_PROFILE_COLS)
+    )

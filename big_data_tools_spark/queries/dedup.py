@@ -285,3 +285,63 @@ def dedup_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edits") <= _FUZZY_MAX_EDITS)
     )
     return pairs.select("id_a", "id_b", F.col("edits").cast("long").alias("edits"))
+
+
+_SEG_TOKENS = 16
+_SEG_MIN_DOCS = 2
+
+
+@register(
+    "dedup_segments_reassembled",
+    sql=f"""
+    WITH base AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), segs AS (
+        SELECT doc_id, CAST(i AS INT) AS seg_idx,
+               array_to_string(
+                   toks[(i*{_SEG_TOKENS}+1):(i*{_SEG_TOKENS}+{_SEG_TOKENS})],
+                   ' ') AS seg
+        FROM base,
+             UNNEST(range(CAST(greatest(ceil(len(toks)/{_SEG_TOKENS}.0), 1)
+                               AS BIGINT))) AS t(i)
+    ), hashed AS (
+        SELECT *, md5(seg) AS h FROM segs
+    ), dup AS (
+        SELECT h FROM hashed GROUP BY h
+        HAVING count(DISTINCT doc_id) >= {_SEG_MIN_DOCS}
+    ), marked AS (
+        SELECT doc_id, seg_idx, seg, h IN (SELECT h FROM dup) AS is_dup
+        FROM hashed
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_seg,
+           CAST(count(CASE WHEN is_dup THEN 1 END) AS BIGINT) AS n_removed,
+           md5(coalesce(string_agg(CASE WHEN NOT is_dup THEN seg END,
+                                   ' ' ORDER BY seg_idx), '')) AS cleaned_fp
+    FROM marked GROUP BY doc_id
+    """,
+    doc="Segment-level dedup with reassembly (CCNet/RefinedWeb "
+    "line-dedup shape, operators/segdedup.py): drop fixed-token-run "
+    "segments repeating across >= 2 docs, stitch survivors back in "
+    "order; output pins the reassembled text via md5 so the oracle "
+    "hash-checks the reconstruction, not just the removal counts. "
+    "Scale shape: pure-expression segmentation, one combiner-friendly "
+    "agg on the segment hash, duplicated-hash set joined back (small "
+    "-> AQE broadcast), one bounded-state per-doc reassembly agg.",
+)
+def dedup_segments_reassembled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.segdedup import segment_dedup
+
+    out = segment_dedup(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        seg_tokens=_SEG_TOKENS,
+        min_docs=_SEG_MIN_DOCS,
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_seg").cast("long").alias("n_seg"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.md5(F.col("cleaned_text")).alias("cleaned_fp"),
+    )

@@ -93,6 +93,9 @@ _PRIORITY = [
     "yelp_basetable_mini",        # full pipeline vs DuckDB twin on parquet fixtures (r3)
     "bm25_topk_docs",             # Okapi BM25 lexical retrieval (r3)
     "doc_perplexity_by_source",   # unigram-LM quality filter, CCNet shape (r3)
+    "dedup_segments_reassembled",  # CCNet/RefinedWeb segment dedup + reassembly (r3)
+    "dsir_target_selection",      # DSIR importance-based data selection (r3)
+    "orders_profile",             # single-pass schema-wide profiling (r3)
     # -- one representative per §2 family (driver-green r1/r2; the
     #    rotated-out siblings keep their local oracle-parity coverage) --
     "order_rollup_flagship",      # star join + distributed scalar + datediff
@@ -115,13 +118,16 @@ _PRIORITY = [
     "status_recode_operator",     # fold-left recode, batched withColumns
     "lineitem_metric_unpivot",    # unpivot/stack
     "string_date_parse",          # to_timestamp both patterns + ltrim
-    "fillna_policy",              # const + computed fill
-    "hours_parse",                # split/substring_index/concat hours
-    "map_literal_parse",          # translate + create_map + map explode
     "events_props_extract",       # semi-structured JSON extraction
     # ---- window boundary (~50) ----
     # past-window: driver-green in r1/r2, families represented above;
     # all still oracle-checked locally every round
+    # (fillna_policy / hours_parse / map_literal_parse rotated out
+    # mid-round-3 to make room for the segment-dedup / DSIR / profile
+    # additions — all three are r2-driver-green and stay parity-tested)
+    "fillna_policy",              # const + computed fill
+    "hours_parse",                # split/substring_index/concat hours
+    "map_literal_parse",          # translate + create_map + map explode
     "salted_status_rollup",
     "event_funnel",
     "user_value_hourly_ffill",
