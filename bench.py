@@ -66,6 +66,11 @@ HEADLINE = [
     # model join over the exploded token stream)
     "bm25_topk_docs",
     "doc_perplexity_by_source",
+    # round-3b: segment-level dedup (segment-hash agg + reassembly)
+    # and DSIR selection (widest feature stream in the repo — unigram
+    # + bigram explode scored against a broadcast log-ratio model)
+    "dedup_segments_reassembled",
+    "dsir_target_selection",
 ]
 
 

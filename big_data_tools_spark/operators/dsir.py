@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .cache import track_cache
 from .text import tokens
 
 
@@ -84,9 +85,16 @@ def dsir_weights(
             "f", F.pmod(F.xxhash64(F.col("f")), F.lit(hash_buckets))
         )
 
-    model = feats.groupBy("f").agg(
-        F.count(F.lit(1)).alias("rc"),
-        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("tc"),
+    # the fitted model is vocabulary-sized — persist it so the totals
+    # aggregate, the broadcast build, and the scoring join share ONE
+    # counting pass over the feature stream instead of three
+    model = (
+        feats.groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("rc"),
+            F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("tc"),
+        )
+        .persist()
     )
     totals = model.agg(
         F.sum("rc").alias("t_raw"),
@@ -100,7 +108,7 @@ def dsir_weights(
         model.crossJoin(F.broadcast(totals)).select("f", llr.alias("llr"))
     )
 
-    return (
+    out = (
         feats.join(F.broadcast(scored_model), "f")
         .groupBy(id_col, *(keep_cols or []))
         .agg(
@@ -110,3 +118,4 @@ def dsir_weights(
             ).alias("dsir_weight")
         )
     )
+    return track_cache(out, model)
