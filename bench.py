@@ -88,7 +88,10 @@ def main() -> None:
     # MinHash signature/banding pipeline), then the timed run.
     # Single-run numbers mix seconds of one-time JVM compilation into
     # sub-second queries.
-    from big_data_tools_spark.operators.cache import release_caches
+    from big_data_tools_spark.operators.cache import (
+        release_all_caches,
+        release_caches,
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -101,6 +104,10 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             n = df.count()
             release_caches(df)
+            # wrapper transforms can drop the per-frame cache tag;
+            # sweep the session-global registry so nothing leaks into
+            # the next timed run
+            release_all_caches()
             return n
 
         for _ in range(2):
@@ -137,6 +144,7 @@ def main() -> None:
             df.count()
             dt = time.perf_counter() - t0
             release_caches(df)
+            release_all_caches()
             return dt
 
         one()  # warm

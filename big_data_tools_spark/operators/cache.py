@@ -14,9 +14,21 @@ accumulate cached partitions across a shared session.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 
 _ATTR = "_bdt_cached_frames"
+
+# Every frame ever tagged, session-wide. Tags ride Python DataFrame
+# objects, so any wrapper transformation (.select/.join/.groupBy)
+# silently drops them — a query that post-processes a tagged operator
+# result returns an untagged frame and release_caches() on it frees
+# nothing. Harness code (bench.py, the oracle compare, test fixtures)
+# therefore calls release_all_caches() between queries, which frees
+# everything regardless of tag propagation. WeakSet so the registry
+# never keeps frames alive by itself.
+_LIVE: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
 
 
 def track_cache(out: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -28,6 +40,8 @@ def track_cache(out: DataFrame, *cached: DataFrame) -> DataFrame:
         if c.is_cached:
             frames.append(c)
     setattr(out, _ATTR, frames)
+    for f in frames:
+        _LIVE.add(f)
     return out
 
 
@@ -42,3 +56,36 @@ def release_caches(df: DataFrame) -> None:
             pass
     if hasattr(df, _ATTR):
         setattr(df, _ATTR, [])
+
+
+def release_all_caches() -> None:
+    """Unpersist every frame any operator has tagged this session AND
+    sweep the JVM's persistent-RDD registry. The between-queries sweep
+    for harness loops (bench, oracle compare): frees persisted
+    intermediates even when (a) a query's wrapper transformations
+    dropped the per-frame tag, or (b) the storage belongs to a
+    ``localCheckpoint`` (fixpoint loops), whose blocks are unreachable
+    from any DataFrame handle — ``df.unpersist()`` cannot free them.
+
+    Call only at a point where no query is still mid-flight: swept
+    checkpoint frames cannot be recomputed (lineage is truncated), so
+    consumers must rebuild from the query function, which harness
+    loops do anyway."""
+    for c in list(_LIVE):
+        try:
+            c.unpersist()
+        except Exception:
+            pass
+    _LIVE.clear()
+
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return
+    try:
+        it = s.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+    except Exception:  # context shutting down — nothing to free
+        pass

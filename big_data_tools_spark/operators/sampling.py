@@ -125,3 +125,35 @@ def hash_topk_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def shuffle_shards(
+    df: DataFrame, key_col: str, n_shards: int, salt: str = "s0"
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training export.
+
+    Training runs want the corpus in a reproducible pseudo-random
+    order, split into fixed shards, independent of source file layout.
+    Hash ordering delivers all three: ``shard_id`` = first bytes of
+    md5(key || salt) mod n_shards, ``shard_pos`` = rank of the same
+    digest WITHIN the shard. Changing ``salt`` reshuffles; same inputs
+    always produce the same (shard_id, shard_pos).
+
+    Scale shape: one window shuffle partitioned BY SHARD — there is no
+    global sort; each shard orders independently, so parallelism is
+    n_shards regardless of corpus size (size n_shards to the cluster).
+    md5 (not xxhash64) so a DuckDB oracle reproduces the bytes.
+    """
+    digest = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    shard = F.pmod(F.conv(F.substring(digest, 1, 8), 16, 10).cast("long"), n_shards)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard_id").orderBy(
+        F.col("__digest").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__digest", digest)
+        .withColumn("shard_id", shard.cast("int"))
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .drop("__digest")
+    )

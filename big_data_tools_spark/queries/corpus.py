@@ -344,3 +344,39 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token_id") <= _VOCAB_SIZE)
         .select("token_id", F.col("w").alias("token"), "freq")
     )
+
+
+_BPE_MERGES = 30
+
+
+@register(
+    "bpe_corpus_stats",
+    sql=None,  # greedy BPE fit is iterative (driver argmax per merge) — not SQL-expressible
+    doc="Distributed BPE tokenizer fit + corpus encode "
+    "(operators/bpe.py): one full-corpus word count, 30 greedy merge "
+    "rounds on the vocabulary-bounded distinct-word table, then the "
+    "corpus re-encoded through the broadcast word->subwords "
+    "dictionary; per-source subword/word totals and compression. "
+    "Deterministic (lexicographic merge tie-break); golden merges and "
+    "encoder equivalence pinned in tests/test_bpe.py.",
+)
+def bpe_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode_with_vocab, bpe_train
+    from ..operators.cache import track_cache
+
+    d = load_table(spark, sf_dir, "documents")
+    _, vocab = bpe_train(d, "text", num_merges=_BPE_MERGES, min_freq=2)
+    encoded = bpe_encode_with_vocab(d, "text", "doc_id", vocab)
+    joined = d.select("doc_id", "source").join(encoded, "doc_id")
+    out = (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("bpe_tokens")).alias("total_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+    # the tag on `encoded` (the persisted vocab) does not survive the
+    # join/groupBy wrappers — re-tag the query's return frame so the
+    # caller's release_caches frees the vocab
+    return track_cache(out, encoded)

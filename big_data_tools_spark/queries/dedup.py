@@ -89,9 +89,12 @@ def dedup_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_band_pairs
 
+    from ..operators.cache import track_cache
+
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_band_pairs(d, "text", "doc_id", n=3, threshold=0.7)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    out = pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    return track_cache(out, pairs)  # re-tag: .select drops the tag
 
 
 @register(
@@ -186,13 +189,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
+    from ..operators.cache import track_cache
+
     d = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=1000)
     comp = connected_components(pairs)
-    return comp.groupBy("component_id").agg(
+    out = comp.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.count(F.lit(1)) - 1).alias("n_removable"),
     )
+    return track_cache(out, pairs, comp)  # re-tag: groupBy drops the tag
 
 
 def _winnow_pairs_sql() -> str:

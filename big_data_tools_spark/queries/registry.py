@@ -96,6 +96,7 @@ _PRIORITY = [
     "dedup_segments_reassembled",  # CCNet/RefinedWeb segment dedup + reassembly (r3)
     "dsir_target_selection",      # DSIR importance-based data selection (r3)
     "orders_profile",             # single-pass schema-wide profiling (r3)
+    "corpus_shuffle_shards",      # deterministic shuffle + sharding for export (r3)
     # -- one representative per §2 family (driver-green r1/r2; the
     #    rotated-out siblings keep their local oracle-parity coverage) --
     "order_rollup_flagship",      # star join + distributed scalar + datediff
@@ -116,10 +117,10 @@ _PRIORITY = [
     "segment_pivot",              # pivot with declared values
     "custkey_overlap_setops",     # intersect/except
     "status_recode_operator",     # fold-left recode, batched withColumns
-    "lineitem_metric_unpivot",    # unpivot/stack
     "string_date_parse",          # to_timestamp both patterns + ltrim
     "events_props_extract",       # semi-structured JSON extraction
     # ---- window boundary (~50) ----
+    "lineitem_metric_unpivot",    # unpivot/stack (r2-green; rotated out for corpus_shuffle_shards)
     # past-window: driver-green in r1/r2, families represented above;
     # all still oracle-checked locally every round
     # (fillna_policy / hours_parse / map_literal_parse rotated out

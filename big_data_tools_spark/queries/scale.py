@@ -245,3 +245,45 @@ def orders_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return report.orderBy("check_name")
+
+
+_SHUFFLE_SHARDS = 8
+_SHUFFLE_SALT = "s0"
+
+
+@register(
+    "corpus_shuffle_shards",
+    sql=f"""
+    WITH d AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || '{_SHUFFLE_SALT}') AS dg
+        FROM documents
+    ), s AS (
+        SELECT doc_id, dg,
+               CAST(CAST(concat('0x', substring(dg, 1, 8)) AS BIGINT)
+                    % {_SHUFFLE_SHARDS} AS INT) AS shard_id
+        FROM d
+    )
+    SELECT doc_id, shard_id,
+           CAST(row_number() OVER (PARTITION BY shard_id
+                                   ORDER BY dg, doc_id) AS BIGINT) AS shard_pos
+    FROM s
+    """,
+    doc="Deterministic corpus shuffle + sharding for training export "
+    "(operators/sampling.py shuffle_shards): md5(key||salt) assigns a "
+    "reproducible pseudo-random shard and within-shard order, "
+    "independent of input file layout. Scale shape: the only shuffle "
+    "is a window PARTITIONED BY SHARD — no global sort task; "
+    "parallelism = n_shards at any corpus size. Change the salt to "
+    "reshuffle between epochs.",
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import shuffle_shards
+
+    out = shuffle_shards(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        n_shards=_SHUFFLE_SHARDS,
+        salt=_SHUFFLE_SALT,
+    )
+    return out.select("doc_id", "shard_id", "shard_pos")

@@ -69,6 +69,8 @@ _DSIR_TOPK = 100
 )
 def dsir_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    from ..operators.cache import track_cache
+
     weights = dsir_weights(
         d,
         "text",
@@ -77,6 +79,7 @@ def dsir_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=_DSIR_ALPHA,
         keep_cols=["source"],
     )
-    return weights.orderBy(
+    out = weights.orderBy(
         F.col("dsir_weight").desc(), F.col("doc_id").asc()
     ).limit(_DSIR_TOPK)
+    return track_cache(out, weights)  # re-tag: orderBy/limit drop the tag

@@ -259,3 +259,21 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
         k=5,
     )
+
+
+@register(
+    "knn_pq_ann",
+    sql=None,  # PQ codebooks are Spark-seeded KMeans; no SQL twin
+    doc="Product-quantization ANN with exact re-rank (operators/pq.py; "
+    "Jegou et al. TPAMI 2011 + FAISS refine): m=16 seeded sub-codebooks, "
+    "corpus stored as 16 small codes, asymmetric-distance scoring via "
+    "per-query broadcast lookup tables (pure expressions, corpus never "
+    "shuffles), top-50 shortlist re-scored with exact cosine. Recall "
+    "vs brute force pinned in tests/test_pq.py (>=0.8 measured 1.0).",
+)
+def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(emb, queries, k=5, m=16, k_codes=16, refine=50)

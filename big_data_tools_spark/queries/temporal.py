@@ -133,7 +133,7 @@ def purchase_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clicks_1h"),
         F.sum(F.col("value").cast("decimal(18,2)")).alias("v_dec"),
     )
-    return purch.join(counts, on=["event_id", "user_id"], how="left").select(
+    out = purch.join(counts, on=["event_id", "user_id"], how="left").select(
         "event_id",
         "user_id",
         F.coalesce("n_clicks_1h", F.lit(0)).alias("n_clicks_1h"),
@@ -144,6 +144,9 @@ def purchase_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("click_value_1h"),
     )
+    from ..operators.cache import track_cache
+
+    return track_cache(out, pairs)  # re-tag: groupBy/join drop the tag
 
 
 @register(

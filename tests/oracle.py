@@ -39,12 +39,13 @@ def rowset(cols, rows) -> tuple:
 
 
 def compare(spark, spec, sf_dir: str) -> tuple[bool, str]:
-    from big_data_tools_spark.operators.cache import release_caches
+    from big_data_tools_spark.operators.cache import release_all_caches, release_caches
 
     sdf = spec.fn(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
     release_caches(sdf)  # free operator-persisted intermediates
+    release_all_caches()  # ...including tags dropped by query wrappers
 
     con = duckdb_connect(sf_dir)
     cur = con.execute(spec.sql)

@@ -29,9 +29,10 @@ def test_oracle_parity(spark, spec):
 
 @pytest.mark.parametrize("spec", ROWS_ONLY, ids=[s.name for s in ROWS_ONLY])
 def test_rows_only_runs(spark, spec):
-    from big_data_tools_spark.operators.cache import release_caches
+    from big_data_tools_spark.operators.cache import release_all_caches, release_caches
 
     df = spec.fn(spark, SF)
     assert df.count() >= 0
     assert len(df.columns) > 0
     release_caches(df)
+    release_all_caches()
