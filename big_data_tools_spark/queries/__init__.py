@@ -19,6 +19,7 @@ from . import mlstream  # noqa: E402,F401
 from . import scale  # noqa: E402,F401
 from . import temporal  # noqa: E402,F401
 from . import tpch_classic  # noqa: E402,F401
+from . import tpch_fill  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 from . import dimensions  # noqa: E402,F401
 from . import basetable  # noqa: E402,F401

@@ -1,0 +1,607 @@
+"""TPC-H fill-in set: the ten classic decision-support shapes the repo
+did not yet cover (Q2/Q3/Q6/Q9/Q10/Q12/Q13/Q14/Q16/Q20 analogs),
+completing the full 22-query family alongside ``tpch_classic.py``
+(Q4/Q7/Q8/Q11/Q15/Q17/Q18/Q19/Q21/Q22) and ``relational.py``
+(Q1 `pricing_summary`, Q5 `regional_revenue`).
+
+The driver testdata carries no PARTSUPP table and no
+l_commitdate/l_receiptdate/l_shipmode columns, so the queries that
+need them (Q2/Q12/Q16/Q20) are restated over lineitem with the SAME
+plan shape: correlated min → window-min over a pre-aggregate (Q2),
+two-branch conditional counts on a residual date predicate (Q12),
+distinct-count by part attributes with an anti-joined supplier
+blocklist (Q16), nested aggregate → dominance threshold → semi join
+(Q20). Widens SURVEY.md §2.4-§2.6 the same way the classic module
+does (reference users write these ad hoc; the reference notebook
+itself — `Databricks Notebook.py` — has no decision-support suite).
+
+Scale notes in each docstring. Float policy: functions/agg exact
+decimal sums; min/max are exact so threshold ties are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.agg import dsum, sql_dsum
+from ..io.sources import load_table
+from .registry import register
+
+_Q2_REGION = "EUROPE"
+_Q2_SIZE_LO, _Q2_SIZE_HI = 10, 20
+_Q2_TYPE = "LARGE"
+
+
+@register(
+    "regional_min_price_suppliers",
+    sql=f"""
+    WITH eu_supp AS (
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = '{_Q2_REGION}'
+    ), sel_part AS (
+        SELECT p_partkey, p_name FROM part
+        WHERE p_size BETWEEN {_Q2_SIZE_LO} AND {_Q2_SIZE_HI}
+          AND p_type = '{_Q2_TYPE}'
+    ), offer AS (
+        SELECT l.l_partkey, l.l_suppkey, min(l.l_extendedprice) AS offer_price
+        FROM lineitem l
+        JOIN sel_part p ON p.p_partkey = l.l_partkey
+        JOIN eu_supp s ON s.s_suppkey = l.l_suppkey
+        GROUP BY l.l_partkey, l.l_suppkey
+    ), best AS (
+        SELECT *, min(offer_price) OVER (PARTITION BY l_partkey) AS part_min
+        FROM offer
+    )
+    SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+           b.offer_price AS min_price
+    FROM best b
+    JOIN sel_part p ON p.p_partkey = b.l_partkey
+    JOIN eu_supp s ON s.s_suppkey = b.l_suppkey
+    WHERE b.offer_price = b.part_min
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier per part in a region), "
+    "restated over lineitem offers since the testdata has no PARTSUPP: "
+    "the correlated `ps_supplycost = (SELECT min ...)` subquery becomes "
+    "a window-min over a (part, supplier) pre-aggregate — one shuffle "
+    "on l_partkey serves both the per-pair min and the per-part min. "
+    "Part and supplier dims are filtered FIRST and broadcast, so at "
+    "100 TB the fact scan is pruned by two broadcast semi-join sides "
+    "(DPP-eligible) before any shuffle; min() is exact, so min-price "
+    "ties are engine-deterministic and all tied suppliers are kept "
+    "(the original's ORDER-BY-limit tie handling, minus the limit).",
+)
+def regional_min_price_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    eu_supp = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == _Q2_REGION)),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select("s_suppkey", "s_name")
+    )
+    sel_part = part.filter(
+        F.col("p_size").between(_Q2_SIZE_LO, _Q2_SIZE_HI)
+        & (F.col("p_type") == _Q2_TYPE)
+    ).select("p_partkey", "p_name")
+
+    offer = (
+        lineitem.join(F.broadcast(sel_part), lineitem.l_partkey == sel_part.p_partkey)
+        .join(F.broadcast(eu_supp), lineitem.l_suppkey == eu_supp.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("offer_price"))
+    )
+    best = offer.withColumn(
+        "part_min", F.min("offer_price").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("offer_price") == F.col("part_min"))
+    return (
+        best.join(F.broadcast(sel_part), best.l_partkey == sel_part.p_partkey)
+        .join(F.broadcast(eu_supp), best.l_suppkey == eu_supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            F.col("offer_price").alias("min_price"),
+        )
+    )
+
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1998-06-01"
+
+
+@register(
+    "segment_top_open_orders",
+    sql=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+      AND o.o_orderdate < TIMESTAMP '{_Q3_DATE}'
+      AND l.l_shipdate > TIMESTAMP '{_Q3_DATE}'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 (shipping priority): top-10 unshipped-revenue orders "
+    "for one market segment as of a pivot date. The segment filter "
+    "prunes customer before its broadcast; both date predicates push "
+    "to the parquet scans (row-group skipping on o_orderdate and "
+    "l_shipdate). lineitem shuffles once on l_orderkey for the "
+    "revenue rollup; the final ORDER BY + LIMIT plans as "
+    "TakeOrderedAndProject (per-partition top-10, then a 10-row "
+    "driver merge — no global sort). Exact decimal revenue makes the "
+    "top-10 cut deterministic; l_orderkey tie-break pins the order.",
+)
+def segment_top_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    cust = customer.filter(F.col("c_mktsegment") == _Q3_SEGMENT).select("c_custkey")
+    open_orders = orders.filter(
+        F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp")
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    unshipped = lineitem.filter(
+        F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp")
+    )
+    return (
+        unshipped.join(open_orders, unshipped.l_orderkey == open_orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q6_START, _Q6_END = "1997-01-01", "1998-01-01"
+_Q6_DISC_LO, _Q6_DISC_HI = 0.05, 0.07
+_Q6_MAX_QTY = 24
+
+
+@register(
+    "narrow_discount_revenue",
+    sql=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS promo_revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q6_START}'
+      AND l_shipdate <  TIMESTAMP '{_Q6_END}'
+      AND l_discount BETWEEN {_Q6_DISC_LO} AND {_Q6_DISC_HI}
+      AND l_quantity < {_Q6_MAX_QTY}
+    """,
+    doc="TPC-H Q6 (forecasting revenue change): a pure scan-filter-"
+    "aggregate with no join — the canonical pushdown probe. All three "
+    "predicates (ship-date range, discount band, quantity cap) reach "
+    "the parquet reader as PushedFilters, so row groups outside the "
+    "year or the discount band never decompress; the single global "
+    "aggregate is a partial-agg + 1-row exchange. At 100 TB this is "
+    "scan-bound and embarrassingly parallel — the plan to beat for "
+    "any engine. Discount bounds compare against the same stored "
+    "doubles in both engines, so the band membership is deterministic.",
+)
+def narrow_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sel = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(_Q6_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q6_END).cast("timestamp"))
+        & F.col("l_discount").between(_Q6_DISC_LO, _Q6_DISC_HI)
+        & (F.col("l_quantity") < _Q6_MAX_QTY)
+    )
+    return sel.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("promo_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q9_NAME_FRAG = "widget"
+
+
+@register(
+    "nation_product_profit",
+    sql=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           {sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)'
+                     ' - p.p_retailprice * l.l_quantity * 0.9')} AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%{_Q9_NAME_FRAG}%'
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 (product-type profit): per supplier-nation, per "
+    "order-year profit on parts matching a name fragment. With no "
+    "PARTSUPP, supply cost is proxied by 0.9 * p_retailprice * "
+    "quantity (same expression shape as ps_supplycost * l_quantity). "
+    "part/supplier/nation are broadcast — the name-LIKE prunes part "
+    "before broadcast so the fact join is a pruned broadcast probe; "
+    "the only shuffles are lineitem<->orders co-partitioning on "
+    "l_orderkey and the (nation, year) rollup. Profit is a per-row "
+    "double quantized then decimal-summed (dsum), so the grouped "
+    "totals are order- and engine-independent.",
+)
+def nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+
+    sel_part = part.filter(F.col("p_name").like(f"%{_Q9_NAME_FRAG}%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+
+    joined = (
+        lineitem.join(F.broadcast(sel_part), lineitem.l_partkey == sel_part.p_partkey)
+        .join(F.broadcast(supp_nation), lineitem.l_suppkey == supp_nation.s_suppkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    )
+    profit = F.col("l_extendedprice") * (1.0 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.9
+    return (
+        joined.select(
+            "nation",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            profit.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount")).alias("profit"))
+    )
+
+
+_Q10_START, _Q10_END = "1997-01-01", "1997-04-01"
+
+
+@register(
+    "returned_item_customers",
+    sql=f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
+           c.c_acctbal, n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '{_Q10_START}'
+      AND o.o_orderdate <  TIMESTAMP '{_Q10_END}'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, nation
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 (returned-item reporting): top-20 customers by "
+    "revenue lost to returns in one quarter. The returnflag and the "
+    "quarter both push to the scans; lineitem and the pruned orders "
+    "co-partition on orderkey (one fact shuffle), then ONE more "
+    "shuffle to customer grain where the broadcast customer/nation "
+    "attributes graft on. ORDER BY + LIMIT 20 plans as "
+    "TakeOrderedAndProject; exact decimal revenue + custkey tie-break "
+    "make the cut deterministic.",
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+
+    q_orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit(_Q10_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q10_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    per_cust = (
+        returned.join(q_orders, returned.l_orderkey == q_orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    cust_dim = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+    return (
+        per_cust.join(cust_dim, per_cust.o_custkey == cust_dim.c_custkey)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q12_LATE_DAYS = 60
+_HIGH_PRIO = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "late_line_priority_split",
+    sql=f"""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL {_Q12_LATE_DAYS} DAY
+    GROUP BY l.l_linestatus
+    """,
+    doc="TPC-H Q12 shape (shipmode/priority split): lines shipped more "
+    "than 60 days after their order, split into high- vs low-priority "
+    "conditional counts per line status (l_linestatus standing in for "
+    "the absent l_shipmode, the ship-delay residual for the absent "
+    "commit/receipt dates). One co-partitioned fact join on orderkey "
+    "with the date comparison as a residual join predicate, then a "
+    "2-group conditional-count rollup — partial aggregation collapses "
+    "each map task to at most 2 rows before the exchange.",
+)
+def late_line_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    cond = (lineitem.l_orderkey == orders.o_orderkey) & (
+        lineitem.l_shipdate
+        > orders.o_orderdate + F.expr(f"INTERVAL {_Q12_LATE_DAYS} DAYS")
+    )
+    late = lineitem.join(orders, cond)
+    is_high = F.col("o_orderpriority").isin(list(_HIGH_PRIO))
+    return late.groupBy("l_linestatus").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+_Q13_EXCLUDED_PRIO = "5-LOW"
+
+
+@register(
+    "customer_order_count_distribution",
+    sql=f"""
+    WITH per_cust AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS c_count
+        FROM orders
+        WHERE o_orderpriority <> '{_Q13_EXCLUDED_PRIO}'
+        GROUP BY o_custkey
+    )
+    SELECT COALESCE(p.c_count, 0) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM customer c
+    LEFT JOIN per_cust p ON p.o_custkey = c.c_custkey
+    GROUP BY COALESCE(p.c_count, 0)
+    """,
+    doc="TPC-H Q13 (customer order-count distribution): how many "
+    "customers placed exactly N qualifying orders, INCLUDING the "
+    "zero-order customers (the left-outer subtlety that makes Q13 a "
+    "correctness trap). Orders pre-aggregate to customer grain FIRST "
+    "— the left join then moves |customers| + |distinct custkeys| "
+    "rows instead of |orders| (and AQE broadcasts the aggregated "
+    "side when it fits); the priority exclusion stands in for the "
+    "original's comment NOT LIKE filter. Second rollup groups the "
+    "per-customer counts into the distribution — at most "
+    "max-orders-per-customer rows after partial agg.",
+)
+def customer_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != _Q13_EXCLUDED_PRIO)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    counts = customer.join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "left_outer"
+    ).select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q14_START, _Q14_END = "1997-03-01", "1997-04-01"
+
+
+@register(
+    "promo_revenue_share",
+    sql=f"""
+    SELECT round(100.0 *
+             CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                           THEN CAST(round(l.l_extendedprice * (1.0 - l.l_discount), 6)
+                                     AS DECIMAL(28,8)) END) AS DOUBLE)
+             / CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount), 6)
+                             AS DECIMAL(28,8))) AS DOUBLE), 4) AS promo_share_pct,
+           {sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)')} AS total_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '{_Q14_START}'
+      AND l.l_shipdate <  TIMESTAMP '{_Q14_END}'
+    """,
+    doc="TPC-H Q14 (promotion effect): percentage of one month's "
+    "revenue from PROMO-type parts. The month filter pushes to the "
+    "fact scan; part (keyed, two columns) broadcasts, so the "
+    "conditional-sum / sum ratio computes without any fact shuffle — "
+    "a single partial-agg + 1-row exchange. Both sums ride the "
+    "per-row-quantize + exact-decimal policy, so the ratio is "
+    "engine-deterministic at any parallelism.",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+
+    month = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(_Q14_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q14_END).cast("timestamp"))
+    )
+    joined = month.join(F.broadcast(part), month.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    rev_dec = F.round(rev, 6).cast("decimal(28,8)")
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev_dec)).cast("double")
+            / F.sum(rev_dec).cast("double"),
+            4,
+        ).alias("promo_share_pct"),
+        dsum(rev).alias("total_revenue"),
+    )
+
+
+_Q16_SIZES = (5, 15, 25, 35, 45)
+_Q16_EXCLUDED_BRAND = "Brand#3"
+
+
+@register(
+    "part_attr_supplier_counts",
+    sql=f"""
+    WITH bad_supp AS (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> '{_Q16_EXCLUDED_BRAND}'
+      AND p.p_size IN {_Q16_SIZES}
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM bad_supp)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape (supplier count by part attributes): distinct "
+    "suppliers per (brand, type, size) over a size whitelist, minus a "
+    "supplier blocklist — lineitem standing in for the absent "
+    "PARTSUPP, negative account balance for the original's complaint "
+    "comment. The blocklist is a left-anti broadcast join (NOT IN on "
+    "a guaranteed-non-null key); the attribute filters prune part "
+    "before broadcast. count(DISTINCT) plans as the two-phase expand "
+    "+ reaggregate — the first agg keys on (brand,type,size,suppkey) "
+    "so duplicates collapse map-side before the exchange.",
+)
+def part_attr_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    sel_part = part.filter(
+        (F.col("p_brand") != _Q16_EXCLUDED_BRAND)
+        & F.col("p_size").isin(list(_Q16_SIZES))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = supplier.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+
+    ok_lines = lineitem.join(
+        F.broadcast(bad_supp),
+        lineitem.l_suppkey == bad_supp.s_suppkey,
+        "left_anti",
+    )
+    return (
+        ok_lines.join(F.broadcast(sel_part), ok_lines.l_partkey == sel_part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+_Q20_NAME_PREFIX = "small "
+_Q20_YEAR_START, _Q20_YEAR_END = "1998-01-01", "1999-01-01"
+_Q20_SHARE = 0.5
+
+
+@register(
+    "dominant_part_suppliers",
+    sql=f"""
+    WITH sel_part AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE '{_Q20_NAME_PREFIX}%'
+    ), shipped AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS supp_qty
+        FROM lineitem l
+        JOIN sel_part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '{_Q20_YEAR_START}'
+          AND l.l_shipdate <  TIMESTAMP '{_Q20_YEAR_END}'
+        GROUP BY l.l_partkey, l.l_suppkey
+    ), windowed AS (
+        SELECT *, sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        FROM shipped
+    ), dominant AS (
+        SELECT DISTINCT l_suppkey FROM windowed
+        WHERE supp_qty > {_Q20_SHARE} * part_qty
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+    """,
+    doc="TPC-H Q20 shape (excess-availability suppliers): suppliers "
+    "who shipped more than half of a part family's yearly volume for "
+    "any part — the original's `ps_availqty > 0.5 * sum(l_quantity)` "
+    "correlated subquery restated as a window-sum dominance test over "
+    "a (part, supplier) pre-aggregate (no PARTSUPP in the testdata). "
+    "Name-prefix and ship-year prune the fact before its single "
+    "shuffle on l_partkey, which serves the pair agg AND the per-part "
+    "window; the dominant-supplier set is DISTINCT-ed (tiny) and "
+    "semi-joins the supplier dim. Quantities sum as exact decimals so "
+    "the 0.5-share threshold is engine-deterministic.",
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    sel_part = part.filter(F.col("p_name").like(f"{_Q20_NAME_PREFIX}%")).select(
+        "p_partkey"
+    )
+    shipped = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(_Q20_YEAR_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q20_YEAR_END).cast("timestamp"))
+        )
+        .join(F.broadcast(sel_part), lineitem.l_partkey == sel_part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("supp_qty")
+        )
+    )
+    windowed = shipped.withColumn(
+        "part_qty", F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
+    )
+    dominant = (
+        windowed.filter(F.col("supp_qty") > _Q20_SHARE * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            dominant, supplier.s_suppkey == dominant.l_suppkey, "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
