@@ -109,6 +109,7 @@ _PRIORITY = [
     "promo_revenue_share",            # Q14: conditional-sum ratio, no shuffle
     "part_attr_supplier_counts",      # Q16: distinct-count + anti blocklist
     "dominant_part_suppliers",        # Q20: window dominance + semi join
+    "hybrid_rrf_topk",                # BM25+dense reciprocal-rank fusion (r3)
     # -- one representative per §2 family (driver-green r1/r2; the
     #    rotated-out siblings keep their local oracle-parity coverage) --
     "order_rollup_flagship",      # star join + distributed scalar + datediff
@@ -120,8 +121,8 @@ _PRIORITY = [
     "pretraining_corpus_pipeline",  # composed corpus capstone
     "benchmark_contamination",    # train-vs-eval n-gram overlap
     "customer_scd2_merge",        # SCD-2 dimension merge
-    "doc_chunk_windows",          # stride-window chunking
     # ---- window boundary (~50) ----
+    "doc_chunk_windows",          # stride-window chunking (r2-green; rotated out for hybrid_rrf_topk)
     # (purchase_click_window / events_multires_rollup /
     # token_shard_packing / part_like_filter / null_audit_orders /
     # segment_pivot / custkey_overlap_setops / status_recode_operator /

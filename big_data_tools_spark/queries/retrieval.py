@@ -40,11 +40,11 @@ _BM25_TOPK = 20
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
-
-@register(
-    "bm25_topk_docs",
-    sql=f"""
-    WITH toks AS (
+# Shared CTE chain: per-document BM25 for the literal term set. Used by
+# both the lexical top-k oracle and the hybrid-fusion oracle so the two
+# cannot drift.
+_BM25_CTES = f"""
+    toks AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
         FROM documents
     ), doclen AS (
@@ -72,23 +72,23 @@ _TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
         JOIN idf i USING (w)
         JOIN doclen d USING (doc_id)
         CROSS JOIN stats s
+    ), bm AS (
+        SELECT doc_id,
+               round(CAST(sum(CAST(round(term_score, 6) AS DECIMAL(28,8)))
+                          AS DOUBLE), 4) AS bm25
+        FROM scored GROUP BY doc_id
     )
-    SELECT doc_id,
-           round(CAST(sum(CAST(round(term_score, 6) AS DECIMAL(28,8)))
-                      AS DOUBLE), 4) AS bm25
-    FROM scored GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id ASC LIMIT {_BM25_TOPK}
-    """,
-    doc="Okapi BM25 top-k retrieval for a literal query term set: "
-    "corpus stats distributed (df per term, global avgdl as a "
-    "broadcast 1-row aggregate), per-(doc,term) scores summed with "
-    "the quantized-decimal policy, TakeOrderedAndProject for the "
-    "top-k. Scale shape: the only shuffles are the grouped tf/df "
-    "aggregations — candidate set is docs CONTAINING a query term "
-    "(inverted-index semantics via the early isin filter on the "
-    "exploded tokens), never the full corpus x query product.",
-)
-def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 for the literal term set: (doc_id, bm25).
+
+    Corpus stats distributed (df per term, global avgdl as a broadcast
+    1-row aggregate); candidate set is docs CONTAINING a query term
+    (inverted-index semantics via the early isin filter), never the
+    full corpus x query product.
+    """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
     doclen = d.select("doc_id", token_count(F.col("text")).alias("dl"))
@@ -97,7 +97,6 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
     )
-
     tf = (
         toks.filter(F.col("w").isin(*_BM25_TERMS))
         .groupBy("doc_id", "w")
@@ -109,9 +108,9 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats.select("n_docs")))
         .select(
             "w",
-            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1).alias(
-                "idf"
-            ),
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+            ).alias("idf"),
         )
     )
     term_score = (
@@ -129,13 +128,37 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats.select("avgdl")))
         .select("doc_id", term_score.alias("term_score"))
     )
-    per_doc = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.round(
-            F.sum(F.round(F.col("term_score"), 6).cast("decimal(28,8)")).cast("double"),
+            F.sum(F.round(F.col("term_score"), 6).cast("decimal(28,8)")).cast(
+                "double"
+            ),
             4,
         ).alias("bm25")
     )
-    return per_doc.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(_BM25_TOPK)
+
+
+@register(
+    "bm25_topk_docs",
+    sql=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, bm25 FROM bm
+    ORDER BY bm25 DESC, doc_id ASC LIMIT {_BM25_TOPK}
+    """,
+    doc="Okapi BM25 top-k retrieval for a literal query term set: "
+    "corpus stats distributed (df per term, global avgdl as a "
+    "broadcast 1-row aggregate), per-(doc,term) scores summed with "
+    "the quantized-decimal policy, TakeOrderedAndProject for the "
+    "top-k. Scale shape: the only shuffles are the grouped tf/df "
+    "aggregations — candidate set is docs CONTAINING a query term "
+    "(inverted-index semantics via the early isin filter on the "
+    "exploded tokens), never the full corpus x query product.",
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    return per_doc.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(
+        _BM25_TOPK
+    )
 
 
 @register(
@@ -197,4 +220,121 @@ def doc_perplexity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         dmean(F.col("nll"), 3).alias("avg_nll"),
+    )
+
+
+_RRF_K = 60
+_RRF_CAND = 50
+_RRF_TOPK = 20
+_RRF_QUERY_VEC = 0  # embedding row used as the dense query vector
+
+
+@register(
+    "hybrid_rrf_topk",
+    sql=f"""
+    WITH {_BM25_CTES},
+    lex AS (
+        SELECT doc_id, lex_rank FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                       AS lex_rank
+            FROM bm
+        ) WHERE lex_rank <= {_RRF_CAND}
+    ), qv AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC}
+    ), dense_scored AS (
+        SELECT e.vec_id AS doc_id,
+               round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+        FROM embeddings e CROSS JOIN qv q
+        WHERE e.vec_id <> {_RRF_QUERY_VEC}
+    ), dense AS (
+        SELECT doc_id, dense_rank FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC)
+                       AS dense_rank
+            FROM dense_scored
+        ) WHERE dense_rank <= {_RRF_CAND}
+    )
+    SELECT doc_id, rrf_score, lex_rank, dense_rank FROM (
+        SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               l.lex_rank, d.dense_rank,
+               round(COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0)
+                     + COALESCE(1.0 / ({_RRF_K} + d.dense_rank), 0), 6)
+                   AS rrf_score
+        FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+    )
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT {_RRF_TOPK}
+    """,
+    doc="Hybrid retrieval via reciprocal-rank fusion (Cormack et al., "
+    "SIGIR 2009): fuse the BM25 lexical ranking with a dense cosine "
+    "ranking against a fixed query embedding, score = sum of "
+    "1/(60+rank) over the lists containing the doc. Each system "
+    "contributes only its top-50 candidate list (rank via "
+    "TakeOrderedAndProject-sized windows over single-partition "
+    "candidate sets, bounded by _RRF_CAND — never the corpus), the "
+    "fusion is a full-outer join of two tiny lists, and the final "
+    "top-20 is deterministic (exact ranks; doc_id tie-break). At "
+    "100 TB the corpus-side work is exactly the BM25 aggregation + "
+    "one broadcast-query cosine pass; the fusion itself is O(cand).",
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine
+
+    # Cut to the candidate list FIRST via orderBy+limit — Spark plans
+    # TakeOrderedAndProject (per-partition top-50, 50-row driver merge),
+    # so the single-partition ranking window only ever sees 50 rows
+    # instead of pulling the whole scored frame onto one task.
+    lex = (
+        _bm25_per_doc(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_RRF_CAND)
+        .withColumn(
+            "lex_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+            .cast("long"),
+        )
+        .select("doc_id", "lex_rank")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("embedding").alias("q_vec")
+    )
+    dense = (
+        emb.filter(F.col("vec_id") != _RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("q_vec")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+        .limit(_RRF_CAND)
+        .withColumn(
+            "dense_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc()))
+            .cast("long"),
+        )
+        .select("doc_id", "dense_rank")
+    )
+
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("dense_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        "lex_rank",
+        "dense_rank",
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(
+        _RRF_TOPK
     )
