@@ -351,3 +351,87 @@ def dedup_segments_reassembled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_removed").cast("long").alias("n_removed"),
         F.md5(F.col("cleaned_text")).alias("cleaned_fp"),
     )
+
+
+_SPAN_K = 8
+_SPAN_MAX_GRAM_DOCS = 10_000
+
+
+@register(
+    "dedup_span_coverage",
+    sql=f"""
+    WITH sized AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t,
+               len(string_split(lower(text), ' ')) AS n
+        FROM documents
+    ), posn AS (
+        SELECT doc_id, unnest(range(0, n - {_SPAN_K} + 1)) AS pos, t
+        FROM sized WHERE n >= {_SPAN_K}
+    ), grams AS (
+        SELECT doc_id, pos,
+               substr(md5(array_to_string(t[pos+1 : pos+{_SPAN_K}], ' ')),
+                      1, 16) AS gram
+        FROM posn
+    ), dup AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING count(DISTINCT doc_id)
+               BETWEEN 2 AND {_SPAN_MAX_GRAM_DOCS}
+    ), spans AS (
+        SELECT g.doc_id, g.pos, g.pos + {_SPAN_K} AS e
+        FROM grams g JOIN dup USING (gram)
+    ), unioned AS (
+        SELECT doc_id,
+               greatest(0, e - greatest(pos,
+                   COALESCE(max(e) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), pos))) AS add
+        FROM spans
+    ), covered AS (
+        SELECT doc_id, CAST(sum(add) AS BIGINT) AS covered
+        FROM unioned GROUP BY doc_id
+    ), per_doc AS (
+        SELECT d.source,
+               CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_tok,
+               COALESCE(c.covered, 0) AS covered
+        FROM documents d LEFT JOIN covered c USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN covered > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(sum(CASE WHEN covered * 2 >= n_tok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_heavy_docs,
+           round(CAST(sum(CAST(round(covered * 1.0 / n_tok, 6)
+                               AS DECIMAL(28,8))) AS DOUBLE)
+                 / count(*), 4) AS avg_coverage
+    FROM per_doc GROUP BY source
+    """,
+    doc="Cross-document duplicated-span coverage per source "
+    "(operators/spandedup.py — the measurement half of ExactSubstr "
+    "dedup, Lee et al. ACL 2022): every token position's 8-gram, one "
+    "grouped agg for grams in >= 2 distinct docs, positions re-join, "
+    "running-max window to union overlapping [pos, pos+8) intervals, "
+    "covered/len rolled up per source. Two shuffles + one "
+    "doc-partitioned window; the hot-gram cap bounds the re-join "
+    "fan-out the same way jaccard_pairs caps posting lists.",
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.agg import dmean
+    from ..operators.spandedup import duplicated_span_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = duplicated_span_coverage(
+        docs, k=_SPAN_K, max_gram_docs=_SPAN_MAX_GRAM_DOCS
+    )
+    with_source = per_doc.join(docs.select("doc_id", "source"), "doc_id")
+    return with_source.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("covered") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        F.sum(F.when(F.col("covered") * 2 >= F.col("n_tok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_heavy_docs"),
+        dmean(F.col("covered") / F.col("n_tok"), 4).alias("avg_coverage"),
+    )

@@ -101,3 +101,51 @@ def customer_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         attrs=("c_mktsegment", "c_acctbal"),
         eff_date=_EFF_DATE,
     )
+
+
+@register(
+    "user_current_state_cdc",
+    sql="""
+    WITH changes AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN event_type = 'signup' THEN 'I'
+                    WHEN event_type = 'error'  THEN 'D'
+                    ELSE 'U' END AS op
+        FROM events
+    ), latest AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM changes
+    )
+    SELECT user_id, ts AS last_ts, value AS last_value, op AS last_op
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="CDC apply-changes materialization (Delta APPLY CHANGES INTO "
+    "shape, operators/cdc.py): the events feed tagged I/U/D (signup / "
+    "activity / error) collapses to the current state per user — "
+    "latest change by the event_id sequence wins, a trailing delete "
+    "removes the user. ONE shuffle on the key; no join against a base "
+    "table, no driver state. The incremental counterpart to the "
+    "reference's rebuild-from-scratch refresh, composable with the "
+    "SCD-2 merge when history must be kept.",
+)
+def user_current_state_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import apply_changes, op_from_event_type
+
+    events = load_table(spark, sf_dir, "events")
+    changes = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        op_from_event_type(F.col("event_type")).alias("op"),
+    )
+    state = apply_changes(
+        changes, keys=["user_id"], sequence_cols=["event_id"], op_col="op"
+    )
+    return state.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+        F.col("op").alias("last_op"),
+    )

@@ -110,6 +110,8 @@ _PRIORITY = [
     "part_attr_supplier_counts",      # Q16: distinct-count + anti blocklist
     "dominant_part_suppliers",        # Q20: window dominance + semi join
     "hybrid_rrf_topk",                # BM25+dense reciprocal-rank fusion (r3)
+    "user_current_state_cdc",         # CDC apply-changes materialization (r3)
+    "dedup_span_coverage",            # ExactSubstr-style span coverage (r3)
     # -- one representative per §2 family (driver-green r1/r2; the
     #    rotated-out siblings keep their local oracle-parity coverage) --
     "order_rollup_flagship",      # star join + distributed scalar + datediff
@@ -118,10 +120,10 @@ _PRIORITY = [
     "tfidf_top_terms",            # widest text plan (7 shuffles)
     "dedup_jaccard_pairs",        # posting-list n-gram Jaccard
     "dedup_components",           # connected components fixpoint
-    "pretraining_corpus_pipeline",  # composed corpus capstone
-    "benchmark_contamination",    # train-vs-eval n-gram overlap
     "customer_scd2_merge",        # SCD-2 dimension merge
     # ---- window boundary (~50) ----
+    "pretraining_corpus_pipeline",  # composed corpus capstone (r2-green; rotated out for user_current_state_cdc)
+    "benchmark_contamination",    # train-vs-eval n-gram overlap (r2-green; rotated out for dedup_span_coverage)
     "doc_chunk_windows",          # stride-window chunking (r2-green; rotated out for hybrid_rrf_topk)
     # (purchase_click_window / events_multires_rollup /
     # token_shard_packing / part_like_filter / null_audit_orders /
