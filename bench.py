@@ -71,6 +71,19 @@ HEADLINE = [
     # + bigram explode scored against a broadcast log-ratio model)
     "dedup_segments_reassembled",
     "dsir_target_selection",
+    # round-3c: TPC-H fill-in representatives (pushdown probe, top-k
+    # star, deep star profit, zero-preserving distribution, window
+    # dominance), hybrid RRF fusion, CDC materialization, and the
+    # ExactSubstr-style span coverage (position-gram explode — the
+    # widest text intermediate after DSIR)
+    "narrow_discount_revenue",
+    "segment_top_open_orders",
+    "nation_product_profit",
+    "customer_order_count_distribution",
+    "dominant_part_suppliers",
+    "hybrid_rrf_topk",
+    "user_current_state_cdc",
+    "dedup_span_coverage",
 ]
 
 

@@ -25,5 +25,6 @@ from . import dimensions  # noqa: E402,F401
 from . import basetable  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 from . import selection  # noqa: E402,F401
+from . import diagnostics  # noqa: E402,F401
 
 __all__ = ["QuerySpec", "all_queries", "get", "ordered_queries", "register"]

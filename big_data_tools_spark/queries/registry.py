@@ -112,16 +112,19 @@ _PRIORITY = [
     "hybrid_rrf_topk",                # BM25+dense reciprocal-rank fusion (r3)
     "user_current_state_cdc",         # CDC apply-changes materialization (r3)
     "dedup_span_coverage",            # ExactSubstr-style span coverage (r3)
+    "orders_custkey_skew",            # histogram-exact Gini skew report (r3)
+    "events_user_heavy_hitters",      # top-N share heavy hitters (r3)
+    "customer_kanonymity",            # k-anonymity privacy audit (r3)
     # -- one representative per §2 family (driver-green r1/r2; the
     #    rotated-out siblings keep their local oracle-parity coverage) --
     "order_rollup_flagship",      # star join + distributed scalar + datediff
     "event_sessions_builtin",     # session_window; oracle fixed per ADVICE r2
-    "purchase_last_click_asof",   # as-of join
-    "tfidf_top_terms",            # widest text plan (7 shuffles)
-    "dedup_jaccard_pairs",        # posting-list n-gram Jaccard
     "dedup_components",           # connected components fixpoint
     "customer_scd2_merge",        # SCD-2 dimension merge
     # ---- window boundary (~50) ----
+    "purchase_last_click_asof",   # as-of join (r2-green; rotated out for orders_custkey_skew)
+    "tfidf_top_terms",            # widest text plan (r2-green; rotated out for events_user_heavy_hitters)
+    "dedup_jaccard_pairs",        # posting-list n-gram Jaccard (r2-green; rotated out for customer_kanonymity)
     "pretraining_corpus_pipeline",  # composed corpus capstone (r2-green; rotated out for user_current_state_cdc)
     "benchmark_contamination",    # train-vs-eval n-gram overlap (r2-green; rotated out for dedup_span_coverage)
     "doc_chunk_windows",          # stride-window chunking (r2-green; rotated out for hybrid_rrf_topk)
