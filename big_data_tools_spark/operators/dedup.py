@@ -455,3 +455,88 @@ def winnow_pairs(
         .filter(F.col("shared") >= min_shared)
     )
     return track_cache(out, idx)
+
+
+def minhash_band_pairs_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    hot_band_threshold: int = 1024,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with an ENGINE-PORTABLE hash family
+    (md5/16 hex strings, minimum = lexicographic min), so the full
+    pipeline — signatures, banding, candidate join, exact confirm —
+    has a bit-exact DuckDB oracle twin. The xxhash64 one-permutation
+    variant (:func:`minhash_band_pairs`) stays the production path:
+    one hash per shingle vs ``num_hashes`` md5s per shingle here, and
+    8-byte int keys vs 16-char strings. This variant exists so the
+    LSH *semantics* carry a hard correctness signal, priced at
+    ~num_hashes x the hash work (amortized by the same grouped-agg
+    shape: signature component i is min(md5(i|shingle)) — all
+    ``num_hashes`` mins computed in ONE grouped aggregate pass over
+    the exploded index, no per-seed scans).
+
+    Candidate generation reuses the salted band self-join
+    (``skew.salted_self_pairs``), so the skew story is identical to
+    the production variant; candidates confirm with exact Jaccard
+    over the shingle-string sets and filter to ``>= threshold``.
+    P(candidate | j) = 1-(1-j^r)^bands with r = num_hashes/bands:
+    the 16/8 default keeps recall >0.999 at j>=0.8.
+    """
+    from .cache import track_cache
+    from .skew import salted_self_pairs
+
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+
+    idx = shingle_index(df, text_col, id_col, n, hashed=False).persist()
+    comps = [
+        F.min(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))), 1, 16
+            )
+        ).alias(f"s{i}")
+        for i in range(num_hashes)
+    ]
+    sig = idx.groupBy("doc").agg(*comps)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", F.lit(str(b)), *[F.col(f"s{b * r + j}") for j in range(r)]
+            )
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("band_key"))
+    cand = salted_self_pairs(
+        banded,
+        id_col="doc",
+        key_col="band_key",
+        hot_threshold=hot_band_threshold,
+        salt_buckets=salt_buckets,
+    )
+    sets = idx.groupBy("doc").agg(F.collect_set("shingle").alias("xs"))
+    pairs = (
+        cand.join(
+            sets.select(F.col("doc").alias("id_a"), F.col("xs").alias("xa")), "id_a"
+        )
+        .join(
+            sets.select(F.col("doc").alias("id_b"), F.col("xs").alias("xb")), "id_b"
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("xa"), F.col("xb")))
+    union = F.size("xa") + F.size("xb") - inter
+    out = (
+        pairs.withColumn("jaccard_raw", inter / union)
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select(
+            "id_a", "id_b", F.round(F.col("jaccard_raw"), 6).alias("jaccard")
+        )
+    )
+    return track_cache(out, idx)

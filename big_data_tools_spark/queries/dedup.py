@@ -435,3 +435,81 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_heavy_docs"),
         dmean(F.col("covered") / F.col("n_tok"), 4).alias("avg_coverage"),
     )
+
+
+_MH_N_HASHES = 16
+_MH_BANDS = 8
+_MH_R = _MH_N_HASHES // _MH_BANDS
+_MH_THRESHOLD = 0.8
+
+_MH_SIG_COLS = ",\n               ".join(
+    f"min(substr(md5('{i}|' || shingle), 1, 16)) AS s{i}"
+    for i in range(_MH_N_HASHES)
+)
+_MH_BAND_LIST = ", ".join(
+    "md5('{b}|' || {cols})".format(
+        b=b,
+        cols=" || '|' || ".join(f"s{b * _MH_R + j}" for j in range(_MH_R)),
+    )
+    for b in range(_MH_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_portable",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id AS doc,
+               unnest(list_transform(generate_series(1, len(tokens) - 2),
+                      i -> array_to_string(tokens[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(tokens) >= 3
+    ), sig AS (
+        SELECT doc,
+               {_MH_SIG_COLS}
+        FROM sh GROUP BY doc
+    ), bands AS (
+        SELECT doc, unnest([{_MH_BAND_LIST}]) AS band_key FROM sig
+    ), cand AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc < b.doc
+    ), sizes AS (
+        SELECT doc, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc
+    ), common AS (
+        SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS common
+        FROM cand c
+        JOIN sh ta ON ta.doc = c.id_a
+        JOIN sh tb ON tb.doc = c.id_b AND tb.shingle = ta.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON id_a = sa.doc
+    JOIN sizes sb ON id_b = sb.doc
+    WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= {_MH_THRESHOLD}
+    """,
+    doc="MinHash+LSH near-dup pairs with the engine-portable md5 hash "
+    "family (operators/dedup.py minhash_band_pairs_portable): the "
+    "ENTIRE pipeline — 16 signature mins in one grouped agg, 8 banded "
+    "keys, salted candidate self-join, exact-Jaccard confirm — is "
+    "replayed bit-exactly by the DuckDB twin, giving the LSH "
+    "semantics a hard correctness row (the xxhash64 one-permutation "
+    "variant stays the production path and its recall is "
+    "band-tested against exact Jaccard).",
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_band_pairs_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_band_pairs_portable(
+        docs,
+        "text",
+        "doc_id",
+        n=3,
+        num_hashes=_MH_N_HASHES,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+    )

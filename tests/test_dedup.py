@@ -220,3 +220,27 @@ def test_semantic_dedup_cluster_size_guard_trips(spark, sf_oracle):
         semantic_dedup_pairs(
             emb, "vec_id", "embedding", n_clusters=2, max_cluster_size=10
         )
+
+
+def test_portable_minhash_matches_exact_jaccard(docs):
+    """The md5-family portable variant confirms with exact Jaccard, so
+    its pairs must be a subset of the exact >=0.8 pairs with equal
+    scores, and the 16/8 banding must recall nearly all of them."""
+    from big_data_tools_spark.operators.dedup import minhash_band_pairs_portable
+
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in jaccard_pairs(docs, "text", "doc_id", threshold=0.8).collect()
+    }
+    portable = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_band_pairs_portable(
+            docs, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert exact, "fixture data should contain >=0.8-jaccard near-dups"
+    assert set(portable) <= set(exact)
+    for pair, j in portable.items():
+        assert j == exact[pair]
+    recall = len(portable) / len(exact)
+    assert recall >= 0.9, f"portable banding recall {recall:.2f}"
