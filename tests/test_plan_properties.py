@@ -185,3 +185,60 @@ def test_market_share_broadcasts_all_dims(spark, sf_smoke):
     plan = _txt(df)
     assert plan.count("BroadcastHashJoin") >= 4, plan.count("BroadcastHashJoin")
     assert count_exchanges(df) <= 3
+
+
+def test_q6_all_predicates_pushed(spark, sf_smoke):
+    """TPC-H Q6: the canonical pushdown probe — ship-date, discount
+    band, and quantity cap must all reach the parquet scan, and the
+    global agg is a single partial+final exchange."""
+    df = get("narrow_discount_revenue").fn(spark, sf_smoke)
+    pushed = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in p for p in pushed), (col, pushed)
+    assert count_exchanges(df) == 1
+
+
+def test_q3_plans_take_ordered(spark, sf_smoke):
+    """TPC-H Q3: ORDER BY + LIMIT must plan TakeOrderedAndProject, not
+    a global sort."""
+    df = get("segment_top_open_orders").fn(spark, sf_smoke)
+    assert "TakeOrderedAndProject" in _txt(df)
+
+
+def test_q9_star_broadcasts_every_dim(spark, sf_smoke):
+    """TPC-H Q9: part/supplier/nation are broadcast; no SortMergeJoin
+    should appear against the dimension sides."""
+    df = get("nation_product_profit").fn(spark, sf_smoke)
+    txt = _txt(df)
+    assert txt.count("BroadcastHashJoin") >= 3, txt.count("BroadcastHashJoin")
+    pushed = pushed_filters(df)
+    assert any("widget" in p for p in pushed), pushed  # LIKE reaches scan
+
+
+def test_q14_no_fact_shuffle_before_agg(spark, sf_smoke):
+    """TPC-H Q14: part broadcasts, so the only exchange is the final
+    1-row aggregate."""
+    df = get("promo_revenue_share").fn(spark, sf_smoke)
+    assert has_broadcast_hash_join(df)
+    assert count_exchanges(df) <= 2  # broadcast + single-row final agg
+
+
+def test_skew_summary_windows_tiny_frames_only(spark, sf_smoke):
+    """The Gini report must not globally sort per-key counts: its only
+    window runs over the group-size histogram. Proxy check: bounded
+    exchange count (counts agg + sizes agg + window + final joins)."""
+    df = get("orders_custkey_skew").fn(spark, sf_smoke)
+    assert count_exchanges(df) <= 5, count_exchanges(df)
+
+
+def test_rrf_candidate_cut_is_take_ordered(spark, sf_smoke):
+    """Hybrid RRF: both candidate lists cut with TakeOrderedAndProject
+    BEFORE the single-partition ranking window sees them."""
+    df = get("hybrid_rrf_topk").fn(spark, sf_smoke)
+    assert _txt(df).count("TakeOrderedAndProject") >= 2
+
+
+def test_cdc_single_key_shuffle(spark, sf_smoke):
+    """CDC apply-changes: one window shuffle on the key, nothing else."""
+    df = get("user_current_state_cdc").fn(spark, sf_smoke)
+    assert count_exchanges(df) == 1
