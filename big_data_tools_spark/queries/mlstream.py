@@ -296,3 +296,37 @@ def streaming_upsert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = upsert_rollup_sink(stream, out, query_name="bdt_upsert_rollup_q")
     q.awaitTermination()
     return read_rollup(spark, out)
+
+
+@register(
+    "streaming_ingest_monitor",
+    sql=None,  # engine telemetry (progress/observed metrics), not a SQL query
+    doc="Streaming observability surface (streaming/monitor.py): the "
+    "watermarked hourly aggregation drains under availableNow with an "
+    "attached Observation (row count + exact-decimal value sum) and "
+    "the per-micro-batch telemetry — input rows, watermark-dropped "
+    "row counts from the state operators, observed metrics — returns "
+    "as a DataFrame. Zero extra scans: metrics ride the micro-batch "
+    "execution. Rows-only driver check; input-row/observed-count "
+    "consistency asserted in tests/test_streaming_monitor.py.",
+)
+def streaming_ingest_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..streaming.events import hourly_event_counts, read_events_stream
+    from ..streaming.monitor import drain_with_monitor, with_ingest_observation
+
+    stream = read_events_stream(spark, sf_dir, path_glob="events.parquet")
+    observed = with_ingest_observation(
+        stream,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("value_sum"),
+    )
+    _, metrics = drain_with_monitor(
+        hourly_event_counts(observed),
+        query_name="bdt_stream_monitor",
+        output_mode="complete",
+    )
+    return metrics
