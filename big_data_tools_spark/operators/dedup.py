@@ -540,3 +540,107 @@ def minhash_band_pairs_portable(
         )
     )
     return track_cache(out, idx)
+
+
+def simhash_band_pairs_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    hamming_threshold: int = 3,
+    hot_band_threshold: int = 1024,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """64-bit SimHash (Charikar 2002; Manku et al. WWW'07 for the
+    banded dedup form) near-dup pairs with an ENGINE-PORTABLE hash
+    family, completing the portable-oracle pair with
+    :func:`minhash_band_pairs_portable`: feature hashes are md5
+    nibbles, so DuckDB replays signatures, banding, candidates, and
+    the hamming confirm bit-for-bit.
+
+    Construction: each 3-gram shingle's first 16 md5 hex chars give 64
+    feature bits; per (doc, bit) the classic +1/-1 vote sums in ONE
+    grouped aggregate (64 conditional sums — partial-agg friendly);
+    the signature materializes as FOUR 16-bit band values (no 2^63
+    overflow games), band membership keys ``i * 2^16 + value``, the
+    candidate self-join is salted (same skew machinery as every LSH
+    tier), and candidates confirm with hamming distance = sum of
+    bit_count over the four band XORs, kept ``<= hamming_threshold``.
+
+    Scale: the vote aggregate is the only pass over the token stream;
+    banding explodes 4 rows/doc; the candidate join tracks near-dup
+    density like every banded tier. Returns (id_a, id_b, hamming).
+    """
+    from .cache import track_cache
+    from .skew import salted_self_pairs
+
+    idx = shingle_index(df, text_col, id_col, n, hashed=False)
+    h = F.md5(F.col("shingle"))
+    nibs = idx.select(
+        "doc",
+        *[
+            F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int").alias(f"nib{j}")
+            for j in range(16)
+        ],
+    )
+    votes = nibs.groupBy("doc").agg(
+        *[
+            F.sum(
+                (
+                    F.shiftright(F.col(f"nib{b // 4}"), 3 - (b % 4)).bitwiseAND(
+                        F.lit(1)
+                    )
+                    * 2
+                    - 1
+                )
+            ).alias(f"c{b}")
+            for b in range(64)
+        ]
+    )
+    band_cols = []
+    for i in range(4):
+        expr = None
+        for b in range(16 * i, 16 * i + 16):
+            term = F.when(F.col(f"c{b}") > 0, F.lit(1 << (b - 16 * i))).otherwise(
+                F.lit(0)
+            )
+            expr = term if expr is None else expr + term
+        band_cols.append(expr.cast("long").alias(f"b{i}"))
+    sig = votes.select("doc", *band_cols).persist()
+
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    (F.lit(i * 65536) + F.col(f"b{i}")).cast("long")
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    cand = salted_self_pairs(
+        banded,
+        id_col="doc",
+        key_col="band_key",
+        hot_threshold=hot_band_threshold,
+        salt_buckets=salt_buckets,
+    )
+    a = sig.select(
+        F.col("doc").alias("id_a"), *[F.col(f"b{i}").alias(f"xa{i}") for i in range(4)]
+    )
+    b_ = sig.select(
+        F.col("doc").alias("id_b"), *[F.col(f"b{i}").alias(f"xb{i}") for i in range(4)]
+    )
+    hamming = None
+    for i in range(4):
+        t = F.bit_count(F.col(f"xa{i}").bitwiseXOR(F.col(f"xb{i}")))
+        hamming = t if hamming is None else hamming + t
+    out = (
+        cand.join(a, "id_a")
+        .join(b_, "id_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= hamming_threshold)
+        .select("id_a", "id_b", "hamming")
+    )
+    return track_cache(out, sig)

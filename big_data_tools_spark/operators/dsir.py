@@ -75,9 +75,15 @@ def dsir_weights(
     ``id_col, *keep_cols, dsir_weight`` (weight rounded to 4 decimals —
     rank on it with a deterministic id tiebreak).
     """
+    from .partitioning import fan_out
+
     feat = F.explode(ngram_features(F.col(text_col))).alias("f")
+    # single-file corpora read as ONE partition — without fanning out,
+    # the whole unigram+bigram explode (the expensive per-row work)
+    # serializes onto one task; measured 8.2 s -> 1.5 s at sf0.1
     feats = (
-        df.select(F.col(id_col), *(keep_cols or []), is_target.alias("is_tgt"), feat)
+        fan_out(df, id_col)
+        .select(F.col(id_col), *(keep_cols or []), is_target.alias("is_tgt"), feat)
         .filter(F.col("f") != "")
     )
     if hash_buckets is not None:

@@ -50,7 +50,11 @@ def position_grams(
 ) -> DataFrame:
     """(doc_id, pos, gram) for every token position; docs shorter than
     k tokens yield no rows (and later count as coverage 0)."""
-    sized = docs.select(
+    from .partitioning import fan_out
+
+    # single-file corpora read as one partition; spread the per-row
+    # gram explode (the expensive step) across the cluster first
+    sized = fan_out(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("t"),
     ).withColumn("n", F.size("t"))

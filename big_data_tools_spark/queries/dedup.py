@@ -513,3 +513,83 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_MH_BANDS,
         threshold=_MH_THRESHOLD,
     )
+
+
+_SH_HAMMING = 3
+
+def _simhash_portable_sql() -> str:
+    """Generate the DuckDB twin of simhash_band_pairs_portable: 64
+    vote sums from md5 nibbles, four 16-bit band values, band-key
+    candidates, hamming confirm."""
+    nib = [
+        f"strpos('0123456789abcdef', substr(md5(shingle), {j + 1}, 1)) - 1"
+        for j in range(16)
+    ]
+    votes = ",\n               ".join(
+        f"sum((((({nib[b // 4]}) >> {3 - (b % 4)}) & 1) * 2) - 1) AS c{b}"
+        for b in range(64)
+    )
+    band_vals = ",\n               ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN c{b} > 0 THEN {1 << (b - 16 * i)} ELSE 0 END"
+            for b in range(16 * i, 16 * i + 16)
+        )
+        + f") AS b{i}"
+        for i in range(4)
+    )
+    band_keys = ", ".join(f"{i} * 65536 + b{i}" for i in range(4))
+    hamming = " + ".join(
+        f"bit_count(CAST(xor(a.b{i}, b.b{i}) AS BIGINT))" for i in range(4)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id AS doc,
+               unnest(list_transform(generate_series(1, len(tokens) - 2),
+                      i -> array_to_string(tokens[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(tokens) >= 3
+    ), votes AS (
+        SELECT doc,
+               {votes}
+        FROM sh GROUP BY doc
+    ), sig AS (
+        SELECT doc,
+               {band_vals}
+        FROM votes
+    ), banded AS (
+        SELECT doc, unnest([{band_keys}]) AS band_key FROM sig
+    ), cand AS (
+        SELECT DISTINCT x.doc AS id_a, y.doc AS id_b
+        FROM banded x JOIN banded y
+          ON x.band_key = y.band_key AND x.doc < y.doc
+    )
+    SELECT c.id_a, c.id_b,
+           CAST({hamming} AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sig a ON a.doc = c.id_a
+    JOIN sig b ON b.doc = c.id_b
+    WHERE {hamming} <= {_SH_HAMMING}
+    """
+
+
+@register(
+    "dedup_simhash_portable",
+    sql=_simhash_portable_sql(),
+    doc="64-bit SimHash near-dup pairs with the engine-portable md5 "
+    "nibble hash family (operators/dedup.py "
+    "simhash_band_pairs_portable): 64 +1/-1 vote sums in ONE grouped "
+    "agg, four 16-bit band values (no 2^63 overflow), salted band "
+    "candidates, hamming <= 3 confirm via bit_count of band XORs — "
+    "every stage replayed bit-exactly by DuckDB. Completes the "
+    "portable-oracle pair with dedup_minhash_portable; the xxhash64 "
+    "simhash64 variant remains the production path.",
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_band_pairs_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_band_pairs_portable(
+        docs, "text", "doc_id", n=3, hamming_threshold=_SH_HAMMING
+    )

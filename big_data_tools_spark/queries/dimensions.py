@@ -149,3 +149,69 @@ def user_current_state_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         F.col("op").alias("last_op"),
     )
+
+
+@register(
+    "orders_snapshot_diff",
+    sql="""
+    WITH old_snap AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 89 <> 0
+    ), new_snap AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 101 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ), j AS (
+        SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                    WHEN n.o_orderkey IS NULL THEN 'D'
+                    ELSE 'U' END AS change_type,
+               CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN ''
+                    ELSE array_to_string(list_sort(list_filter([
+                        CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                             THEN 'o_orderstatus' END,
+                        CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                             THEN 'o_totalprice' END],
+                        x -> x IS NOT NULL)), ',')
+               END AS changed_cols,
+               n.o_orderstatus, n.o_totalprice
+        FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+    )
+    SELECT * FROM j WHERE change_type <> 'U' OR changed_cols <> ''
+    """,
+    doc="Keyed snapshot diff (operators/tablediff.py): added / removed "
+    "/ changed rows between two deterministic views of orders (one "
+    "drops keys %89, the other drops %97 and recodes status on %101), "
+    "with null-safe per-column change detection in the single "
+    "full-outer shuffle. The 'what did this refresh do' audit the "
+    "reference's blind overwrite-rebuild lacks; composes with "
+    "cdc.apply_changes and scd2_apply.",
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tablediff import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old_snap = orders.filter(F.col("o_orderkey") % 89 != 0)
+    new_snap = orders.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 101 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    diff = snapshot_diff(
+        old_snap,
+        new_snap,
+        keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+    return diff.select(
+        "o_orderkey",
+        "change_type",
+        F.array_join(F.col("changed_cols"), ",").alias("changed_cols"),
+        "o_orderstatus",
+        "o_totalprice",
+    )

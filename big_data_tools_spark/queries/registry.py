@@ -116,12 +116,14 @@ _PRIORITY = [
     "events_user_heavy_hitters",      # top-N share heavy hitters (r3)
     "customer_kanonymity",            # k-anonymity privacy audit (r3)
     "dedup_minhash_portable",         # md5-family MinHash+LSH, bit-exact twin (r3)
+    "orders_snapshot_diff",           # keyed snapshot diff, null-safe change detect (r3)
+    "dedup_simhash_portable",         # md5-nibble 64-bit SimHash, bit-exact twin (r3)
     # -- one representative per §2 family (driver-green r1/r2; the
     #    rotated-out siblings keep their local oracle-parity coverage) --
-    "order_rollup_flagship",      # star join + distributed scalar + datediff
     "event_sessions_builtin",     # session_window; oracle fixed per ADVICE r2
-    "customer_scd2_merge",        # SCD-2 dimension merge
     # ---- window boundary (~50) ----
+    "order_rollup_flagship",      # star join flagship (r1+r2-green; entry() smoke-checked every round; rotated out for dedup_simhash_portable)
+    "customer_scd2_merge",        # SCD-2 dimension merge (r2-green; rotated out for orders_snapshot_diff)
     "dedup_components",           # connected components fixpoint (r2-green; rotated out for dedup_minhash_portable)
     "purchase_last_click_asof",   # as-of join (r2-green; rotated out for orders_custkey_skew)
     "tfidf_top_terms",            # widest text plan (r2-green; rotated out for events_user_heavy_hitters)

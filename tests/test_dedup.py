@@ -244,3 +244,37 @@ def test_portable_minhash_matches_exact_jaccard(docs):
         assert j == exact[pair]
     recall = len(portable) / len(exact)
     assert recall >= 0.9, f"portable banding recall {recall:.2f}"
+
+
+def test_portable_simhash_high_precision(docs, spark):
+    """hamming<=3 on the 64-bit portable SimHash is a high-PRECISION
+    near-dup signal: every flagged pair must be >=0.9 exact Jaccard
+    (measured: all pairs at sf0.01 are >=0.95). Recall of borderline
+    0.9-jaccard pairs is NOT asserted — 64-bit simhash at hamming 3
+    targets the ~0.97+ band (Manku et al.'s regime); the minhash tiers
+    cover the looser band."""
+    from big_data_tools_spark.operators.dedup import simhash_band_pairs_portable
+
+    flagged = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_band_pairs_portable(docs, "text", "doc_id").collect()
+    }
+    assert flagged, "fixture data should contain simhash near-dups"
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, "text", "doc_id", threshold=0.9).collect()
+    }
+    missing = [p for p in flagged if p not in exact]
+    assert not missing, f"hamming<=3 pairs below 0.9 jaccard: {missing}"
+
+
+def test_portable_simhash_identical_docs_hamming_zero(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words entirely here now")],
+        "doc_id long, text string",
+    )
+    from big_data_tools_spark.operators.dedup import simhash_band_pairs_portable
+
+    rows = simhash_band_pairs_portable(df, "text", "doc_id").collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [(1, 2, 0)]
