@@ -34,6 +34,14 @@ Every tier routes to the SAME operator its registry query uses
 so the driver-green correctness evidence transfers to the facade
 verbatim — asserted in tests/test_dedup_facade.py.
 
+The ``minhash`` and ``simhash`` tiers also accept
+``hash_family="portable"``: the md5-based variants whose entire
+pipeline the DuckDB oracle replays bit-exactly
+(``dedup_minhash_portable`` / ``dedup_simhash_portable``). Default
+stays the xxhash64 production family (one hash per shingle, 8-byte
+keys); portable costs ~num_hashes x the hash work and exists for
+hard-verifiability and engine-migration testing.
+
 ``output="groups"`` post-processes pair tiers through the
 connected-components fixpoint (transitive closure, min-id survivor),
 matching the groups form the registry exposes for exact/semantic.
@@ -107,18 +115,39 @@ def dedup(
             return semantic_dedup_groups(df, id_col=id_col, vec_col=vec_col, **tier_kwargs)
         return semantic_dedup_pairs(df, id_col=id_col, vec_col=vec_col, **tier_kwargs)
 
-    if tier == "simhash":
-        from .dedup import simhash64
-
-        n = tier_kwargs.pop("n", 3)
-        pairs = simhash_candidate_pairs(
-            simhash64(df, text_col, id_col, n=n), **tier_kwargs
+    hash_family = tier_kwargs.pop("hash_family", "xxhash64")
+    if hash_family not in ("xxhash64", "portable"):
+        raise ValueError(
+            f"hash_family must be 'xxhash64' or 'portable', got {hash_family!r}"
         )
+    if hash_family == "portable" and tier not in ("minhash", "simhash"):
+        raise ValueError(f"tier {tier!r} has no portable hash family")
+
+    if tier == "simhash":
+        if hash_family == "portable":
+            from .dedup import simhash_band_pairs_portable
+
+            pairs = simhash_band_pairs_portable(
+                df, text_col, id_col, **tier_kwargs
+            )
+        else:
+            from .dedup import simhash64
+
+            n = tier_kwargs.pop("n", 3)
+            pairs = simhash_candidate_pairs(
+                simhash64(df, text_col, id_col, n=n), **tier_kwargs
+            )
     else:
+        from .dedup import minhash_band_pairs_portable
+
         pair_fns = {
             "winnow": winnow_pairs,
             "jaccard": jaccard_pairs,
-            "minhash": minhash_band_pairs,
+            "minhash": (
+                minhash_band_pairs_portable
+                if hash_family == "portable"
+                else minhash_band_pairs
+            ),
         }
         pairs = pair_fns[tier](df, text_col=text_col, id_col=id_col, **tier_kwargs)
     if output == "pairs":

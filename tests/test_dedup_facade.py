@@ -95,3 +95,27 @@ def test_unknown_tier_and_output_fail_loudly(docs):
     with pytest.raises(ValueError, match="output must be"):
         dedup(docs, tier="winnow", output="clusters")
     assert set(TIERS) == {"exact", "winnow", "jaccard", "minhash", "simhash", "semantic"}
+
+
+def test_portable_hash_family_routes(docs):
+    from big_data_tools_spark.operators.dedup import (
+        minhash_band_pairs_portable,
+        simhash_band_pairs_portable,
+    )
+
+    got = dedup(docs, tier="minhash", output="pairs", hash_family="portable")
+    want = minhash_band_pairs_portable(docs, "text", "doc_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    got_s = dedup(docs, tier="simhash", output="pairs", hash_family="portable")
+    want_s = simhash_band_pairs_portable(docs, "text", "doc_id")
+    assert sorted(map(tuple, got_s.collect())) == sorted(map(tuple, want_s.collect()))
+
+
+def test_portable_hash_family_rejected_elsewhere(docs):
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup(docs, tier="jaccard", hash_family="portable")
+    with pytest.raises(ValueError):
+        dedup(docs, tier="minhash", hash_family="sha9000")
