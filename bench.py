@@ -84,6 +84,12 @@ HEADLINE = [
     "hybrid_rrf_topk",
     "user_current_state_cdc",
     "dedup_span_coverage",
+    # round-3d: portable-hash dedup tiers (bit-exact oracle variants),
+    # snapshot diff (full-outer change detect), skew diagnostics
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "orders_snapshot_diff",
+    "orders_custkey_skew",
 ]
 
 
