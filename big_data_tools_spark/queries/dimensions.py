@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.agg import sql_money_sum
 from ..io.sources import load_table
 from .registry import register
 
@@ -25,12 +26,17 @@ _EFF_DATE = "2020-06-01"
 _VIP_ORDERS = 15
 
 
-@register(
-    "customer_scd2_merge",
-    sql=f"""
-    WITH dim AS (
+def _scd2_history_ctes(snap_date: str, eff_date: str) -> str:
+    """CTE chain building the customer SCD-2 history (snapshot +
+    deterministic VIP update batch) ending in a ``history`` CTE —
+    shared by the merge oracle and the point-in-time-join oracle so
+    the two cannot drift. Parameterized dates: the merge demo pins its
+    round-2 2020 dates; the PIT demo needs versions INSIDE the order
+    date range."""
+    return f"""
+    dim AS (
         SELECT c_custkey, c_mktsegment, c_acctbal,
-               DATE '{_SNAP_DATE}' AS valid_from
+               DATE '{snap_date}' AS valid_from
         FROM customer
     ), upd AS (
         SELECT c.c_custkey,
@@ -44,19 +50,30 @@ _VIP_ORDERS = 15
         FROM dim d JOIN upd u ON d.c_custkey = u.c_custkey
         WHERE d.c_mktsegment IS DISTINCT FROM u.c_mktsegment
            OR d.c_acctbal IS DISTINCT FROM u.c_acctbal
+    ), history AS (
+        SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal, d.valid_from,
+               CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        FROM dim d WHERE d.c_custkey NOT IN (SELECT c_custkey FROM changed)
+        UNION ALL
+        SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal, d.valid_from,
+               DATE '{eff_date}' AS valid_to, FALSE AS is_current
+        FROM dim d WHERE d.c_custkey IN (SELECT c_custkey FROM changed)
+        UNION ALL
+        SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+               DATE '{eff_date}' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        FROM upd u WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
     )
-    SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal, d.valid_from,
-           CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
-    FROM dim d WHERE d.c_custkey NOT IN (SELECT c_custkey FROM changed)
-    UNION ALL
-    SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal, d.valid_from,
-           DATE '{_EFF_DATE}' AS valid_to, FALSE AS is_current
-    FROM dim d WHERE d.c_custkey IN (SELECT c_custkey FROM changed)
-    UNION ALL
-    SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
-           DATE '{_EFF_DATE}' AS valid_from,
-           CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
-    FROM upd u WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+"""
+
+
+@register(
+    "customer_scd2_merge",
+    sql=f"""
+    WITH {_scd2_history_ctes(_SNAP_DATE, _EFF_DATE)}
+    SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
+           valid_to, is_current
+    FROM history
     """,
     doc="SCD type-2 dimension merge (operators/scd2.py): customer "
     "snapshot vs a deterministic update batch (segment moves to 'VIP' "
@@ -68,6 +85,14 @@ _VIP_ORDERS = 15
     "(<=1 current row per key) asserted in tests/test_operators.py.",
 )
 def customer_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _customer_history(spark, sf_dir, _SNAP_DATE, _EFF_DATE)
+
+
+def _customer_history(
+    spark: SparkSession, sf_dir: str, snap_date: str, eff_date: str
+) -> DataFrame:
+    """Spark twin of :func:`_scd2_history_ctes`: the customer SCD-2
+    history (snapshot + VIP update batch) via ``scd2_apply``."""
     from ..operators.scd2 import scd2_apply
 
     cust = load_table(spark, sf_dir, "customer")
@@ -77,7 +102,7 @@ def customer_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",
-        F.lit(_SNAP_DATE).cast("date").alias("valid_from"),
+        F.lit(snap_date).cast("date").alias("valid_from"),
     )
     upd = (
         orders.join(
@@ -99,7 +124,7 @@ def customer_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         upd,
         key="c_custkey",
         attrs=("c_mktsegment", "c_acctbal"),
-        eff_date=_EFF_DATE,
+        eff_date=eff_date,
     )
 
 
@@ -214,4 +239,57 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("changed_cols"), ",").alias("changed_cols"),
         "o_orderstatus",
         "o_totalprice",
+    )
+
+
+_PIT_SNAP, _PIT_EFF = "1995-01-01", "1998-01-01"
+
+
+@register(
+    "orders_pit_segment_revenue",
+    sql=f"""
+    WITH {_scd2_history_ctes(_PIT_SNAP, _PIT_EFF)}
+    , pit AS (
+        SELECT h.c_mktsegment AS segment_at_order, o.o_totalprice
+        FROM orders o
+        JOIN history h ON h.c_custkey = o.o_custkey
+        WHERE CAST(o.o_orderdate AS DATE) >= h.valid_from
+          AND (h.valid_to IS NULL
+               OR CAST(o.o_orderdate AS DATE) < h.valid_to)
+    )
+    SELECT segment_at_order,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sql_money_sum('o_totalprice')} AS revenue
+    FROM pit GROUP BY segment_at_order
+    """,
+    doc="Point-in-time join (operators/pitjoin.py): revenue per the "
+    "segment each customer was in WHEN the order was placed — the "
+    "SCD-2 history (versions at 1995/1998, inside the order range) "
+    "consumed correctly, vs the reference's join-to-today snapshot "
+    "that rewrites history. Hash equi-join on the business key with "
+    "the validity interval as a residual (versions per key are few; "
+    "NOT a range join), then one rollup; orders shuffle once.",
+)
+def orders_pit_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.agg import money_sum
+    from ..operators.pitjoin import point_in_time_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    history = _customer_history(spark, sf_dir, _PIT_SNAP, _PIT_EFF)
+    pit = point_in_time_join(
+        orders,
+        history,
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        ts=F.col("o_orderdate").cast("date"),
+    )
+    return (
+        pit.select(F.col("c_mktsegment").alias("segment_at_order"), "o_totalprice")
+        .groupBy("segment_at_order")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
     )

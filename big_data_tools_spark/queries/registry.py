@@ -87,7 +87,6 @@ _PRIORITY = [
     # -- streaming surfaces with no driver row in any round (ask #6) --
     "streaming_upsert_rollup",    # foreachBatch dynamic-partition upsert
     "streaming_dedup",            # watermarked dropDuplicates stream
-    "streaming_segment_revenue",  # stream-static broadcast enrich
     # -- round-3 additions --
     "multimodal_features",        # REAL image decode via mapInPandas (r3)
     "yelp_basetable_mini",        # full pipeline vs DuckDB twin on parquet fixtures (r3)
@@ -118,10 +117,12 @@ _PRIORITY = [
     "dedup_minhash_portable",         # md5-family MinHash+LSH, bit-exact twin (r3)
     "orders_snapshot_diff",           # keyed snapshot diff, null-safe change detect (r3)
     "dedup_simhash_portable",         # md5-nibble 64-bit SimHash, bit-exact twin (r3)
+    "orders_pit_segment_revenue",     # point-in-time SCD2 consume join (r3)
     # -- one representative per §2 family (driver-green r1/r2; the
     #    rotated-out siblings keep their local oracle-parity coverage) --
     "event_sessions_builtin",     # session_window; oracle fixed per ADVICE r2
     # ---- window boundary (~50) ----
+    "streaming_segment_revenue",  # stream-static enrich (rows-only; stream==batch stays locally tested; rotated out for orders_pit_segment_revenue)
     "order_rollup_flagship",      # star join flagship (r1+r2-green; entry() smoke-checked every round; rotated out for dedup_simhash_portable)
     "customer_scd2_merge",        # SCD-2 dimension merge (r2-green; rotated out for orders_snapshot_diff)
     "dedup_components",           # connected components fixpoint (r2-green; rotated out for dedup_minhash_portable)
