@@ -157,3 +157,103 @@ def shuffle_shards(
         .withColumn("shard_pos", F.row_number().over(w).cast("long"))
         .drop("__digest")
     )
+
+
+def md5_uniform(key, salt: str = "u0"):
+    """Deterministic uniform in (0, 1] from a row key — the
+    engine-PORTABLE counterpart of the xxhash64 bucket draws above
+    (DuckDB replays md5 exactly; xxhash64 is Spark-specific). Uses 13
+    hex chars (52 bits) so the integer stays exactly representable in
+    a double on engines that sum hex nibbles in floating point."""
+    h = F.conv(F.substring(F.md5(F.concat_ws("|", key, F.lit(salt))), 1, 13), 16, 10)
+    return (h.cast("double") + 1.0) / float((1 << 52) + 1)
+
+
+def sql_md5_uniform(key_expr: str, salt: str = "u0") -> str:
+    """DuckDB twin of :func:`md5_uniform` (hex digits summed
+    positionally — all values < 2^53, exact in doubles)."""
+    return (
+        "((list_sum(list_transform(range(13), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({key_expr} || '|{salt}'), "
+        "CAST(i + 1 AS INTEGER), 1)) - 1) * (16.0 ** (12 - i)))) + 1.0) "
+        f"/ {float((1 << 52) + 1)!r})"
+    )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "w0",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the
+    Efraimidis–Spirakis one-pass reservoir key (IPL 2006): each row
+    draws key = ln(u)/w with u uniform from its own id hash, and the
+    k LARGEST keys are the sample — inclusion probability
+    proportional to weight, exactly one pass, no RNG state.
+
+    Scale shape: a narrow projection + TakeOrderedAndProject
+    (per-partition top-k, k-row driver merge — no global sort); the
+    draw is the portable md5 uniform, so the selection is identical on
+    any partitioning, any engine. Ties break by id. Rows with
+    non-positive weight are excluded (they cannot be sampled).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    key = F.log(md5_uniform(F.col(id_col), salt)) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", F.round(key, 10))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def temperature_mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    tau: float = 3.0,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing plan (the multilingual
+    pretraining recipe — Conneau et al., XLM-R 2020: sample groups
+    with probability proportional to share^(1/tau), tau > 1 upweights
+    tail languages). Returns per group: n_rows, share, target_share,
+    and target_n (the rounded row budget). One grouped count + a
+    broadcast 1-row normalizer — no data movement beyond the count.
+
+    Compose with :func:`hash_sample` (rate = target_n / n_rows) to
+    materialize the plan deterministically.
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = counts.agg(
+        F.sum("n_rows").alias("total"),
+    )
+    powed = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "p_raw", F.pow(F.col("n_rows") / F.col("total"), 1.0 / tau)
+    )
+    # order-independent normalizer: quantize each share-power, sum as
+    # exact decimals (functions/agg policy), divide at the end
+    z = powed.agg(
+        F.sum(F.round(F.col("p_raw"), 9).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("z")
+    )
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .select(
+            group_col,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("total"), 6).alias("share"),
+            F.round(F.round(F.col("p_raw"), 9) / F.col("z"), 6).alias(
+                "target_share"
+            ),
+            F.round(
+                F.col("total") * F.round(F.col("p_raw"), 9) / F.col("z"), 0
+            )
+            .cast("bigint")
+            .alias("target_n"),
+        )
+    )

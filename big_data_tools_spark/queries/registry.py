@@ -118,10 +118,17 @@ _PRIORITY = [
     "orders_snapshot_diff",           # keyed snapshot diff, null-safe change detect (r3)
     "dedup_simhash_portable",         # md5-nibble 64-bit SimHash, bit-exact twin (r3)
     "orders_pit_segment_revenue",     # point-in-time SCD2 consume join (r3)
+    "documents_weighted_sample",      # Efraimidis-Spirakis portable weighted draw (r3)
     # -- one representative per §2 family (driver-green r1/r2; the
     #    rotated-out siblings keep their local oracle-parity coverage) --
-    "event_sessions_builtin",     # session_window; oracle fixed per ADVICE r2
     # ---- window boundary (~50) ----
+    # (event_sessions_builtin rotated out: r2-driver-green; its ADVICE
+    # oracle fix is exercised by the local parity suite — including at
+    # sf0.1 via BDT_PARITY_SF — while the slot retires a never-checked
+    # twin. documents_temperature_mixture rides the pending queue to
+    # the r4 window — the 50 slots are saturated with first-row twins.)
+    "event_sessions_builtin",     # session_window; oracle fixed per ADVICE r2
+    "documents_temperature_mixture",  # XLM-R temperature plan (pending r4 window)
     "streaming_segment_revenue",  # stream-static enrich (rows-only; stream==batch stays locally tested; rotated out for orders_pit_segment_revenue)
     "order_rollup_flagship",      # star join flagship (r1+r2-green; entry() smoke-checked every round; rotated out for dedup_simhash_portable)
     "customer_scd2_merge",        # SCD-2 dimension merge (r2-green; rotated out for orders_snapshot_diff)

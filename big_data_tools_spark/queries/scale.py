@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io.sources import load_table
+from ..operators.sampling import sql_md5_uniform
 from ..operators.skew import salted_aggregate
 from .registry import register
 
@@ -287,3 +288,72 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=_SHUFFLE_SALT,
     )
     return out.select("doc_id", "shard_id", "shard_pos")
+
+
+_WS_K = 100
+_WS_SALT = "w0"
+_TM_TAU = 3.0
+
+
+@register(
+    "documents_weighted_sample",
+    sql=f"""
+    SELECT doc_id, n_chars,
+           round(ln({sql_md5_uniform("CAST(doc_id AS VARCHAR)", _WS_SALT)})
+                 / n_chars, 10) AS sample_key
+    FROM documents WHERE n_chars > 0
+    ORDER BY sample_key DESC, doc_id ASC LIMIT {_WS_K}
+    """,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis "
+    "one-pass reservoir key, operators/sampling.py "
+    "weighted_sample_topk): key = ln(u)/weight with u drawn "
+    "PORTABLY from the row's own md5 (52-bit exact), top-k keys win "
+    "— inclusion probability proportional to n_chars. Plans as a "
+    "narrow projection + TakeOrderedAndProject; identical selection "
+    "on any partitioning and any engine (the DuckDB twin replays the "
+    "draw bit-for-bit).",
+)
+def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_topk(
+        docs, weight_col="n_chars", k=_WS_K, id_col="doc_id", salt=_WS_SALT
+    )
+
+
+@register(
+    "documents_temperature_mixture",
+    sql=f"""
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_rows
+        FROM documents GROUP BY lang
+    ), tot AS (SELECT sum(n_rows) AS total FROM counts),
+    powed AS (
+        SELECT lang, n_rows, total,
+               (n_rows * 1.0 / total) ** (1.0 / {_TM_TAU}) AS p_raw
+        FROM counts CROSS JOIN tot
+    ), z AS (
+        SELECT CAST(sum(CAST(round(p_raw, 9) AS DECIMAL(28,12))) AS DOUBLE)
+                   AS z
+        FROM powed
+    )
+    SELECT lang, n_rows,
+           round(n_rows * 1.0 / total, 6) AS share,
+           round(round(p_raw, 9) / z.z, 6) AS target_share,
+           CAST(round(total * round(p_raw, 9) / z.z, 0) AS BIGINT) AS target_n
+    FROM powed CROSS JOIN z
+    """,
+    doc="Temperature-based language rebalancing plan (XLM-R recipe, "
+    "Conneau et al. 2020; operators/sampling.py "
+    "temperature_mixture_plan): per-language sampling budget "
+    "proportional to share^(1/tau) with tau=3 upweighting tail "
+    "languages. One grouped count, two broadcast 1-row normalizers, "
+    "order-independent decimal normalizer sum; compose with "
+    "hash_sample to materialize deterministically.",
+)
+def documents_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temperature_mixture_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture_plan(docs, "lang", tau=_TM_TAU)

@@ -107,3 +107,45 @@ def test_stratified_hash_sample_rates_and_determinism(spark, sf_oracle):
     tr, te = train_test_split_by_key(d, "doc_id", 0.3)
     assert tr.count() + te.count() == d.count()
     assert tr.select("doc_id").intersect(te.select("doc_id")).count() == 0
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Efraimidis-Spirakis: inclusion probability tracks weight. With
+    weights 100:1, the top half of draws must be dominated by heavy
+    rows; determinism across partitionings is exact."""
+    from big_data_tools_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, 100 if i < 50 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    picked = [r["id"] for r in weighted_sample_topk(df, "w", 40, "id").collect()]
+    heavy = sum(1 for i in picked if i < 50)
+    assert heavy >= 30, f"only {heavy}/40 heavy rows picked"
+    # layout-independence: same selection at any partition count
+    repicked = [
+        r["id"]
+        for r in weighted_sample_topk(df.repartition(13), "w", 40, "id").collect()
+    ]
+    assert sorted(picked) == sorted(repicked)
+    # zero/negative weights are never sampled
+    df2 = spark.createDataFrame([(1, 0), (2, -5), (3, 10)], "id long, w long")
+    assert [r["id"] for r in weighted_sample_topk(df2, "w", 3, "id").collect()] == [3]
+
+
+def test_temperature_mixture_flattens_toward_tail(spark):
+    """tau>1 must move target shares toward uniform: the head group's
+    target share drops below its raw share, every tail group's rises,
+    and the budget sums to ~total."""
+    from big_data_tools_spark.operators.sampling import temperature_mixture_plan
+
+    rows = [("en",)] * 800 + [("fr",)] * 150 + [("sw",)] * 50
+    df = spark.createDataFrame(rows, "lang string")
+    plan = {r["lang"]: r for r in temperature_mixture_plan(df, "lang", tau=3.0).collect()}
+    assert plan["en"]["target_share"] < plan["en"]["share"]
+    assert plan["sw"]["target_share"] > plan["sw"]["share"]
+    assert plan["fr"]["target_share"] > plan["fr"]["share"]
+    total_budget = sum(r["target_n"] for r in plan.values())
+    assert abs(total_budget - 1000) <= 2  # rounding slack only
+    # tau=1 is a no-op: target share == share
+    flat = {r["lang"]: r for r in temperature_mixture_plan(df, "lang", tau=1.0).collect()}
+    for lang in ("en", "fr", "sw"):
+        assert abs(flat[lang]["target_share"] - flat[lang]["share"]) < 1e-5

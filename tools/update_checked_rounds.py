@@ -30,12 +30,34 @@ def current_window() -> list[str]:
     return list(ordered_queries())[:WINDOW]
 
 
+def all_twins() -> list[str]:
+    sys.path.insert(0, str(REPO))
+    from big_data_tools_spark.queries import all_queries
+
+    return [n for n, s in all_queries().items() if s.sql is not None]
+
+
 def main(round_key: str) -> None:
+    """Besides the window itself, record ``pending_<round>``: oracle
+    twins registered this round that did not fit the 50-slot window
+    (it can saturate when a round both retires old debt and adds many
+    new twins). A pending twin is allowed to wait ONE round;
+    tests/test_rotation.py fails if it appears in two consecutive
+    pending lists without ever being windowed."""
     path = REPO / "checked_rounds.json"
     data = json.loads(path.read_text()) if path.exists() else {}
     data[round_key] = current_window()
+    windowed_ever = set().union(
+        *(v for k, v in data.items() if not k.startswith("pending_"))
+    )
+    data[f"pending_{round_key}"] = sorted(
+        t for t in all_twins() if t not in windowed_ever
+    )
     path.write_text(json.dumps(data, indent=1) + "\n")
-    print(f"{round_key}: {len(data[round_key])} entries written")
+    print(
+        f"{round_key}: {len(data[round_key])} entries written, "
+        f"{len(data[f'pending_{round_key}'])} pending"
+    )
 
 
 if __name__ == "__main__":
