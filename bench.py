@@ -90,6 +90,8 @@ HEADLINE = [
     "dedup_simhash_portable",
     "orders_snapshot_diff",
     "orders_custkey_skew",
+    "orders_pit_segment_revenue",
+    "documents_weighted_sample",
 ]
 
 
