@@ -110,3 +110,131 @@ def customer_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kanonymity_violations(
         customer, ["c_nationkey", "c_mktsegment"], k=_KANON_K
     )
+
+
+@register(
+    "lang_source_chi2",
+    sql="""
+    WITH obs AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        FROM documents GROUP BY lang, source
+    ), rt AS (
+        SELECT lang, sum(o) AS row_tot FROM obs GROUP BY lang
+    ), ct AS (
+        SELECT source, sum(o) AS col_tot FROM obs GROUP BY source
+    ), tot AS (SELECT sum(o) AS n FROM obs),
+    cells AS (
+        SELECT o.o,
+               rt.row_tot * ct.col_tot * 1.0 / t.n AS e
+        FROM obs o
+        JOIN rt USING (lang)
+        JOIN ct USING (source)
+        CROSS JOIN tot t
+    )
+    SELECT round(CAST(sum(CAST(round((o - e) * (o - e) / e, 6)
+                             AS DECIMAL(28,8))) AS DOUBLE), 4) AS chi2,
+           CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
+               * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof,
+           CAST((SELECT n FROM tot) AS BIGINT) AS n_docs
+    FROM cells
+    """,
+    doc="Chi-square independence test on the (lang, source) "
+    "contingency table — the dataset-composition drift check a corpus "
+    "pipeline runs before/after a refresh (is language mix independent "
+    "of source?). Observed/expected from ONE grouped count plus two "
+    "marginal rollups of the ALREADY-AGGREGATED cells (|langs| + "
+    "|sources| rows) broadcast back; the statistic sums "
+    "quantized-decimal cell contributions, so it is partition-order "
+    "and engine independent. Compare chi2 against the chi2(dof) "
+    "critical value offline.",
+)
+def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    tot = obs.agg(F.sum("o").alias("n"))
+
+    cells = (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o",
+            (F.col("row_tot") * F.col("col_tot") * F.lit(1.0) / F.col("n")).alias(
+                "e"
+            ),
+        )
+    )
+    contrib = F.round(
+        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 6
+    ).cast("decimal(28,8)")
+    dof = (
+        rt.agg(F.count(F.lit(1)).alias("r"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("c")))
+        .select(((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"))
+    )
+    stat = cells.agg(
+        F.round(F.sum(contrib).cast("double"), 4).alias("chi2"),
+    )
+    return (
+        stat.crossJoin(F.broadcast(dof))
+        .crossJoin(F.broadcast(tot.select(F.col("n").cast("bigint").alias("n_docs"))))
+        .select("chi2", "dof", "n_docs")
+    )
+
+
+_GAP_MIN_EVENTS = 10
+
+
+@register(
+    "events_daily_completeness",
+    sql=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ), bounds AS (
+        SELECT min(day) AS d0, max(day) AS d1 FROM daily
+    ), spine AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds
+    )
+    SELECT s.day, COALESCE(d.n_events, 0) AS n_events,
+           CASE WHEN d.day IS NULL THEN 'missing'
+                WHEN d.n_events < {_GAP_MIN_EVENTS} THEN 'sparse'
+                ELSE 'ok' END AS status
+    FROM spine s LEFT JOIN daily d USING (day)
+    WHERE d.day IS NULL OR d.n_events < {_GAP_MIN_EVENTS}
+    """,
+    doc="Ingestion-completeness report: a full date spine from the "
+    "observed min/max day (explode of sequence() over a broadcast "
+    "1-row bounds aggregate — no calendar table needed), left-joined "
+    "against per-day counts; days missing entirely or below the "
+    "expected floor surface as gaps. The freshness/continuity check "
+    "that catches a dead upstream BEFORE a refresh trains on a "
+    "truncated corpus. Per-day rollup is one shuffle; the spine is "
+    "O(days) rows.",
+)
+def events_daily_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    joined = spine.join(daily, "day", "left_outer")
+    status = (
+        F.when(F.col("n_events").isNull(), F.lit("missing"))
+        .when(F.col("n_events") < _GAP_MIN_EVENTS, F.lit("sparse"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        joined.select(
+            "day",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            status.alias("status"),
+        )
+        .filter(F.col("status") != "ok")
+    )

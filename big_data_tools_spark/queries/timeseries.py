@@ -1,0 +1,168 @@
+"""Time-series analytics queries: rolling-window anomaly detection and
+time-decay attribution — the telemetry/marketing shapes users of the
+reference build ad hoc on its events data (SURVEY.md §2.6 windows
+generalized), each with an exact DuckDB twin.
+
+Float policy: window sums ride the functions/agg decimal quantization,
+so trailing means/stds are partition-order independent; exp()/sqrt()
+run per-row on identical inputs and the outputs are quantized before
+comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from .registry import register
+
+_Z_WIN = 20          # trailing rows per user
+_Z_MIN_N = 5         # minimum history before scoring
+_Z_THRESHOLD = 3.0
+_DECAY_TAU_S = 1800  # attribution half-life-ish scale (seconds)
+_DECAY_WINDOW_S = 3600
+
+
+@register(
+    "user_value_anomalies",
+    sql=f"""
+    WITH scored AS (
+        SELECT user_id, ts, value,
+               count(value) OVER w AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+               CAST(sum(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {_Z_WIN} PRECEDING AND 1 PRECEDING)
+    ), z AS (
+        SELECT user_id, ts, value,
+               round((value - s1 / n)
+                     / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS zscore
+        FROM scored
+        WHERE n >= {_Z_MIN_N}
+          AND (s2 - s1 * s1 / n) / (n - 1) > 0
+    )
+    SELECT user_id, ts, value, zscore FROM z
+    WHERE abs(zscore) > {_Z_THRESHOLD}
+    """,
+    doc="Rolling z-score anomaly detection: each event's value scored "
+    "against its user's trailing-20-event mean/std (Welford-free: "
+    "moments from two EXACT decimal window sums, so the trailing "
+    "stats are partition-order independent), flagging |z| > 3. One "
+    "shuffle on user_id serves the ordered window; the frame excludes "
+    "the current row (no self-contamination) and users with <5 prior "
+    "events are unscored. The telemetry-monitoring counterpart of the "
+    "batch quality gates.",
+)
+def user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_Z_WIN, -1)
+    )
+    vdec = F.col("value").cast("decimal(18,2)")
+    scored = events.select(
+        "user_id",
+        "ts",
+        "value",
+        F.count("value").over(w).alias("n"),
+        F.sum(vdec).over(w).cast("double").alias("s1"),
+        F.sum(vdec * vdec).over(w).cast("double").alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    z = (
+        scored.filter((F.col("n") >= _Z_MIN_N) & (var > 0))
+        .withColumn(
+            "zscore",
+            F.round((F.col("value") - F.col("s1") / F.col("n")) / F.sqrt(var), 4),
+        )
+    )
+    return z.filter(F.abs(F.col("zscore")) > _Z_THRESHOLD).select(
+        "user_id", "ts", "value", "zscore"
+    )
+
+
+@register(
+    "purchase_decay_attribution",
+    sql=f"""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS pts
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT event_id AS click_id, user_id, ts AS cts
+        FROM events WHERE event_type = 'click'
+    ), pairs AS (
+        SELECT p.purchase_id, c.click_id,
+               exp(-date_diff('microsecond', c.cts, p.pts)
+                   / 1000000.0 / {_DECAY_TAU_S}) AS w_raw
+        FROM p JOIN c ON p.user_id = c.user_id
+        WHERE c.cts < p.pts
+          AND c.cts >= p.pts - INTERVAL {_DECAY_WINDOW_S} SECOND
+    ), normed AS (
+        SELECT purchase_id, click_id,
+               CAST(round(w_raw, 9) AS DECIMAL(28,12)) AS w_dec,
+               CAST(sum(CAST(round(w_raw, 9) AS DECIMAL(28,12)))
+                    OVER (PARTITION BY purchase_id) AS DOUBLE) AS w_sum
+        FROM pairs
+    )
+    SELECT purchase_id, click_id,
+           round(CAST(w_dec AS DOUBLE) / w_sum, 6) AS attribution
+    FROM normed
+    """,
+    doc="Time-decay multi-touch attribution: every click within the "
+    "hour before a same-user purchase earns weight exp(-age/tau), "
+    "normalized per purchase (the marketing-standard refinement of "
+    "the last-click as-of join). Same-user equi-join with the time "
+    "band as a residual (clicks per user per hour are few — no "
+    "all-pairs blowup); per-purchase normalizer is a window sum of "
+    "QUANTIZED decimals, so the shares are partition-order and "
+    "engine independent.",
+)
+def purchase_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    # exact integer micro difference, ONE division — mirrors the
+    # oracle's date_diff('microsecond')/1e6 so the exp() inputs are
+    # bit-identical (two separate /1e6 casts could differ in the ulp)
+    age_s = (F.unix_micros(F.col("pts")) - F.unix_micros(F.col("cts"))) / 1000000.0
+    pairs = (
+        p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (c.cts < p.pts)
+            & (c.cts >= p.pts - F.expr(f"INTERVAL {_DECAY_WINDOW_S} SECONDS")),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            F.exp(-age_s / _DECAY_TAU_S).alias("w_raw"),
+        )
+    )
+    w_dec = F.round(F.col("w_raw"), 9).cast("decimal(28,12)")
+    normed = pairs.select(
+        "purchase_id",
+        "click_id",
+        w_dec.alias("w_dec"),
+        F.sum(w_dec).over(Window.partitionBy("purchase_id"))
+        .cast("double")
+        .alias("w_sum"),
+    )
+    return normed.select(
+        "purchase_id",
+        "click_id",
+        F.round(F.col("w_dec").cast("double") / F.col("w_sum"), 6).alias(
+            "attribution"
+        ),
+    )
