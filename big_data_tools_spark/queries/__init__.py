@@ -27,5 +27,6 @@ from . import retrieval  # noqa: E402,F401
 from . import selection  # noqa: E402,F401
 from . import diagnostics  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
+from . import analytics  # noqa: E402,F401
 
 __all__ = ["QuerySpec", "all_queries", "get", "ordered_queries", "register"]

@@ -1,0 +1,311 @@
+"""Warehouse-analytics query shapes: RFM segmentation, retention
+cohorts, market-basket lift, and event-transition matrices — the
+patterns the reference's users write ad hoc on its tables, each with
+an exact DuckDB twin and a plan that survives scale.
+
+Scale stance shared by all four: NO global-sort ranking windows.
+RFM quartiles come from exact percentile BOUNDARIES computed in a
+1-row aggregate and broadcast back (comparison assignment, not
+ntile's single-partition sort); cohorts/basket/transitions are
+grouped aggregates with broadcast normalizers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.agg import money_sum, sql_money_sum
+from ..io.sources import load_table
+from .registry import register
+
+_RFM_PIVOT = "2002-01-01"
+
+
+@register(
+    "customer_rfm_segments",
+    sql=f"""
+    WITH rfm AS (
+        SELECT o_custkey AS c_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         DATE '{_RFM_PIVOT}') AS recency,
+               CAST(count(*) AS BIGINT) AS frequency,
+               {sql_money_sum('o_totalprice')} AS monetary
+        FROM orders WHERE o_custkey IS NOT NULL
+        GROUP BY o_custkey
+    ), b AS (
+        SELECT round(quantile_cont(recency,   0.25), 6) AS r25,
+               round(quantile_cont(recency,   0.50), 6) AS r50,
+               round(quantile_cont(recency,   0.75), 6) AS r75,
+               round(quantile_cont(frequency, 0.25), 6) AS f25,
+               round(quantile_cont(frequency, 0.50), 6) AS f50,
+               round(quantile_cont(frequency, 0.75), 6) AS f75,
+               round(quantile_cont(monetary,  0.25), 6) AS m25,
+               round(quantile_cont(monetary,  0.50), 6) AS m50,
+               round(quantile_cont(monetary,  0.75), 6) AS m75
+        FROM rfm
+    ), scored AS (
+        SELECT c_custkey,
+               CASE WHEN recency <= b.r25 THEN 4 WHEN recency <= b.r50 THEN 3
+                    WHEN recency <= b.r75 THEN 2 ELSE 1 END AS r_score,
+               CASE WHEN frequency <= b.f25 THEN 1 WHEN frequency <= b.f50 THEN 2
+                    WHEN frequency <= b.f75 THEN 3 ELSE 4 END AS f_score,
+               CASE WHEN monetary <= b.m25 THEN 1 WHEN monetary <= b.m50 THEN 2
+                    WHEN monetary <= b.m75 THEN 3 ELSE 4 END AS m_score
+        FROM rfm CROSS JOIN b
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+    doc="RFM segmentation (recency / frequency / monetary quartile "
+    "scores; recency inverted so 4 = most recent): the quartile "
+    "BOUNDARIES come from one exact-percentile 1-row aggregate "
+    "broadcast back for comparison assignment — no ntile, so no "
+    "single-partition global sort over all customers (the scale trap "
+    "in every textbook RFM query). Rolled up to segment counts; "
+    "boundaries rounded to 6 so the quartile cuts are "
+    "engine-deterministic.",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(
+                F.lit(_RFM_PIVOT).cast("date"), F.max(F.col("o_orderdate").cast("date"))
+            ).alias("recency"),
+            F.count(F.lit(1)).alias("frequency"),
+            money_sum(F.col("o_totalprice")).alias("monetary"),
+        )
+    )
+    qs = rfm.agg(
+        *[
+            F.round(F.percentile(F.col(c), F.lit(p)), 6).alias(f"{c[0]}{int(p * 100)}")
+            for c in ("recency", "frequency", "monetary")
+            for p in (0.25, 0.50, 0.75)
+        ]
+    )
+    scored = rfm.crossJoin(F.broadcast(qs)).select(
+        "c_custkey",
+        F.when(F.col("recency") <= F.col("r25"), 4)
+        .when(F.col("recency") <= F.col("r50"), 3)
+        .when(F.col("recency") <= F.col("r75"), 2)
+        .otherwise(1)
+        .alias("r_score"),
+        F.when(F.col("frequency") <= F.col("f25"), 1)
+        .when(F.col("frequency") <= F.col("f50"), 2)
+        .when(F.col("frequency") <= F.col("f75"), 3)
+        .otherwise(4)
+        .alias("f_score"),
+        F.when(F.col("monetary") <= F.col("m25"), 1)
+        .when(F.col("monetary") <= F.col("m50"), 2)
+        .when(F.col("monetary") <= F.col("m75"), 3)
+        .otherwise(4)
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "signup_retention_cohorts",
+    sql="""
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    ), cohort_sizes AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+        FROM first_seen GROUP BY cohort_week
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                              CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                    AS BIGINT) AS week_index
+        FROM events e JOIN first_seen f USING (user_id)
+    ), retained AS (
+        SELECT cohort_week, week_index,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM activity GROUP BY cohort_week, week_index
+    )
+    SELECT r.cohort_week, r.week_index, r.n_active, s.n_cohort,
+           round(r.n_active * 1.0 / s.n_cohort, 6) AS retention
+    FROM retained r JOIN cohort_sizes s USING (cohort_week)
+    WHERE r.week_index <= 8
+    """,
+    doc="Weekly retention cohorts: users grouped by first-seen week, "
+    "activity re-expressed as week offsets from the cohort, retention "
+    "= active users / cohort size for the first 8 weeks. Shapes: one "
+    "grouped min (first touch), a distinct per (user, week) — the "
+    "dedup that makes retention a USER metric, not an event metric — "
+    "and two rollups; cohort sizes join back on the already-small "
+    "cohort grain. The product-analytics staple the reference's "
+    "notebook users hand-roll.",
+)
+def signup_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        events.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_index"),
+        )
+        .distinct()
+    )
+    retained = activity.groupBy("cohort_week", "week_index").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return (
+        retained.join(F.broadcast(sizes), "cohort_week")
+        .filter(F.col("week_index") <= 8)
+        .select(
+            "cohort_week",
+            "week_index",
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+        )
+    )
+
+
+_BASKET_MIN_PART = 3   # part must appear in >= N orders
+_BASKET_MIN_PAIR = 3   # pair must co-occur in >= N orders
+_BASKET_MIN_LIFT = 2.0
+
+
+@register(
+    "part_basket_lift",
+    sql=f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets
+    ), part_freq AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS pf
+        FROM baskets GROUP BY l_partkey
+        HAVING count(*) >= {_BASKET_MIN_PART}
+    ), frequent AS (
+        SELECT b.l_orderkey, b.l_partkey, f.pf
+        FROM baskets b JOIN part_freq f USING (l_partkey)
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               a.pf AS pf_a, b.pf AS pf_b,
+               CAST(count(*) AS BIGINT) AS pair_n
+        FROM frequent a
+        JOIN frequent b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2, 3, 4
+        HAVING count(*) >= {_BASKET_MIN_PAIR}
+    )
+    SELECT part_a, part_b, pair_n,
+           round(pair_n * 1.0 * n.n / (pf_a * pf_b), 4) AS lift
+    FROM pairs CROSS JOIN n_orders n
+    WHERE pair_n * 1.0 * n.n / (pf_a * pf_b) >= {_BASKET_MIN_LIFT}
+    """,
+    doc="Market-basket association (support-pruned pairwise lift, the "
+    "Apriori first pass): parts co-ordered more than independence "
+    "predicts. The support prune runs BEFORE the pair self-join — "
+    "infrequent parts never enter the quadratic step, and the "
+    "per-order fan-out is bounded by lines-per-order squared (single "
+    "digits), so the join cost tracks basket density, not |parts|^2. "
+    "N and the part frequencies ride the pair rows; lift >= 2 with a "
+    "co-occurrence floor keeps the output the interesting tail.",
+)
+def part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n")
+    )
+    part_freq = (
+        baskets.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("pf"))
+        .filter(F.col("pf") >= _BASKET_MIN_PART)
+    )
+    frequent = baskets.join(part_freq, "l_partkey")
+    a = frequent.select(
+        F.col("l_orderkey"),
+        F.col("l_partkey").alias("part_a"),
+        F.col("pf").alias("pf_a"),
+    )
+    b = frequent.select(
+        F.col("l_orderkey"),
+        F.col("l_partkey").alias("part_b"),
+        F.col("pf").alias("pf_b"),
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b", "pf_a", "pf_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= _BASKET_MIN_PAIR)
+    )
+    lift = F.col("pair_n") * F.lit(1.0) * F.col("n") / (F.col("pf_a") * F.col("pf_b"))
+    return (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .filter(lift >= _BASKET_MIN_LIFT)
+        .select("part_a", "part_b", "pair_n", F.round(lift, 4).alias("lift"))
+    )
+
+
+@register(
+    "event_transition_matrix",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ), trans AS (
+        SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+    ), totals AS (
+        SELECT prev, sum(n) AS prev_total FROM trans GROUP BY prev
+    )
+    SELECT t.prev, t.cur, t.n,
+           round(t.n * 1.0 / x.prev_total, 6) AS prob
+    FROM trans t JOIN totals x USING (prev)
+    """,
+    doc="First-order event-transition matrix (the Markov view of user "
+    "journeys): lag over each user's ordered stream gives (prev, cur) "
+    "bigrams, one rollup counts them, and the row-normalizer joins on "
+    "the already-tiny |event_types| grain. One shuffle on user_id for "
+    "the lag window, one for the bigram count — the flow-diagram "
+    "backbone (Sankey inputs) at any scale.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("cur"),
+    ).filter(F.col("prev").isNotNull())
+    trans = seq.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n"))
+    totals = trans.groupBy("prev").agg(F.sum("n").alias("prev_total"))
+    return (
+        trans.join(F.broadcast(totals), "prev")
+        .select(
+            "prev",
+            "cur",
+            "n",
+            F.round(F.col("n") / F.col("prev_total"), 6).alias("prob"),
+        )
+    )
