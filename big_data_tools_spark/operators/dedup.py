@@ -576,26 +576,25 @@ def simhash_band_pairs_portable(
 
     idx = shingle_index(df, text_col, id_col, n, hashed=False)
     h = F.md5(F.col("shingle"))
-    nibs = idx.select(
+    # two 8-hex-char converts give all 16 nibbles as bit ranges of two
+    # 32-bit ints — 8x fewer conv() calls than per-nibble extraction,
+    # identical bit values: nibble j sits at bits [4*(7 - j%8)] of the
+    # half containing it, so bit b = (half >> (4*(7 - (b//4)%8) +
+    # (3 - b%4))) & 1 (verified equal by the unchanged DuckDB oracle)
+    halves = idx.select(
         "doc",
-        *[
-            F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int").alias(f"nib{j}")
-            for j in range(16)
-        ],
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("h0"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("h1"),
     )
-    votes = nibs.groupBy("doc").agg(
-        *[
-            F.sum(
-                (
-                    F.shiftright(F.col(f"nib{b // 4}"), 3 - (b % 4)).bitwiseAND(
-                        F.lit(1)
-                    )
-                    * 2
-                    - 1
-                )
-            ).alias(f"c{b}")
-            for b in range(64)
-        ]
+
+    def _bit(b: int):
+        j = b // 4  # hex-char index 0..15
+        half = F.col("h0") if j < 8 else F.col("h1")
+        shift = 4 * (7 - (j % 8)) + (3 - b % 4)
+        return F.shiftright(half, shift).bitwiseAND(F.lit(1))
+
+    votes = halves.groupBy("doc").agg(
+        *[F.sum(_bit(b) * 2 - 1).alias(f"c{b}") for b in range(64)]
     )
     band_cols = []
     for i in range(4):
