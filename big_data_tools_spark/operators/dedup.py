@@ -496,10 +496,18 @@ def minhash_band_pairs_portable(
     r = num_hashes // bands
 
     idx = shingle_index(df, text_col, id_col, n, hashed=False).persist()
+    # 4 signature components per salted md5 (disjoint 8-hex substrings
+    # of one 32-hex digest) — 4x fewer hash calls than one-md5-per-
+    # component; 32-bit component mins keep band-collision probability
+    # negligible and the exact-Jaccard confirm filters what remains
     comps = [
         F.min(
             F.substring(
-                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))), 1, 16
+                F.md5(
+                    F.concat_ws("|", F.lit(str(i // 4)), F.col("shingle"))
+                ),
+                8 * (i % 4) + 1,
+                8,
             )
         ).alias(f"s{i}")
         for i in range(num_hashes)

@@ -443,7 +443,7 @@ _MH_R = _MH_N_HASHES // _MH_BANDS
 _MH_THRESHOLD = 0.8
 
 _MH_SIG_COLS = ",\n               ".join(
-    f"min(substr(md5('{i}|' || shingle), 1, 16)) AS s{i}"
+    f"min(substr(md5('{i // 4}|' || shingle), {8 * (i % 4) + 1}, 8)) AS s{i}"
     for i in range(_MH_N_HASHES)
 )
 _MH_BAND_LIST = ", ".join(
