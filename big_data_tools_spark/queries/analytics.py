@@ -68,7 +68,11 @@ _RFM_PIVOT = "2002-01-01"
     "engine-deterministic.",
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track_cache
+
     orders = load_table(spark, sf_dir, "orders")
+    # customer-grain frame: persist so the boundary aggregate and the
+    # scoring pass share one scan of orders
     rfm = (
         orders.filter(F.col("o_custkey").isNotNull())
         .groupBy(F.col("o_custkey").alias("c_custkey"))
@@ -79,6 +83,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             money_sum(F.col("o_totalprice")).alias("monetary"),
         )
+        .persist()
     )
     qs = rfm.agg(
         *[
@@ -105,9 +110,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(4)
         .alias("m_score"),
     )
-    return scored.groupBy("r_score", "f_score", "m_score").agg(
+    out = scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+    return track_cache(out, rfm)
 
 
 @register(
@@ -146,10 +152,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "notebook users hand-roll.",
 )
 def signup_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track_cache
+
     events = load_table(spark, sf_dir, "events")
+    # user-grain frame: persist so the activity join and the cohort
+    # sizes branch off one scan of events
     first_seen = events.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
-    )
+    ).persist()
     activity = (
         events.join(first_seen, "user_id")
         .select(
@@ -173,7 +183,7 @@ def signup_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = first_seen.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("n_cohort")
     )
-    return (
+    out = (
         retained.join(F.broadcast(sizes), "cohort_week")
         .filter(F.col("week_index") <= 8)
         .select(
@@ -184,6 +194,7 @@ def signup_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
         )
     )
+    return track_cache(out, first_seen)
 
 
 _BASKET_MIN_PART = 3   # part must appear in >= N orders
@@ -230,8 +241,12 @@ _BASKET_MIN_LIFT = 2.0
     "co-occurrence floor keeps the output the interesting tail.",
 )
 def part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track_cache
+
     lineitem = load_table(spark, sf_dir, "lineitem")
-    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # the deduped basket index feeds three consumers (N, part counts,
+    # the pair join's two sides) — persist so lineitem scans once
+    baskets = lineitem.select("l_orderkey", "l_partkey").distinct().persist()
     n_orders = baskets.agg(
         F.count_distinct("l_orderkey").alias("n")
     )
@@ -259,11 +274,12 @@ def part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pair_n") >= _BASKET_MIN_PAIR)
     )
     lift = F.col("pair_n") * F.lit(1.0) * F.col("n") / (F.col("pf_a") * F.col("pf_b"))
-    return (
+    out = (
         pairs.crossJoin(F.broadcast(n_orders))
         .filter(lift >= _BASKET_MIN_LIFT)
         .select("part_a", "part_b", "pair_n", F.round(lift, 4).alias("lift"))
     )
+    return track_cache(out, baskets)
 
 
 @register(
@@ -299,13 +315,13 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("cur"),
     ).filter(F.col("prev").isNotNull())
     trans = seq.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n"))
-    totals = trans.groupBy("prev").agg(F.sum("n").alias("prev_total"))
-    return (
-        trans.join(F.broadcast(totals), "prev")
-        .select(
-            "prev",
-            "cur",
-            "n",
-            F.round(F.col("n") / F.col("prev_total"), 6).alias("prob"),
-        )
+    # row-normalize with a window over the ALREADY-AGGREGATED
+    # |event_types|^2 frame — one lineage, so events scans once
+    # (the totals-join form recomputed the lag pass)
+    prev_total = F.sum("n").over(Window.partitionBy("prev"))
+    return trans.select(
+        "prev",
+        "cur",
+        "n",
+        F.round(F.col("n") / prev_total, 6).alias("prob"),
     )

@@ -149,8 +149,15 @@ def customer_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "critical value offline.",
 )
 def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track_cache
+
     docs = load_table(spark, sf_dir, "documents")
-    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    # the contingency table is |langs x sources| rows; persist it so
+    # the marginals, total, dof, and cells all branch off ONE scan of
+    # documents instead of five (PLANS.md caught the recompute)
+    obs = (
+        docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o")).persist()
+    )
     rt = obs.groupBy("lang").agg(F.sum("o").alias("row_tot"))
     ct = obs.groupBy("source").agg(F.sum("o").alias("col_tot"))
     tot = obs.agg(F.sum("o").alias("n"))
@@ -177,11 +184,12 @@ def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     stat = cells.agg(
         F.round(F.sum(contrib).cast("double"), 4).alias("chi2"),
     )
-    return (
+    out = (
         stat.crossJoin(F.broadcast(dof))
         .crossJoin(F.broadcast(tot.select(F.col("n").cast("bigint").alias("n_docs"))))
         .select("chi2", "dof", "n_docs")
     )
+    return track_cache(out, obs)
 
 
 _GAP_MIN_EVENTS = 10
@@ -216,9 +224,15 @@ _GAP_MIN_EVENTS = 10
     "O(days) rows.",
 )
 def events_daily_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track_cache
+
     events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_events")
+    # day-grain frame (O(days) rows): persist so the bounds aggregate
+    # and the spine join share one scan of events
+    daily = (
+        events.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .persist()
     )
     bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     spine = bounds.select(
@@ -230,7 +244,7 @@ def events_daily_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_events") < _GAP_MIN_EVENTS, F.lit("sparse"))
         .otherwise(F.lit("ok"))
     )
-    return (
+    out = (
         joined.select(
             "day",
             F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
@@ -238,3 +252,4 @@ def events_daily_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("status") != "ok")
     )
+    return track_cache(out, daily)
