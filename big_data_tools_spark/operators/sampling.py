@@ -227,7 +227,11 @@ def temperature_mixture_plan(
     """
     if tau <= 0:
         raise ValueError(f"tau must be positive, got {tau}")
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    from .cache import track_cache
+
+    # |groups| rows; persist so the total, the normalizer, and the
+    # final projection share one scan of df
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows")).persist()
     tot = counts.agg(
         F.sum("n_rows").alias("total"),
     )
@@ -241,7 +245,7 @@ def temperature_mixture_plan(
         .cast("double")
         .alias("z")
     )
-    return (
+    out = (
         powed.crossJoin(F.broadcast(z))
         .select(
             group_col,
@@ -257,3 +261,4 @@ def temperature_mixture_plan(
             .alias("target_n"),
         )
     )
+    return track_cache(out, counts)

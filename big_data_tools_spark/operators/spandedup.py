@@ -79,7 +79,13 @@ def duplicated_span_coverage(
     """Per-document duplicated-span coverage: (doc_id, covered, n_tok,
     dup_coverage). ``covered`` is the union length of all [pos, pos+k)
     intervals whose k-gram occurs in >= 2 distinct documents."""
-    grams = position_grams(docs, k=k, id_col=id_col, text_col=text_col)
+    from .cache import track_cache
+
+    # the gram stream feeds the df aggregate AND the positions re-join;
+    # persist it so the tokenize+gram explode runs once (same policy as
+    # jaccard_pairs' persisted shingle index — at corpus scale the
+    # recompute costs more than the storage)
+    grams = position_grams(docs, k=k, id_col=id_col, text_col=text_col).persist()
 
     dup_grams = (
         grams.groupBy("gram")
@@ -116,7 +122,7 @@ def duplicated_span_coverage(
         F.col(id_col).alias("doc_id"),
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tok"),
     )
-    return (
+    out = (
         lengths.join(covered, "doc_id", "left_outer")
         .withColumn("covered", F.coalesce(F.col("covered"), F.lit(0)))
         .withColumn(
@@ -124,3 +130,4 @@ def duplicated_span_coverage(
             F.round(F.col("covered") / F.col("n_tok"), 6),
         )
     )
+    return track_cache(out, grams)

@@ -89,9 +89,14 @@ def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (inverted-index semantics via the early isin filter), never the
     full corpus x query product.
     """
+    from ..operators.cache import track_cache
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
-    doclen = d.select("doc_id", token_count(F.col("text")).alias("dl"))
+    # doc-grain and (doc, term)-grain frames each feed two+ consumers;
+    # persisting them keeps the corpus scan/explode at ONE pass instead
+    # of five (PLANS.md caught the recompute)
+    doclen = d.select("doc_id", token_count(F.col("text")).alias("dl")).persist()
 
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -101,6 +106,7 @@ def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.col("w").isin(*_BM25_TERMS))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     idf = (
         tf.groupBy("w")
@@ -128,7 +134,7 @@ def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats.select("avgdl")))
         .select("doc_id", term_score.alias("term_score"))
     )
-    return scored.groupBy("doc_id").agg(
+    per_doc = scored.groupBy("doc_id").agg(
         F.round(
             F.sum(F.round(F.col("term_score"), 6).cast("decimal(28,8)")).cast(
                 "double"
@@ -136,6 +142,7 @@ def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("bm25")
     )
+    return track_cache(per_doc, doclen, tf)
 
 
 @register(
