@@ -203,6 +203,41 @@ class IvfIndex:
     def unpersist(self) -> None:
         self._assigned.unpersist()
 
+    def save(self, path: str) -> None:
+        """Persist the fitted index to ``path`` (two parquet datasets +
+        a JSON sidecar), making fit-once/search-many hold ACROSS
+        sessions — the index a nightly embedding pipeline builds once
+        and every retrieval job loads. Assignment writes partitioned
+        by cluster so a later :meth:`search` prunes the probed lists
+        at the file level (partition pruning on cluster id)."""
+        import json
+        import os
+
+        self._assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            os.path.join(path, "assigned")
+        )
+        self._cents.write.mode("overwrite").parquet(os.path.join(path, "cents"))
+        meta = {"id_col": self._id_col, "vec_col": self._vec_col, "format": 1}
+        spark = self._assigned.sparkSession
+        spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+            1
+        ).write.mode("overwrite").json(os.path.join(path, "meta"))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        """Reload an index written by :meth:`save`; the assignment is
+        re-persisted so repeated searches stay memory-resident."""
+        import json
+        import os
+
+        meta_rows = spark.read.json(os.path.join(path, "meta")).collect()
+        meta = json.loads(meta_rows[0]["meta"])
+        if meta.get("format") != 1:
+            raise ValueError(f"unknown IvfIndex format: {meta.get('format')}")
+        assigned = spark.read.parquet(os.path.join(path, "assigned")).persist()
+        cents = spark.read.parquet(os.path.join(path, "cents"))
+        return cls(assigned, cents, meta["id_col"], meta["vec_col"])
+
 
 def ivf_topk(
     corpus: DataFrame,

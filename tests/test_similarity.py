@@ -141,3 +141,26 @@ def test_quantized_topk_recall_vs_exact(spark, sf_oracle):
     q = {(r["query_id"], r["neighbor_id"]) for r in quant}
     recall = len(e & q) / len(e)
     assert recall >= 0.9, f"int8 recall {recall:.2f}"
+
+
+def test_ivf_index_save_load_roundtrip(spark, tmp_path):
+    """fit -> save -> load must search identically to the in-memory
+    index (the fit-once/search-many contract surviving a session
+    boundary)."""
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.similarity import IvfIndex
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    idx = IvfIndex.fit(emb, n_clusters=8)
+    want = sorted(map(tuple, idx.search(queries, k=5, n_probe=3).collect()))
+
+    path = str(tmp_path / "ivf_index")
+    idx.save(path)
+    idx.unpersist()
+
+    loaded = IvfIndex.load(spark, path)
+    got = sorted(map(tuple, loaded.search(queries, k=5, n_probe=3).collect()))
+    loaded.unpersist()
+    assert got == want
