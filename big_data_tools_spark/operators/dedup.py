@@ -38,6 +38,36 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def canonical_survivors(
+    df: DataFrame, text_col: str, id_col: str, quality_col: str
+) -> DataFrame:
+    """One row per content group: the representative that survives
+    dedup — highest ``quality_col``, lowest ``id_col`` as the
+    deterministic tie-break — plus the group size. Singleton groups
+    keep their only member, so the output is the deduplicated corpus
+    manifest. One fingerprint shuffle; the rank and the group-size
+    count share the same partitioned window sort."""
+    from pyspark.sql import Window
+
+    fp = df.select(
+        F.col(id_col), F.col(quality_col), fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    w_rank = Window.partitionBy("fingerprint").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    w_all = Window.partitionBy("fingerprint")
+    ranked = fp.select(
+        "fingerprint",
+        F.col(id_col).alias(f"keep_{id_col}"),
+        F.col(quality_col).alias(f"keep_{quality_col}"),
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("group_size"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "fingerprint", "group_size", f"keep_{id_col}", f"keep_{quality_col}"
+    )
+
+
 def shingle_index(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, hashed: bool = False
 ) -> DataFrame:

@@ -1,0 +1,242 @@
+"""Corpus-curation queries: the reporting/selection shapes a
+pretraining-data team runs AFTER the dedup tiers have done their work
+— canonical-survivor selection, duplication spectrum, cross-source
+overlap, vocabulary OOV sizing, and skip-gram co-occurrence counts.
+Each has an exact DuckDB twin (generalizes the reference's
+dropDuplicates / groupBy-count reporting, `Databricks Notebook.py`
+:160,611, to corpus curation at scale).
+
+Scale stance: every query is a grouped aggregate or a bounded
+expression fan-out — no all-pairs joins. ``source_overlap_matrix``
+builds per-fingerprint source sets (bounded by |sources|) instead of
+self-joining the corpus; ``token_skipgram_counts`` generates pairs
+with pure array slicing (zero joins before the final count shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from ..operators.cache import track_cache
+from ..operators.text import fingerprint
+from .registry import register
+
+# DuckDB twin of operators.text.fingerprint (kept in sync with
+# dedup_exact_docs' oracle)
+_SQL_FP = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+
+_VOCAB_V = 1000  # top-V vocabulary size for the OOV audit
+
+
+@register(
+    "dedup_canonical_docs",
+    sql=f"""
+    WITH fp AS (
+        SELECT doc_id, n_chars, {_SQL_FP} AS fingerprint FROM documents
+    ), r AS (
+        SELECT fingerprint, n_chars, doc_id,
+               row_number() OVER (PARTITION BY fingerprint
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT)
+                   AS group_size
+        FROM fp
+    )
+    SELECT fingerprint, group_size, doc_id AS keep_doc_id,
+           n_chars AS keep_n_chars
+    FROM r WHERE rn = 1
+    """,
+    doc="Canonical-survivor selection: every content group keeps "
+    "exactly one representative (longest text, doc_id as the "
+    "deterministic tie-break) — the step between pair/group detection "
+    "and actually EMITTING a deduplicated corpus (singleton groups "
+    "keep their only member, so the output IS the deduped doc list). "
+    "One hash shuffle on the md5 fingerprint; rank and group-size "
+    "ride the SAME partitioned window sort (no global sort, no "
+    "second shuffle).",
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import canonical_survivors
+
+    docs = load_table(spark, sf_dir, "documents")
+    return canonical_survivors(docs, "text", "doc_id", "n_chars")
+
+
+@register(
+    "dedup_cluster_size_spectrum",
+    sql=f"""
+    WITH g AS (
+        SELECT {_SQL_FP} AS f, count(*) AS k FROM documents GROUP BY 1
+    )
+    SELECT CAST(k AS BIGINT) AS copies,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(k * count(*) AS BIGINT) AS n_docs
+    FROM g GROUP BY k
+    """,
+    doc="Duplication spectrum: how many content groups exist at each "
+    "copy-count (the C4/RefinedWeb 'how duplicated is this crawl' "
+    "report that sizes the dedup payoff before running it). Two "
+    "grouped aggregates — fingerprint shuffle, then a tiny "
+    "spectrum-sized one; partial aggregation applies to both.",
+)
+def dedup_cluster_size_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy(fingerprint(F.col("text")).alias("f")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return groups.groupBy(F.col("k").alias("copies")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        (F.col("copies") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    sql=f"""
+    WITH fp AS (
+        SELECT DISTINCT {_SQL_FP} AS f, source FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_fingerprints
+    FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    doc="Cross-source duplicate overlap: for every source pair, how "
+    "many distinct content fingerprints appear in both (which crawls "
+    "re-scrape each other — the input to mixture/priority decisions). "
+    "Spark side avoids the corpus self-join entirely: one fingerprint "
+    "shuffle builds the sorted per-fingerprint source set (bounded by "
+    "|sources|, not |docs|), pure array expressions expand the "
+    "ordered pairs, and a tiny |sources|^2 aggregate finishes.",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_fp = (
+        docs.select(fingerprint(F.col("text")).alias("f"), "source")
+        .distinct()
+        .groupBy("f")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") > 1)
+    )
+    pairs = per_fp.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), "
+                "y -> struct(x AS source_a, y AS source_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b")
+    ).agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+
+
+@register(
+    "vocab_oov_rate",
+    sql=f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ), counts AS (
+        SELECT source, w, count(*) AS c FROM tok GROUP BY source, w
+    ), vocab AS (
+        SELECT w FROM (
+            SELECT w, sum(c) AS total FROM counts GROUP BY w
+            ORDER BY total DESC, w LIMIT {_VOCAB_V}
+        )
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN vocab.w IS NULL THEN c ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           round(sum(CASE WHEN vocab.w IS NULL THEN c ELSE 0 END)
+                 / CAST(sum(c) AS DOUBLE), 6) AS oov_rate
+    FROM counts LEFT JOIN vocab ON counts.w = vocab.w
+    GROUP BY source
+    """,
+    doc=f"Vocabulary-coverage audit: token share NOT covered by the "
+    f"global top-{_VOCAB_V} vocabulary, per source — the tokenizer-"
+    "sizing signal (a source with high OOV under the shared vocab "
+    "needs vocab budget or gets over-fragmented). One corpus scan "
+    "builds (source, word) counts; the vocabulary is a TakeOrdered "
+    "top-V over the word re-aggregate and broadcasts back — the "
+    "token stream itself is never shuffled a second time.",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    vocab = (
+        counts.groupBy("w")
+        .agg(F.sum("c").alias("total"))
+        .orderBy(F.desc("total"), F.asc("w"))
+        .limit(_VOCAB_V)
+        .select("w")
+    )
+    joined = counts.join(F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "w", "left")
+    out = joined.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(F.lit(0))).alias(
+            "n_oov"
+        ),
+        F.round(
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("oov_rate"),
+    )
+    return track_cache(out, counts)
+
+
+@register(
+    "token_skipgram_counts",
+    sql="""
+    WITH t AS (
+        SELECT string_split(lower(text), ' ') AS toks FROM documents
+    ), p1 AS (
+        SELECT unnest(list_zip(toks[1:greatest(len(toks) - 1, 0)],
+                               toks[2:len(toks)])) AS z FROM t
+    ), p2 AS (
+        SELECT unnest(list_zip(toks[1:greatest(len(toks) - 2, 0)],
+                               toks[3:len(toks)])) AS z FROM t
+    ), u AS (
+        SELECT z FROM p1 UNION ALL SELECT z FROM p2
+    )
+    SELECT z[1] AS w1, z[2] AS w2,
+           CAST(count(*) AS BIGINT) AS n
+    FROM u GROUP BY 1, 2
+    ORDER BY n DESC, w1, w2 LIMIT 100
+    """,
+    doc="Skip-gram co-occurrence counts (window +1/+2, the word2vec / "
+    "PMI preprocessing pass): top-100 directed token pairs. The pair "
+    "stream is generated with pure array slicing + arrays_zip per "
+    "document — ZERO joins and zero shuffles until the single "
+    "pair-count aggregate, which partial-aggregates map-side; the "
+    "top-100 is TakeOrderedAndProject, never a global sort.",
+)
+def token_skipgram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower("text"), " ").alias("t"))
+
+    def gap_pairs(g: int):
+        n = F.greatest(F.size("t") - F.lit(g), F.lit(0))
+        return F.arrays_zip(
+            F.slice(F.col("t"), 1, n).alias("w1"),
+            F.slice(F.col("t"), g + 1, n).alias("w2"),
+        )
+
+    pairs = toks.select(
+        F.explode(F.flatten(F.array(gap_pairs(1), gap_pairs(2)))).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(100)
+    )

@@ -55,115 +55,147 @@ def get(name: str) -> QuerySpec:
 
 # The driver's correctness gate checks the FIRST 50 entries of
 # ``queries()``. The window ROTATES each round (tests/test_rotation.py
-# enforces it against checked_rounds.json): round 3 front-loads the 19
-# oracle twins that had never had a driver row in rounds 1-2
-# (VERDICT.md r2 "What's missing" #1), the streaming surfaces that
-# never had even a rows-only row (ask #6), and the round-3 additions
-# (real multimodal decode, parquet-backed basetable oracle) — then one
-# in-window representative per SURVEY.md §2 family. Entries past the
-# window were driver-green in r1/r2 and still run against the same
+# enforces it against checked_rounds.json): round 4 drains the nine
+# pending_r3 analytics twins, re-rows the 33 r1-era twins that would
+# otherwise fall out of the 3-round union (their last driver row was
+# round 1), and seats the 8 new round-4 twins. Everything past the
+# window was driver-green in r1-r3 and still runs against the same
 # DuckDB oracle in tests/test_oracle_parity.py at every round.
 _PRIORITY = [
-    # -- never driver-checked oracle twins (r2 VERDICT ask #1) --
-    "small_qty_part_revenue",     # TPC-H Q17 shape: per-part avg threshold
-    "top_volume_orders",          # Q18 shape: HAVING over two-level agg
-    "top_revenue_supplier",       # Q15 shape: window max over revenue agg
-    "supplier_value_concentration",  # Q11 shape: global scalar threshold
-    "idle_rich_customers",        # Q22 shape: anti join + avg filter
-    "nation_trade_balance_sql",   # Q7 shape via spark.sql entry point
-    "late_ship_priority_counts",  # Q4 shape: semi join + conditional counts
-    "promo_revenue_multibrand",   # Q19 shape: disjunctive pushdown bands
-    "nation_market_share",        # Q8 shape: ratio of conditional aggs
-    "pii_scrub_audit",            # chained regexp_replace PII scrub
-    "embedding_int8_audit",       # int8 quantization error audit
-    "knn_cosine_int8",            # quantized kNN (exact bigint dot)
-    "dedup_fuzzy_part_names",     # blocked levenshtein fuzzy dedup
-    "corpus_vocabulary",          # tokenizer-prep vocabulary build
-    "embedding_hard_negatives",   # hard-negative mining band
-    "orders_quality_gate",        # one-pass constraint report
-    "events_props_variant",       # VARIANT ingestion + typed extraction
-    "doc_winnow_stats",           # winnowing fingerprint density
-    "documents_balanced_per_lang",  # deterministic stratified balance
-    # -- streaming surfaces with no driver row in any round (ask #6) --
-    "streaming_upsert_rollup",    # foreachBatch dynamic-partition upsert
-    "streaming_dedup",            # watermarked dropDuplicates stream
-    # -- round-3 additions --
-    "multimodal_features",        # REAL image decode via mapInPandas (r3)
-    "yelp_basetable_mini",        # full pipeline vs DuckDB twin on parquet fixtures (r3)
-    "bm25_topk_docs",             # Okapi BM25 lexical retrieval (r3)
-    "doc_perplexity_by_source",   # unigram-LM quality filter, CCNet shape (r3)
-    "dedup_segments_reassembled",  # CCNet/RefinedWeb segment dedup + reassembly (r3)
-    "dsir_target_selection",      # DSIR importance-based data selection (r3)
-    "orders_profile",             # single-pass schema-wide profiling (r3)
-    "corpus_shuffle_shards",      # deterministic shuffle + sharding for export (r3)
-    # -- round-3 TPC-H fill-in (Q2/Q3/Q6/Q9/Q10/Q12/Q13/Q14/Q16/Q20
-    #    analogs completing the 22-query family; never driver-checked) --
-    "regional_min_price_suppliers",   # Q2: window-min over pair pre-agg
-    "segment_top_open_orders",        # Q3: TakeOrderedAndProject top-10
-    "narrow_discount_revenue",        # Q6: pure pushdown scan-agg
-    "nation_product_profit",          # Q9: pruned broadcast star + profit
-    "returned_item_customers",        # Q10: quarter returns top-20
-    "late_line_priority_split",       # Q12: residual-date conditional counts
-    "customer_order_count_distribution",  # Q13: left-outer zero-preserving
-    "promo_revenue_share",            # Q14: conditional-sum ratio, no shuffle
-    "part_attr_supplier_counts",      # Q16: distinct-count + anti blocklist
-    "dominant_part_suppliers",        # Q20: window dominance + semi join
-    "hybrid_rrf_topk",                # BM25+dense reciprocal-rank fusion (r3)
-    "user_current_state_cdc",         # CDC apply-changes materialization (r3)
-    "dedup_span_coverage",            # ExactSubstr-style span coverage (r3)
-    "orders_custkey_skew",            # histogram-exact Gini skew report (r3)
-    "events_user_heavy_hitters",      # top-N share heavy hitters (r3)
-    "customer_kanonymity",            # k-anonymity privacy audit (r3)
-    "dedup_minhash_portable",         # md5-family MinHash+LSH, bit-exact twin (r3)
-    "orders_snapshot_diff",           # keyed snapshot diff, null-safe change detect (r3)
-    "dedup_simhash_portable",         # md5-nibble 64-bit SimHash, bit-exact twin (r3)
-    "orders_pit_segment_revenue",     # point-in-time SCD2 consume join (r3)
-    "documents_weighted_sample",      # Efraimidis-Spirakis portable weighted draw (r3)
-    # -- one representative per §2 family (driver-green r1/r2; the
-    #    rotated-out siblings keep their local oracle-parity coverage) --
-    # ---- window boundary (~50) ----
-    # (event_sessions_builtin rotated out: r2-driver-green; its ADVICE
-    # oracle fix is exercised by the local parity suite — including at
-    # sf0.1 via BDT_PARITY_SF — while the slot retires a never-checked
-    # twin. documents_temperature_mixture rides the pending queue to
-    # the r4 window — the 50 slots are saturated with first-row twins.)
-    "event_sessions_builtin",     # session_window; oracle fixed per ADVICE r2
-    "documents_temperature_mixture",  # XLM-R temperature plan (pending r4 window)
-    "streaming_segment_revenue",  # stream-static enrich (rows-only; stream==batch stays locally tested; rotated out for orders_pit_segment_revenue)
-    "order_rollup_flagship",      # star join flagship (r1+r2-green; entry() smoke-checked every round; rotated out for dedup_simhash_portable)
-    "customer_scd2_merge",        # SCD-2 dimension merge (r2-green; rotated out for orders_snapshot_diff)
-    "dedup_components",           # connected components fixpoint (r2-green; rotated out for dedup_minhash_portable)
-    "purchase_last_click_asof",   # as-of join (r2-green; rotated out for orders_custkey_skew)
-    "tfidf_top_terms",            # widest text plan (r2-green; rotated out for events_user_heavy_hitters)
-    "dedup_jaccard_pairs",        # posting-list n-gram Jaccard (r2-green; rotated out for customer_kanonymity)
-    "pretraining_corpus_pipeline",  # composed corpus capstone (r2-green; rotated out for user_current_state_cdc)
-    "benchmark_contamination",    # train-vs-eval n-gram overlap (r2-green; rotated out for dedup_span_coverage)
-    "doc_chunk_windows",          # stride-window chunking (r2-green; rotated out for hybrid_rrf_topk)
-    # (purchase_click_window / events_multires_rollup /
-    # token_shard_packing / part_like_filter / null_audit_orders /
-    # segment_pivot / custkey_overlap_setops / status_recode_operator /
-    # string_date_parse / events_props_extract rotated out for the
-    # TPC-H fill-in set — all ten are r2-driver-green and stay
-    # parity-tested locally)
-    "purchase_click_window",      # range join
-    "events_multires_rollup",     # grouping sets multi-resolution
-    "token_shard_packing",        # bucketed token-budget pack
-    "part_like_filter",           # LIKE disjunction
-    "null_audit_orders",          # null predicates + isnan
-    "segment_pivot",              # pivot with declared values
-    "custkey_overlap_setops",     # intersect/except
-    "status_recode_operator",     # fold-left recode, batched withColumns
-    "string_date_parse",          # to_timestamp both patterns + ltrim
-    "events_props_extract",       # semi-structured JSON extraction
-    "lineitem_metric_unpivot",    # unpivot/stack (r2-green; rotated out for corpus_shuffle_shards)
-    # past-window: driver-green in r1/r2, families represented above;
-    # all still oracle-checked locally every round
-    # (fillna_policy / hours_parse / map_literal_parse rotated out
-    # mid-round-3 to make room for the segment-dedup / DSIR / profile
-    # additions — all three are r2-driver-green and stay parity-tested)
-    "fillna_policy",              # const + computed fill
-    "hours_parse",                # split/substring_index/concat hours
-    "map_literal_parse",          # translate + create_map + map explode
+    # -- pending_r3 drain: 3e analytics twins (test_rotation enforces) --
+    "customer_rfm_segments",
+    "documents_temperature_mixture",
+    "event_transition_matrix",
+    "events_daily_completeness",
+    "lang_source_chi2",
+    "part_basket_lift",
+    "purchase_decay_attribution",
+    "signup_retention_cohorts",
+    "user_value_anomalies",
+  # -- r1-era twins at the 3-round union limit (must re-row in r4) --
+    "pricing_summary",
+    "priority_recode",
+    "sentinel_audit_orders",
+    "distinct_status_priority",
+    "distinct_customer_count",
+    "dedup_orders_keep_first",
+    "nation_customer_value",
+    "topk_orders_per_customer",
+    "top100_orders",
+    "priority_union",
+    "monthly_revenue",
+    "customers_with_urgent_orders",
+    "revenue_rollup",
+    "event_sessions",
+    "orders_above_customer_avg",
+    "status_priority_cube",
+    "user_value_sliding_1h",
+    "customer_spend_deciles",
+    "customer_order_coverage",
+    "embedding_centroids",
+    "frequent_big_spenders",
+    "doc_length_quantiles",
+    "event_value_stats",
+    "segment_revenue_share",
+    "returnflag_price_corr",
+    "status_priority_mode",
+    "discount_band_histogram",
+    "bulk_rename",
+    "events_hourly",
+    "part_name_tokens",
+    "doc_token_stats",
+    "doc_fingerprints",
+    "doc_bpe_token_estimate",
+  # -- round-4 additions --
+    "events_rolling_dau",  # exact sliding 7-day distinct users, bounded fan-out
+    "orders_incremental_rollup",  # mergeable-state rollup maintenance
+    "gdpr_erasure_cascade",  # right-to-erasure cascade audit
+    "dedup_canonical_docs",  # survivor selection -> deduped corpus manifest
+    "dedup_cluster_size_spectrum",  # duplication spectrum report
+    "source_overlap_matrix",  # cross-source duplicate overlap
+    "vocab_oov_rate",  # top-V vocabulary OOV audit
+    "token_skipgram_counts",  # zero-join skip-gram co-occurrence
+    # ---- window boundary (50) ----
+    # (bucketed_revenue_join rides pending_r4: the 50 slots are
+    # saturated by the pending_r3 drain + the 33 r1-era twins
+    # hitting the 3-round union limit + 8 round-4 twins.)
+    "bucketed_revenue_join",  # zero-exchange bucketed layout join (pending r5 window)
+    # past-window: driver-green in r1-r3, still oracle-checked locally
+    "small_qty_part_revenue",
+    "top_volume_orders",
+    "top_revenue_supplier",
+    "supplier_value_concentration",
+    "idle_rich_customers",
+    "nation_trade_balance_sql",
+    "late_ship_priority_counts",
+    "promo_revenue_multibrand",
+    "nation_market_share",
+    "pii_scrub_audit",
+    "embedding_int8_audit",
+    "knn_cosine_int8",
+    "dedup_fuzzy_part_names",
+    "corpus_vocabulary",
+    "embedding_hard_negatives",
+    "orders_quality_gate",
+    "events_props_variant",
+    "doc_winnow_stats",
+    "documents_balanced_per_lang",
+    "streaming_upsert_rollup",
+    "streaming_dedup",
+    "multimodal_features",
+    "yelp_basetable_mini",
+    "bm25_topk_docs",
+    "doc_perplexity_by_source",
+    "dedup_segments_reassembled",
+    "dsir_target_selection",
+    "orders_profile",
+    "corpus_shuffle_shards",
+    "regional_min_price_suppliers",
+    "segment_top_open_orders",
+    "narrow_discount_revenue",
+    "nation_product_profit",
+    "returned_item_customers",
+    "late_line_priority_split",
+    "customer_order_count_distribution",
+    "promo_revenue_share",
+    "part_attr_supplier_counts",
+    "dominant_part_suppliers",
+    "hybrid_rrf_topk",
+    "user_current_state_cdc",
+    "dedup_span_coverage",
+    "orders_custkey_skew",
+    "events_user_heavy_hitters",
+    "customer_kanonymity",
+    "dedup_minhash_portable",
+    "orders_snapshot_diff",
+    "dedup_simhash_portable",
+    "orders_pit_segment_revenue",
+    "documents_weighted_sample",
+    "event_sessions_builtin",
+    "streaming_segment_revenue",
+    "order_rollup_flagship",
+    "customer_scd2_merge",
+    "dedup_components",
+    "purchase_last_click_asof",
+    "tfidf_top_terms",
+    "dedup_jaccard_pairs",
+    "pretraining_corpus_pipeline",
+    "benchmark_contamination",
+    "doc_chunk_windows",
+    "purchase_click_window",
+    "events_multires_rollup",
+    "token_shard_packing",
+    "part_like_filter",
+    "null_audit_orders",
+    "segment_pivot",
+    "custkey_overlap_setops",
+    "status_recode_operator",
+    "string_date_parse",
+    "events_props_extract",
+    "lineitem_metric_unpivot",
+    "fillna_policy",
+    "hours_parse",
+    "map_literal_parse",
     "salted_status_rollup",
     "event_funnel",
     "user_value_hourly_ffill",
@@ -188,19 +220,6 @@ _PRIORITY = [
     "lang_id_confusion",
     "regional_revenue",
     "customers_without_orders",
-    "doc_token_stats",
-    "distinct_customer_count",
-    "pricing_summary",
-    "nation_customer_value",
-    "topk_orders_per_customer",
-    "dedup_orders_keep_first",
-    "customers_with_urgent_orders",
-    "revenue_rollup",
-    "distinct_status_priority",
-    "top100_orders",
-    "priority_union",
-    "event_sessions",
-    "bulk_rename",
 ]
 
 
