@@ -92,6 +92,14 @@ HEADLINE = [
     "orders_custkey_skew",
     "orders_pit_segment_revenue",
     "documents_weighted_sample",
+    # round-4: skip-gram pair stream (widest pure-expression fan-out),
+    # vocabulary OOV (token-stream shuffle + broadcast top-V), rolling
+    # DAU (bounded date fan-out + per-day distinct), cross-source
+    # overlap (fingerprint source-set build)
+    "token_skipgram_counts",
+    "vocab_oov_rate",
+    "events_rolling_dau",
+    "source_overlap_matrix",
 ]
 
 

@@ -195,6 +195,58 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_ingest",
+    sql=f"""
+    WITH f AS (
+        SELECT doc_id, {_SQL_FP} AS fp FROM documents
+    ), hist AS (
+        SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0
+    ), batch AS (
+        SELECT doc_id, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM f WHERE doc_id % 2 = 1
+    )
+    SELECT CASE WHEN hist.fp IS NOT NULL THEN 'dup_of_history'
+                WHEN rn > 1 THEN 'dup_in_batch'
+                ELSE 'new' END AS status,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM batch LEFT JOIN hist ON batch.fp = hist.fp
+    GROUP BY 1
+    """,
+    doc="Incremental-ingestion dedup: a NEW batch (odd doc_ids stand "
+    "in for today's crawl) deduped against the stored fingerprint "
+    "INDEX of everything already ingested (even doc_ids) — each new "
+    "doc is 'dup_of_history', 'dup_in_batch' (not first among its "
+    "batch-internal copies), or 'new'. The 100 TB point: history is "
+    "touched only through its distinct-fingerprint index (|distinct "
+    "content| rows, not |docs|), so daily ingestion never re-scans "
+    "the corpus — the incremental counterpart of operators/dedup "
+    "exact_dedup_groups, pairing with operators/incremental.py. The "
+    "index join and the batch-internal rank share the fingerprint "
+    "shuffle key; both sides co-partition.",
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).persist()
+    hist = f.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    batch = f.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "fp",
+        F.row_number()
+        .over(Window.partitionBy("fp").orderBy("doc_id"))
+        .alias("rn"),
+    )
+    joined = batch.join(hist.withColumn("in_hist", F.lit(1)), "fp", "left")
+    out = joined.select(
+        F.when(F.col("in_hist").isNotNull(), "dup_of_history")
+        .when(F.col("rn") > 1, "dup_in_batch")
+        .otherwise("new")
+        .alias("status")
+    ).groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
+    return track_cache(out, f)
+
+
+@register(
     "token_skipgram_counts",
     sql="""
     WITH t AS (
