@@ -28,6 +28,7 @@ from .registry import register
 _SQL_FP = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
 
 _VOCAB_V = 1000  # top-V vocabulary size for the OOV audit
+_SPLIT_SALT = "split4"  # leakage-safe split draw salt
 
 
 @register(
@@ -192,6 +193,58 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("oov_rate"),
     )
     return track_cache(out, counts)
+
+
+def _split_sql() -> str:
+    from ..operators.sampling import sql_md5_uniform
+
+    u = sql_md5_uniform("fp", _SPLIT_SALT)
+    return f"""
+    WITH f AS (
+        SELECT doc_id, source, {_SQL_FP} AS fp FROM documents
+    ), s AS (
+        SELECT source, fp,
+               CASE WHEN {u} < 0.8 THEN 'train'
+                    WHEN {u} < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM f
+    )
+    SELECT split, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_groups
+    FROM s GROUP BY 1, 2
+    """
+
+
+@register(
+    "leakage_safe_corpus_split",
+    sql=_split_sql(),
+    doc="Leakage-safe train/val/test split (80/10/10): the split key "
+    "is the CONTENT fingerprint, not the doc id, so exact duplicates "
+    "can never straddle train and test (the eval-contamination bug "
+    "randomSplit bakes in; near-dup closure via dedup groups composes "
+    "the same way). The draw is the portable md5 uniform "
+    "(operators/sampling.py md5_uniform), so the assignment is "
+    "layout-independent, engine-reproducible, and stable across "
+    "reruns — re-ingesting the corpus never reshuffles the split. "
+    "Pure expression + one grouped count; no shuffle before the "
+    "report aggregate.",
+)
+def leakage_safe_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import md5_uniform
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select("doc_id", "source", fingerprint(F.col("text")).alias("fp"))
+    u = md5_uniform(F.col("fp"), salt=_SPLIT_SALT)
+    s = f.select(
+        "source",
+        "fp",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
+    )
+    return s.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fp").alias("n_groups"),
+    )
 
 
 @register(

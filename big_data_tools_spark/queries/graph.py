@@ -1,5 +1,6 @@
-"""Graph analytics over warehouse-derived edge lists: PageRank on the
-part co-purchase graph. Completes the iterative-algorithm family
+"""Graph analytics over warehouse-derived edge lists: PageRank and
+degree-ordered triangle counting on the part co-purchase graph.
+PageRank completes the iterative-algorithm family
 (label-propagation components in operators/components.py run to a
 fixpoint; PageRank runs a fixed k, so the whole computation is ONE
 static plan with no driver synchronization) — and, unlike most
@@ -83,3 +84,108 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PR_TOPK)
     )
     return track_cache(out, edges)
+
+
+_TRI_EDGES_CTE = """baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), und AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM baskets a
+        JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY node
+    ), o AS (
+        SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS u,
+               CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS v,
+               CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d END AS dv
+        FROM und u
+        JOIN deg da ON da.node = u.a
+        JOIN deg db ON db.node = u.b
+    )"""
+
+
+def triangle_stats(und: DataFrame) -> DataFrame:
+    """Degree-ordered triangle count over an undirected edge list
+    ``(a, b)`` with a < b: one-row (n_edges, n_wedges, n_triangles).
+    See the registered query's doc for the scale argument."""
+    # und feeds four consumers (degree agg, the orientation join's two
+    # degree lookups, the edge count); without the persist each 1-row
+    # aggregate branch re-derives the whole edge build (12 base scans
+    # in the unpersisted plan)
+    und = und.persist()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    ranked = und.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).persist()
+    e1 = o.select(F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"))
+    e2 = o.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    probe = o.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+    closed = wedges.join(
+        probe, (wedges.x == probe.cu) & (wedges.y == probe.cv), "left_semi"
+    )
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    out = n_edges.crossJoin(n_wedges).crossJoin(n_tri)
+    return track_cache(out, o, und)
+
+
+@register(
+    "copurchase_triangles",
+    sql=f"""
+    WITH {_TRI_EDGES_CTE},
+    wedges AS (
+        SELECT e1.v AS x, e2.v AS y
+        FROM o e1 JOIN o e2
+          ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+    )
+    SELECT CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM wedges) AS BIGINT) AS n_wedges,
+           CAST((SELECT count(*) FROM wedges w
+                 JOIN o ON o.u = w.x AND o.v = w.y) AS BIGINT) AS n_triangles
+    """,
+    doc="Triangle counting on the part co-purchase graph via "
+    "DEGREE-ORDERED orientation (the scalable formulation): each "
+    "undirected edge points from its lower-(degree, id) endpoint to "
+    "the higher one, so every out-degree is O(sqrt(m)) and the wedge "
+    "self-join — the quadratic step that kills naive triangle counts "
+    "on skewed graphs — is bounded by sum(out_deg^2) <= m^1.5 instead "
+    "of sum(deg^2), which a single boilerplate-hub node would "
+    "otherwise blow up. Wedges close by joining back against the "
+    "oriented edge list on the (v, w) key; every triangle is counted "
+    "exactly once. Two hash shuffles (wedge build, closure probe) "
+    "plus the degree aggregate.",
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("b"))
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return triangle_stats(und)

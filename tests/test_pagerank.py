@@ -52,3 +52,50 @@ def test_pagerank_is_deterministic_across_runs(spark, sf_smoke):
     assert all(rank > 0 for _, rank in a)
     ranks = [rank for _, rank in a]
     assert ranks == sorted(ranks, reverse=True)
+
+def test_triangle_stats_on_k4(spark):
+    """Complete graph K4: 6 edges, C(4,3)=4 triangles; the oriented
+    wedge count equals the triangle-closure candidates."""
+    from big_data_tools_spark.queries.graph import triangle_stats
+
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    und = spark.createDataFrame(edges, ["a", "b"])
+    row = triangle_stats(und).collect()[0]
+    assert row["n_edges"] == 6
+    assert row["n_triangles"] == 4
+
+
+def test_triangle_stats_on_path(spark):
+    from big_data_tools_spark.queries.graph import triangle_stats
+
+    und = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["a", "b"])
+    row = triangle_stats(und).collect()[0]
+    assert row["n_edges"] == 3
+    assert row["n_triangles"] == 0
+
+
+def test_leakage_safe_split_never_straddles(spark, sf_smoke):
+    """Same content fingerprint => same split, by construction; and
+    the hash split lands near 80/10/10 at corpus size."""
+    from pyspark.sql import functions as F
+
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.sampling import md5_uniform
+    from big_data_tools_spark.operators.text import fingerprint
+    from big_data_tools_spark.queries.curation import _SPLIT_SALT
+
+    docs = load_table(spark, sf_smoke, "documents")
+    s = docs.select(fingerprint(F.col("text")).alias("fp")).select(
+        "fp",
+        F.when(md5_uniform(F.col("fp"), _SPLIT_SALT) < 0.8, "train")
+        .when(md5_uniform(F.col("fp"), _SPLIT_SALT) < 0.9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    assert (
+        s.select("fp", "split").distinct().count()
+        == s.select("fp").distinct().count()
+    )
+    total = docs.count()
+    by_split = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.7 < by_split.get("train", 0) / total < 0.9
