@@ -253,3 +253,161 @@ def events_daily_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("status") != "ok")
     )
     return track_cache(out, daily)
+
+
+_PSI_BINS = 10
+_PSI_CUTOFF = "1997-01-01"
+
+
+@register(
+    "orders_price_psi",
+    sql=f"""
+    WITH base AS (
+        SELECT o_totalprice AS x,
+               CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_PSI_CUTOFF}'
+                    THEN 0 ELSE 1 END AS era
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), bounds AS (
+        SELECT min(x) AS lo, max(x) AS hi FROM base
+    ), binned AS (
+        SELECT era,
+               CAST(least(floor((x - b.lo) / ((b.hi - b.lo) / {_PSI_BINS})),
+                          {_PSI_BINS - 1}) AS BIGINT) AS bin
+        FROM base CROSS JOIN bounds b
+    ), counts AS (
+        SELECT bin,
+               CAST(count(*) FILTER (WHERE era = 0) AS BIGINT) AS n_before,
+               CAST(count(*) FILTER (WHERE era = 1) AS BIGINT) AS n_after
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT CAST(sum(n_before) AS BIGINT) AS tb,
+               CAST(sum(n_after) AS BIGINT) AS ta
+        FROM counts
+    )
+    SELECT bin, n_before, n_after,
+           round((CAST(n_before AS DOUBLE) + 0.5) / (tb + {0.5 * _PSI_BINS}), 6)
+               AS p_before,
+           round((CAST(n_after AS DOUBLE) + 0.5) / (ta + {0.5 * _PSI_BINS}), 6)
+               AS p_after,
+           round((((CAST(n_before AS DOUBLE) + 0.5) / (tb + {0.5 * _PSI_BINS}))
+                  - ((CAST(n_after AS DOUBLE) + 0.5) / (ta + {0.5 * _PSI_BINS})))
+                 * ln(((CAST(n_before AS DOUBLE) + 0.5) / (tb + {0.5 * _PSI_BINS}))
+                      / ((CAST(n_after AS DOUBLE) + 0.5) / (ta + {0.5 * _PSI_BINS}))),
+                 6) AS psi_term
+    FROM counts CROSS JOIN tot
+    """,
+    doc="Population-stability-index drift report over the order-value "
+    f"distribution, {_PSI_CUTOFF} splitting 'reference' from "
+    "'current': 10 equal-width bins from broadcast global bounds, "
+    "Laplace-smoothed shares (+0.5 per bin) so empty bins never "
+    "divide by zero, per-bin PSI terms (sum >= 0.2 is the classic "
+    "act-on-it threshold). Complements lang_source_chi2 (categorical "
+    "drift) with the numeric-distribution counterpart. One scan + "
+    "one bin-sized aggregate; bounds and totals ride broadcast 1-row "
+    "frames; ln() runs on identical doubles in both engines.",
+)
+def orders_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track_cache
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_totalprice").isNotNull()).select(
+        F.col("o_totalprice").alias("x"),
+        F.when(
+            F.col("o_orderdate").cast("date") < F.lit(_PSI_CUTOFF).cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("era"),
+    )
+    bounds = base.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(_PSI_BINS)
+    binned = base.crossJoin(F.broadcast(bounds)).select(
+        "era",
+        F.least(
+            F.floor((F.col("x") - F.col("lo")) / width),
+            F.lit(_PSI_BINS - 1),
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("era") == 0, 1).otherwise(0)).alias("n_before"),
+        F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).alias("n_after"),
+    ).persist()
+    tot = counts.agg(
+        F.sum("n_before").alias("tb"), F.sum("n_after").alias("ta")
+    )
+    smooth = float(0.5 * _PSI_BINS)
+    p_b = (F.col("n_before").cast("double") + 0.5) / (F.col("tb") + F.lit(smooth))
+    p_a = (F.col("n_after").cast("double") + 0.5) / (F.col("ta") + F.lit(smooth))
+    out = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_before",
+        "n_after",
+        F.round(p_b, 6).alias("p_before"),
+        F.round(p_a, 6).alias("p_after"),
+        F.round((p_b - p_a) * F.log(p_b / p_a), 6).alias("psi_term"),
+    )
+    return track_cache(out, counts)
+
+
+_FK_RELATIONS = [
+    # (child table, fk col, parent table, pk col)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_sql() -> str:
+    parts = []
+    for child, fk, parent, pk in _FK_RELATIONS:
+        parts.append(f"""
+    SELECT '{child}.{fk}' AS relation,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE {fk} IS NULL) AS BIGINT) AS n_null_fk,
+           CAST(count(*) FILTER (WHERE {fk} IS NOT NULL AND p.{pk} IS NULL)
+                AS BIGINT) AS n_orphans
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p ON c.{fk} = p.{pk}
+    """)
+        # noqa: the UNION ALL order is canonicalized by the compare sort
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "referential_integrity_audit",
+    sql=_fk_sql(),
+    doc="Warehouse-wide foreign-key audit: for each declared FK "
+    "relation, total rows, NULL foreign keys, and ORPHANS (non-null "
+    "keys with no parent) — the referential gate a pipeline runs "
+    "before publishing a snapshot, generalizing the reference's "
+    "per-column count probes into one declared relation list. Each "
+    "relation is one left join against the parent's distinct-key "
+    "projection + a conditional aggregate — no second scan for "
+    "totals; parent key sets stay distinct-deduped so the join never "
+    "amplifies child rows.",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for child, fk, parent, pk in _FK_RELATIONS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk).distinct()
+        joined = c.join(p, c[fk] == p[pk], "left")
+        row = joined.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(fk).isNull().cast("bigint")).alias("n_null_fk"),
+            F.sum(
+                (F.col(fk).isNotNull() & F.col(pk).isNull()).cast("bigint")
+            ).alias("n_orphans"),
+        ).select(
+            F.lit(f"{child}.{fk}").alias("relation"),
+            "n_rows",
+            "n_null_fk",
+            "n_orphans",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
