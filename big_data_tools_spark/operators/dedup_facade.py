@@ -45,6 +45,10 @@ hard-verifiability and engine-migration testing.
 ``output="groups"`` post-processes pair tiers through the
 connected-components fixpoint (transitive closure, min-id survivor),
 matching the groups form the registry exposes for exact/semantic.
+``output="survivors"`` (with ``quality_col=``) goes one step further
+and emits the deduplicated corpus manifest: one row per group with
+the (max quality, min id) representative — the canonical_survivors
+selection applied uniformly over every tier's closure.
 """
 
 from __future__ import annotations
@@ -90,14 +94,29 @@ def dedup(
     """
     if tier not in TIERS:
         raise ValueError(f"unknown dedup tier {tier!r}; pick one of {TIERS}")
-    if output not in ("pairs", "groups"):
-        raise ValueError(f"output must be 'pairs' or 'groups', got {output!r}")
+    if output not in ("pairs", "groups", "survivors"):
+        raise ValueError(
+            f"output must be 'pairs', 'groups' or 'survivors', got {output!r}"
+        )
+    quality_col = tier_kwargs.pop("quality_col", None)
+    if output == "survivors" and quality_col is None:
+        raise ValueError("output='survivors' needs quality_col=<column>")
 
     if tier == "exact":
         if output == "pairs":
             raise ValueError(
                 "tier='exact' is grouped by construction (a size-k group "
                 "would expand to k^2/2 pairs); use output='groups'"
+            )
+        if output == "survivors":
+            from .dedup import canonical_survivors
+
+            out = canonical_survivors(df, text_col, id_col, quality_col)
+            return out.select(
+                F.col("fingerprint").alias("group_key"),
+                "group_size",
+                F.col(f"keep_{id_col}").alias("keep_id"),
+                F.col(f"keep_{quality_col}").alias("keep_quality"),
             )
         groups = exact_dedup_groups(df, text_col, id_col)
         # explode back to (id, keep_id) membership — join on the
@@ -113,6 +132,11 @@ def dedup(
     if tier == "semantic":
         if output == "groups":
             return semantic_dedup_groups(df, id_col=id_col, vec_col=vec_col, **tier_kwargs)
+        if output == "survivors":
+            members = semantic_dedup_groups(
+                df, id_col=id_col, vec_col=vec_col, **tier_kwargs
+            ).select(F.col("node").alias("id"), F.col("component_id").alias("group_key"))
+            return _rank_survivors(members, df, id_col, quality_col)
         return semantic_dedup_pairs(df, id_col=id_col, vec_col=vec_col, **tier_kwargs)
 
     hash_family = tier_kwargs.pop("hash_family", "xxhash64")
@@ -153,4 +177,39 @@ def dedup(
     if output == "pairs":
         return pairs
     comps = connected_components(pairs, "id_a", "id_b")
-    return comps.select(F.col("node").alias("id"), F.col("component_id").alias("keep_id"))
+    members = comps.select(
+        F.col("node").alias("id"), F.col("component_id").alias("keep_id")
+    )
+    if output == "groups":
+        return members
+    return _rank_survivors(
+        members.withColumnRenamed("keep_id", "group_key"), df, id_col, quality_col
+    )
+
+
+def _rank_survivors(members, df, id_col: str, quality_col: str) -> DataFrame:
+    """Quality-ranked canonical survivor per duplicate group: join the
+    (id, group_key) membership back to the corpus for the quality
+    column, then ONE partitioned window sort picks (max quality, min
+    id) and counts the group — the same single-shuffle shape as
+    operators/dedup.canonical_survivors, over any tier's closure.
+    Returns (group_key, group_size, keep_id, keep_quality). NOTE:
+    pair-tier closures only contain docs that matched something, so
+    singletons are not re-listed (they trivially keep themselves);
+    the exact tier lists every group including singletons."""
+    from pyspark.sql import Window
+
+    q = df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("q"))
+    j = members.join(q, "id")
+    w_rank = Window.partitionBy("group_key").orderBy(F.desc("q"), F.asc("id"))
+    w_all = Window.partitionBy("group_key")
+    ranked = j.select(
+        "group_key",
+        F.col("id").alias("keep_id"),
+        F.col("q").alias("keep_quality"),
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("group_size"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "group_key", "group_size", "keep_id", "keep_quality"
+    )

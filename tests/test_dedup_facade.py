@@ -119,3 +119,58 @@ def test_portable_hash_family_rejected_elsewhere(docs):
         dedup(docs, tier="jaccard", hash_family="portable")
     with pytest.raises(ValueError):
         dedup(docs, tier="minhash", hash_family="sha9000")
+
+
+def test_survivors_output_exact_tier(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.dedup import canonical_survivors
+    from big_data_tools_spark.operators.dedup_facade import dedup
+
+    docs = load_table(spark, sf_smoke, "documents")
+    via_facade = dedup(
+        docs, tier="exact", output="survivors", quality_col="n_chars"
+    )
+    direct = canonical_survivors(docs, "text", "doc_id", "n_chars").select(
+        F.col("fingerprint").alias("group_key"),
+        "group_size",
+        F.col("keep_doc_id").alias("keep_id"),
+        F.col("keep_n_chars").alias("keep_quality"),
+    )
+    assert sorted(map(tuple, via_facade.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_survivors_output_pair_tier_picks_best_per_closure(spark):
+    from big_data_tools_spark.operators.dedup_facade import dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today", 10),
+        (2, "the quick brown fox jumps over the lazy dog today!", 50),
+        (3, "a completely different document about spark plans here", 7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q int")
+    out = dedup(
+        df,
+        tier="jaccard",
+        output="survivors",
+        quality_col="q",
+        threshold=0.5,
+    ).collect()
+    by_keep = {r["keep_id"]: r for r in out}
+    # 1 and 2 closure together; quality 50 wins
+    assert 2 in by_keep and by_keep[2]["group_size"] == 2
+    assert by_keep[2]["keep_quality"] == 50
+
+
+def test_survivors_requires_quality_col(spark, sf_smoke):
+    import pytest
+
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.dedup_facade import dedup
+
+    docs = load_table(spark, sf_smoke, "documents")
+    with pytest.raises(ValueError, match="quality_col"):
+        dedup(docs, tier="exact", output="survivors")
