@@ -330,3 +330,34 @@ def streaming_ingest_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     )
     return metrics
+
+
+@register(
+    "streaming_stateless_rollup",
+    sql=None,  # streaming drain; table==batch equality tested locally
+    doc="Stateless streaming rollup maintenance "
+    "(streaming/upsert.py stateless_rollup_sink): each micro-batch "
+    "aggregates only its own rows to a mergeable state frame "
+    "(operators/incremental.py) and merges it into the parquet state "
+    "table, so executor state is O(batch) no matter how many distinct "
+    "keys the stream accumulates — the unbounded-key complement of "
+    "the engine-state upsert sink. A per-table applied-batch ledger "
+    "makes the merge idempotent under foreachBatch's at-least-once "
+    "replay. Rows-only driver check; table==batch-recompute equality "
+    "and replay idempotence asserted in tests/test_streaming.py.",
+)
+def streaming_stateless_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.incremental import finish_rollup
+    from ..streaming.events import read_events_stream
+    from ..streaming.upsert import read_rollup, stateless_rollup_sink
+
+    out = tempfile.gettempdir() + "/bdt_stateless_rollup_q"
+    shutil.rmtree(out, ignore_errors=True)
+    stream = read_events_stream(spark, sf_dir, path_glob="events.parquet")
+    q = stateless_rollup_sink(stream, out, keys=["event_type"], query_name="bdt_stateless_rollup_q")
+    q.awaitTermination()
+    state = read_rollup(spark, out).drop("applied_batch")
+    return finish_rollup(state, ["event_type"])

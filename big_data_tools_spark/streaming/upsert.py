@@ -77,3 +77,71 @@ def upsert_rollup_sink(
 
 def read_rollup(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def stateless_rollup_sink(
+    stream: DataFrame,
+    path: str,
+    keys: list[str] | None = None,
+    value_col: str = "value",
+    query_name: str = "bdt_stateless_rollup",
+):
+    """Maintain a rollup from a stream with NO streaming state: each
+    micro-batch aggregates only its own rows to a mergeable STATE
+    frame (operators/incremental.py: count + exact-decimal sum +
+    min/max) and merges it into the parquet state table.
+
+    This is the complement of :func:`upsert_rollup_sink`: that one
+    lets the engine hold running totals in its state store (right when
+    the key set is bounded); this one offloads state to the TABLE, so
+    executor memory is O(batch) regardless of how many distinct keys
+    accumulate over the stream's lifetime — the shape you want when
+    keys are unbounded (user ids, doc fingerprints) and 100 TB of
+    history cannot live in a state store. Merge math is the state
+    monoid, so batch boundaries never change the result.
+
+    Unlike overwriting full per-key totals, MERGING a delta is not
+    naturally idempotent — a replayed batch would double-count. The
+    sink therefore stamps every state row with the highest applied
+    batch id and SKIPS any batch already reflected in the table,
+    restoring exactly-once table contents under the engine's
+    at-least-once foreachBatch contract (the same ledger trick
+    transactional sinks use internally). Plain-parquet caveat (same
+    as upsert_rollup_sink): the read-merge-overwrite is not atomic;
+    the merged frame is eagerly localCheckpoint'ed before the
+    overwrite because the lazy plan reads the same files the write
+    replaces, and a real deployment points this at a transactional
+    format's MERGE INTO.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (executor closure)
+
+    from ..operators.incremental import aggregate_state, merge_states
+
+    keys = keys or ["event_type"]
+    spark = stream.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = aggregate_state(batch_df, keys, value_col)
+        try:
+            old = spark.read.parquet(path)
+        except Exception:  # first batch: no state table yet
+            old = None
+        if old is not None:
+            applied = old.agg(F.max("applied_batch")).first()[0]
+            if applied is not None and applied >= batch_id:
+                return  # replayed batch: already reflected in the table
+            merged = merge_states(keys, old.drop("applied_batch"), delta)
+        else:
+            merged = delta
+        snap = merged.withColumn(
+            "applied_batch", F.lit(batch_id).cast("long")
+        ).localCheckpoint(eager=True)
+        snap.write.mode("overwrite").parquet(path)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

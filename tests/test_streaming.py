@@ -171,3 +171,47 @@ def test_foreachbatch_upsert_rollup(spark, events_dir, sf_smoke, tmp_path):
     drain()  # replay the same input: totals unchanged (idempotent)
     again = {tuple(r) for r in read_rollup(spark, out).collect()}
     assert again == got
+
+
+def test_stateless_rollup_equals_batch_and_replays_idempotently(spark, sf_smoke, tmp_path):
+    """The merge-based sink must (a) converge to the batch recompute
+    and (b) not double-count when the same batch id is re-delivered."""
+    from pyspark.sql import functions as F
+
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.incremental import (
+        aggregate_state,
+        finish_rollup,
+    )
+    from big_data_tools_spark.queries import get
+
+    got = sorted(
+        map(tuple, get("streaming_stateless_rollup").fn(spark, sf_smoke).collect())
+    )
+    events = load_table(spark, sf_smoke, "events")
+    want = sorted(
+        map(
+            tuple,
+            finish_rollup(
+                aggregate_state(events, ["event_type"], "value"), ["event_type"]
+            ).collect(),
+        )
+    )
+    assert got == want
+
+    # replay: call the merge function again with an already-applied id
+    from big_data_tools_spark.streaming.upsert import read_rollup
+
+    out = __import__("tempfile").gettempdir() + "/bdt_stateless_rollup_q"
+    before = sorted(map(tuple, read_rollup(spark, out).collect()))
+    # manufacture a replay by re-running the whole drained query with
+    # the same (fresh) checkpoint-less availableNow drain on the same
+    # table path: batch id restarts at 0 which is <= applied ledger
+    from big_data_tools_spark.streaming.events import read_events_stream
+    from big_data_tools_spark.streaming.upsert import stateless_rollup_sink
+
+    stream = read_events_stream(spark, sf_smoke, path_glob="events.parquet")
+    q = stateless_rollup_sink(stream, out, keys=["event_type"], query_name="bdt_stateless_replay")
+    q.awaitTermination()
+    after = sorted(map(tuple, read_rollup(spark, out).collect()))
+    assert before == after
