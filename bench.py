@@ -100,6 +100,10 @@ HEADLINE = [
     "vocab_oov_rate",
     "events_rolling_dau",
     "source_overlap_matrix",
+    # iterative-graph representative (5 join+agg rounds, one static
+    # plan); triangles stay OUT — output-bound wedge growth makes the
+    # number track graph density, not engine regressions (SCALING.md)
+    "part_copurchase_pagerank",
 ]
 
 

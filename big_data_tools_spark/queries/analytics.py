@@ -325,3 +325,162 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / prev_total, 6).alias("prob"),
     )
+
+
+@register(
+    "monthly_revenue_seasonality",
+    sql=f"""
+    WITH m AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               {sql_money_sum('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+    ), w AS (
+        SELECT month, revenue,
+               round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) OVER
+                          (ORDER BY month
+                           ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+                          AS DOUBLE), 2) AS window_revenue,
+               CAST(count(*) OVER (ORDER BY month
+                     ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS BIGINT)
+                   AS window_n
+        FROM m
+    )
+    SELECT CAST(month AS DATE) AS month, revenue, window_revenue,
+           round(revenue * 12 / window_revenue, 4) AS seasonal_factor
+    FROM w WHERE window_n = 12
+    """,
+    doc="Classical seasonality decomposition of monthly revenue: a "
+    "centered 12-month moving average is the trend, revenue/trend the "
+    "seasonal factor (>1 = above-trend month; the trend rides as the "
+    "exact rolling 12-month sum), months without a full "
+    "12-month window dropped. The window runs over the MONTH-grain "
+    "frame — a few dozen rows after the one fact shuffle — so the "
+    "unpartitioned ordered window is a deliberate tiny-frame "
+    "exception to the no-global-sort rule (same stance as the skew "
+    "summary); the fact table itself never sees a sort.",
+)
+def monthly_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("month")
+    ).agg(money_sum(F.col("o_totalprice")).alias("revenue"))
+    w = Window.orderBy("month").rowsBetween(-5, 6)
+    # the trend is exposed as the exact 12-month rolling SUM, not the
+    # average: dividing the decimal sum by 12 lands exactly on .005
+    # midpoints (x.x05) where Spark and DuckDB round(double, 2)
+    # disagree, while the sum itself is an exact 2-decimal value and
+    # the seasonal ratio below is a non-gridded double both engines
+    # compute bit-identically
+    scored = m.select(
+        "month",
+        "revenue",
+        F.round(
+            F.sum(F.col("revenue").cast("decimal(18,2)")).over(w).cast("double"),
+            2,
+        ).alias("window_revenue"),
+        F.count(F.lit(1)).over(w).alias("window_n"),
+    )
+    return scored.filter(F.col("window_n") == 12).select(
+        "month",
+        "revenue",
+        "window_revenue",
+        F.round(
+            F.col("revenue") * 12 / F.col("window_revenue"), 4
+        ).alias("seasonal_factor"),
+    )
+
+
+@register(
+    "customer_revenue_pareto",
+    sql=f"""
+    WITH per_cust AS (
+        SELECT o_custkey, {sql_money_sum('o_totalprice')} AS revenue
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+    ), bounds AS (
+        SELECT round(quantile_cont(revenue, 0.1), 6) AS q1,
+               round(quantile_cont(revenue, 0.2), 6) AS q2,
+               round(quantile_cont(revenue, 0.3), 6) AS q3,
+               round(quantile_cont(revenue, 0.4), 6) AS q4,
+               round(quantile_cont(revenue, 0.5), 6) AS q5,
+               round(quantile_cont(revenue, 0.6), 6) AS q6,
+               round(quantile_cont(revenue, 0.7), 6) AS q7,
+               round(quantile_cont(revenue, 0.8), 6) AS q8,
+               round(quantile_cont(revenue, 0.9), 6) AS q9
+        FROM per_cust
+    ), decile AS (
+        SELECT CASE WHEN revenue <= b.q1 THEN 1 WHEN revenue <= b.q2 THEN 2
+                    WHEN revenue <= b.q3 THEN 3 WHEN revenue <= b.q4 THEN 4
+                    WHEN revenue <= b.q5 THEN 5 WHEN revenue <= b.q6 THEN 6
+                    WHEN revenue <= b.q7 THEN 7 WHEN revenue <= b.q8 THEN 8
+                    WHEN revenue <= b.q9 THEN 9 ELSE 10 END AS spend_decile,
+               revenue
+        FROM per_cust CROSS JOIN bounds b
+    ), tot AS (
+        SELECT {sql_money_sum('o_totalprice')} AS total FROM orders
+        WHERE o_custkey IS NOT NULL
+    )
+    SELECT spend_decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS revenue,
+           round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE)
+                 / t.total, 6) AS revenue_share
+    FROM decile CROSS JOIN tot t
+    GROUP BY spend_decile, t.total
+    """,
+    doc="Revenue-concentration (Pareto) report: customers bucketed "
+    "into spend deciles and each decile's share of total revenue — "
+    "'does the top decile carry 40%?'. Decile BOUNDARIES come from "
+    "one exact-percentile 1-row aggregate broadcast back for "
+    "comparison assignment (the RFM trick — no ntile, so no "
+    "single-partition sort over all customers); the customer-grain "
+    "frame is persisted so boundaries and bucketing share one "
+    "fact-table scan.",
+)
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track_cache
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(money_sum(F.col("o_totalprice")).alias("revenue"))
+        .persist()
+    )
+    bounds = per_cust.agg(
+        *[
+            F.round(F.percentile(F.col("revenue"), F.lit(i / 10)), 6).alias(f"q{i}")
+            for i in range(1, 10)
+        ]
+    )
+    dec = F.when(F.col("revenue") <= F.col("q1"), 1)
+    for i in range(2, 10):
+        dec = dec.when(F.col("revenue") <= F.col(f"q{i}"), i)
+    dec = dec.otherwise(10)
+    decile = per_cust.crossJoin(F.broadcast(bounds)).select(
+        dec.alias("spend_decile"), "revenue"
+    )
+    tot = per_cust.agg(
+        F.round(F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "total"
+        )
+    )
+    out = (
+        decile.crossJoin(F.broadcast(tot))
+        .groupBy("spend_decile", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("revenue"),
+            F.round(
+                F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double")
+                / F.col("total"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .drop("total")
+    )
+    return track_cache(out, per_cust)
