@@ -345,3 +345,61 @@ def token_skipgram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
         .limit(100)
     )
+
+
+@register(
+    "corpus_ngram_novelty",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, source,
+               unnest(list_transform(generate_series(1, len(t) - 4),
+                      i -> array_to_string(t[i:i+4], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 5
+    ), train AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0
+    ), ev AS (
+        SELECT s.source, s.shingle, train.shingle AS seen
+        FROM sh s LEFT JOIN train ON s.shingle = train.shingle
+        WHERE s.doc_id % 2 = 1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE seen IS NULL) AS BIGINT) AS n_novel,
+           round(count(*) FILTER (WHERE seen IS NULL)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty_rate
+    FROM ev GROUP BY source
+    """,
+    doc="N-gram novelty rate: the share of an eval split's 5-gram "
+    "occurrences (per-doc distinct) absent from the train split's "
+    "distinct-5-gram index — the GENERALIZATION direction of the "
+    "contamination check (benchmark_contamination measures "
+    "containment; this measures how much of eval is genuinely "
+    "unseen; near-zero novelty = the eval set is memorizable). "
+    "Even/odd doc ids stand in for the split. One shingle-keyed "
+    "left join against the deduped train index — both sides "
+    "co-partition on the shingle, the corpus never self-joins.",
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.explode(shingles(F.col("text"), 5)).alias("shingle")
+    ).persist()
+    train = sh.filter(F.col("doc_id") % 2 == 0).select("shingle").distinct()
+    ev = sh.filter(F.col("doc_id") % 2 == 1).join(
+        train.withColumn("seen", F.lit(1)), "shingle", "left"
+    )
+    out = ev.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.col("seen").isNull().cast("bigint")).alias("n_novel"),
+        F.round(
+            F.sum(F.col("seen").isNull().cast("bigint"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("novelty_rate"),
+    )
+    return track_cache(out, sh)
