@@ -361,3 +361,92 @@ def streaming_stateless_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     state = read_rollup(spark, out).drop("applied_batch")
     return finish_rollup(state, ["event_type"])
+
+
+@register(
+    "ml_calibration_bins",
+    sql=None,  # model probabilities are not SQL-expressible
+    doc="Probability-calibration report for the LR model "
+    "(complements the AUC/accuracy scalars of ml_train_eval): test "
+    "predictions bucketed into 10 equal-width probability bins, each "
+    "with count, mean predicted probability, and observed positive "
+    "rate — well-calibrated means the two track each other. All "
+    "DataFrame-side: the vector probability is read via a 1-element "
+    "vector_to_array slice, binning is pure expression, one grouped "
+    "aggregate; nothing collects. Rows-only driver check; "
+    "monotone-coverage properties in tests/test_ml_pipeline.py.",
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import vector_to_array
+
+    from ..ml.pipeline import featurize
+
+    train, test, _ = featurize(
+        _orders_basetable(spark, sf_dir),
+        categorical_cols=("status",),
+        select_percentile=None,
+    )
+    model = LogisticRegression(maxIter=10, regParam=0.01).fit(train)
+    scored = model.transform(test).select(
+        vector_to_array(F.col("probability")).getItem(1).alias("p"),
+        F.col("label").cast("double").alias("y"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int").alias("bin"),
+        "p",
+        "y",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p"), 6).alias("mean_predicted"),
+            F.round(F.avg("y"), 6).alias("observed_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "ml_confusion_matrix",
+    sql=None,  # model predictions are not SQL-expressible
+    doc="Threshold-0.5 confusion matrix + derived precision/recall/F1 "
+    "for the LR model, computed as ONE conditional aggregate over the "
+    "scored test frame (four counts in a single pass, ratios derived "
+    "driver-free in a projection). Returns one row. Rows-only driver "
+    "check; consistency with ml_train_eval's accuracy asserted in "
+    "tests/test_ml_pipeline.py.",
+)
+def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import LogisticRegression
+
+    from ..ml.pipeline import featurize
+
+    train, test, _ = featurize(
+        _orders_basetable(spark, sf_dir),
+        categorical_cols=("status",),
+        select_percentile=None,
+    )
+    model = LogisticRegression(maxIter=10, regParam=0.01).fit(train)
+    scored = model.transform(test).select(
+        F.col("prediction").cast("int").alias("yhat"),
+        F.col("label").cast("int").alias("y"),
+    )
+    cm = scored.agg(
+        F.sum(((F.col("y") == 1) & (F.col("yhat") == 1)).cast("bigint")).alias("tp"),
+        F.sum(((F.col("y") == 0) & (F.col("yhat") == 1)).cast("bigint")).alias("fp"),
+        F.sum(((F.col("y") == 1) & (F.col("yhat") == 0)).cast("bigint")).alias("fn"),
+        F.sum(((F.col("y") == 0) & (F.col("yhat") == 0)).cast("bigint")).alias("tn"),
+    )
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12)), 6).alias("f1"),
+    )

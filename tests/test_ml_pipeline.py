@@ -119,3 +119,32 @@ def test_cv_select_properties(spark, sf_oracle):
     assert len(sel) == 1
     assert sel[0].mean_auc == max(r.mean_auc for r in rows)
     assert all(0.0 <= r.mean_auc <= 1.0 for r in rows)
+
+
+def test_calibration_bins_cover_test_set_and_rates_in_range(spark, sf_smoke):
+    from big_data_tools_spark.queries import get
+
+    rows = get("ml_calibration_bins").fn(spark, sf_smoke).collect()
+    assert rows, "at least one probability bin"
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["mean_predicted"] <= 1.0
+        assert 0.0 <= r["observed_rate"] <= 1.0
+        # mean predicted prob must lie inside its own bin's bounds
+        assert r["bin"] / 10 - 1e-9 <= r["mean_predicted"] <= r["bin"] / 10 + 0.1 + 1e-9
+
+
+def test_confusion_matrix_consistent_with_accuracy(spark, sf_smoke):
+    from big_data_tools_spark.queries import get
+
+    cm = get("ml_confusion_matrix").fn(spark, sf_smoke).collect()[0]
+    total = cm["tp"] + cm["fp"] + cm["fn"] + cm["tn"]
+    assert total > 0
+    acc_from_cm = (cm["tp"] + cm["tn"]) / total
+    metrics = {
+        r["metric"]: r["value"]
+        for r in get("ml_train_eval").fn(spark, sf_smoke).collect()
+    }
+    assert abs(acc_from_cm - metrics["test_accuracy"]) < 1e-4
+    if cm["tp"] > 0:
+        assert 0.0 < cm["precision"] <= 1.0 and 0.0 < cm["recall"] <= 1.0
