@@ -357,3 +357,22 @@ def documents_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents")
     return temperature_mixture_plan(docs, "lang", tau=_TM_TAU)
+
+
+@register(
+    "multimodal_audio_resample",
+    sql=None,  # binary media transform; content pinned in tests
+    doc="REAL audio resampling (operators/multimodal.py "
+    "resample_audio): PCM16 WAV decoded with the pure-stdlib codec, "
+    "linear-interpolated to 16 kHz with numpy inside the Arrow "
+    "mapInPandas batch, re-encoded WAV. The audio-type filter is "
+    "pushed before the Python stage. Rows-only driver check; decoded "
+    "duration preservation and interpolation exactness on a known "
+    "triangle wave are pinned in tests/test_multimodal.py.",
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_fake_media, resample_audio
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    media = attach_fake_media(docs, id_col="doc_id")
+    return resample_audio(media, target_rate=16000)

@@ -115,3 +115,51 @@ def test_sample_video_frames_fan_out_from_real_duration(spark, sf_smoke):
         for r in media.select("doc_id", "content").collect()
     }
     assert bytes(f0["frame"]) == src[f0["doc_id"]]
+
+
+def test_resample_audio_preserves_duration_and_values(spark):
+    """Resampling a known triangle wave: duration preserved within one
+    sample, and values on coincident grid points interpolate exactly."""
+    from big_data_tools_spark.operators.imagecodec import decode_wav, encode_wav
+    from big_data_tools_spark.operators.multimodal import (
+        MEDIA_META_SCHEMA,
+        resample_audio,
+    )
+    from pyspark.sql import functions as F
+
+    rate, dur_s = 8000, 0.05
+    n = int(rate * dur_s)
+    tri = [((i % 100) - 50) * 600 for i in range(n)]
+    wav = encode_wav(tri, sample_rate=rate)
+    df = spark.createDataFrame([(1, wav)], "doc_id long, content binary").select(
+        "doc_id",
+        "content",
+        F.struct(
+            F.lit("audio/wav").alias("media_type"),
+            F.lit(len(wav)).cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+    out = resample_audio(df, target_rate=16000, allow_stub=False).collect()[0]
+    assert out["src_rate"] == 8000 and out["dst_rate"] == 16000
+    r2, n2, samples2 = decode_wav(bytes(out["content"]))
+    assert r2 == 16000 and n2 == out["n_samples"]
+    # duration preserved within one output sample
+    assert abs(n2 / 16000 - n / 8000) <= 1 / 16000 + 1e-12
+    # 2x upsampling: every even output sample lands ON an input sample
+    for j in range(0, min(n2, 60), 2):
+        assert samples2[j] == tri[j // 2]
+
+
+def test_resample_audio_filters_non_audio_rows(spark, sf_smoke):
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.multimodal import (
+        attach_fake_media,
+        resample_audio,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").limit(60)
+    media = attach_fake_media(docs, id_col="doc_id")
+    out = resample_audio(media).collect()
+    n_audio = media.filter("media_meta.media_type = 'audio/wav'").count()
+    assert len(out) == n_audio > 0
+    assert all(r["dst_rate"] == 16000 for r in out)
