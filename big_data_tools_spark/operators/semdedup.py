@@ -82,11 +82,18 @@ def semantic_dedup_pairs(
     n_clusters: int = 16,
     max_cluster_size: int | None = 100_000,
     round_digits: int | None = 4,
+    fit_sample_cap: int | None = 100_000,
 ) -> DataFrame:
     """(id_a < id_b, cos_sim) pairs with cosine >= ``threshold``,
-    candidates restricted to same-KMeans-cluster pairs."""
+    candidates restricted to same-KMeans-cluster pairs.
+
+    ``fit_sample_cap`` bounds what the Lloyd iterations scan (the
+    paper's own protocol — centroids come from a subset, the full
+    corpus only gets the one assignment pass); identity below the cap,
+    so small-SF results are bit-identical to the full fit."""
     index = IvfIndex.fit(
-        corpus, id_col, vec_col, n_clusters, max_iter=8, init_mode="random"
+        corpus, id_col, vec_col, n_clusters, max_iter=8, init_mode="random",
+        fit_sample_cap=fit_sample_cap,
     )
     pairs = _pairs_from_index(index, threshold, max_cluster_size, round_digits)
     return track_cache(pairs, index._assigned)
@@ -99,13 +106,15 @@ def semantic_dedup_groups(
     threshold: float = 0.95,
     n_clusters: int = 16,
     max_cluster_size: int | None = 100_000,
+    fit_sample_cap: int | None = 100_000,
 ) -> DataFrame:
     """(id, keep_id) for every vector in a semantic-duplicate group;
     keep_id = min id in the group (transitive closure over pairs, so a
     chain a~b~c collapses to one survivor even if cos(a,c) dips below
     the threshold)."""
     index = IvfIndex.fit(
-        corpus, id_col, vec_col, n_clusters, max_iter=8, init_mode="random"
+        corpus, id_col, vec_col, n_clusters, max_iter=8, init_mode="random",
+        fit_sample_cap=fit_sample_cap,
     )
     # the components fixpoint consumes the pair set once per round
     # (union both directions + every iteration's join) — persist it so

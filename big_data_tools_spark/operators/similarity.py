@@ -131,24 +131,52 @@ class IvfIndex:
         n_clusters: int = 16,
         max_iter: int = 20,
         init_mode: str = "k-means||",
+        fit_sample_cap: int | None = None,
     ) -> "IvfIndex":
         """``max_iter``/``init_mode`` trade centroid quality for fit
         cost. ANN search wants the defaults; bucketing uses (SemDeDup)
         care only that near-identical vectors co-cluster, which random
         init + a few Lloyd iterations already guarantees — and each
-        saved iteration is a full corpus pass."""
+        saved iteration is a full corpus pass.
+
+        ``fit_sample_cap`` bounds the rows the Lloyd iterations ever
+        see: the model fits on a deterministic md5-uniform sample of at
+        most that many vectors, then the FULL corpus is assigned in one
+        transform pass. At 100 TB this is the only viable shape — MLlib
+        internally caches the fit input for its iterations, and caching
+        the whole corpus to run 8+ passes over it is infeasible, while
+        centroids estimated from a ~10^5-vector sample route/bucket just
+        as well (IVF training and SemDeDup both standardly fit on a
+        subset). ``None`` keeps the exact full-corpus fit; when the
+        corpus is already under the cap the sample is the identity, so
+        behavior at test scale is unchanged."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
+
+        from .sampling import md5_uniform
 
         c = fan_out(corpus, id_col).select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
             array_to_vector(_as_double(F.col(vec_col))).alias("features"),
         )
+        train = c
+        if fit_sample_cap is not None:
+            n = c.count()
+            if n > fit_sample_cap:
+                # deterministic membership (portable md5 uniform on the
+                # id), not .sample(): stable across partitioning, so the
+                # fit — and every downstream assignment — is reproducible
+                frac = fit_sample_cap / n
+                train = c.filter(
+                    md5_uniform(F.col("neighbor_id"), salt="ivf-fit") < F.lit(frac)
+                ).persist()
         model = KMeans(
             k=n_clusters, seed=7, featuresCol="features",
             maxIter=max_iter, initMode=init_mode,
-        ).fit(c)
+        ).fit(train)
+        if train is not c:
+            train.unpersist()
         assigned = model.transform(c).select(
             "neighbor_id", "c_vec", F.col("prediction").alias("cluster_id")
         ).persist()

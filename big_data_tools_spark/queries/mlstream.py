@@ -171,6 +171,28 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_rolling_dau",
+    sql=None,  # runs through the streaming engine, not a SQL query
+    doc="Streaming sliding-window distinct (§2.10): 7-day rolling "
+    "active users per day as a watermarked sliding-window "
+    "approx_count_distinct — mergeable HLL state per window, the live "
+    "complement of the exact batch events_rolling_dau. Rows-only "
+    "driver check; stream==batch bit-equality of the sketch and a "
+    "relative-error band vs the exact operator are asserted in "
+    "tests/test_streaming.py.",
+)
+def streaming_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import (
+        read_events_stream,
+        rolling_dau_approx,
+        run_available_now,
+    )
+
+    stream = read_events_stream(spark, sf_dir, path_glob="events.parquet")
+    return run_available_now(rolling_dau_approx(stream), "bdt_stream_rolling_dau")
+
+
+@register(
     "yelp_basetable",
     sql=None,  # inputs are in-memory Yelp-shaped fixtures, not sf_dir tables
     doc="The reference's END-TO-END pipeline (Databricks Notebook.py "

@@ -140,3 +140,39 @@ def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
             ["event_id"]
         )
     return events.dropDuplicates(["event_id"])
+
+
+def rolling_dau_approx(
+    events: DataFrame,
+    watermark: str = "2 days",
+    window: str = "7 days",
+    slide: str = "1 day",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Sliding 7-day distinct active users as a STREAMING metric.
+
+    The exact sliding distinct (batch twin: ``events_rolling_dau``,
+    queries/timeseries.py) needs two chained distinct aggregations —
+    not expressible in one streaming query — so the streaming form
+    keeps a mergeable HLL++ sketch per sliding window instead:
+    ``approx_count_distinct`` state is O(windows x sketch size), the
+    watermark closes windows, and sketch merge is order-independent,
+    so the availableNow drain is BIT-EQUAL to running the same
+    expression in batch (asserted in tests/test_streaming.py, along
+    with a relative-error band vs the exact batch operator). This is
+    the shape a 100 TB live DAU dashboard actually runs — the exact
+    fan-out variant stays the nightly batch job.
+
+    ``win_day`` is the day each [day-6, day] trailing window reports
+    for (window end minus one slide), matching the batch operator's
+    ``day`` column.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("win"))
+        .agg(F.approx_count_distinct("user_id", rsd).alias("dau_7d_approx"))
+        .select(
+            F.date_add(F.col("win.end").cast("date"), -1).alias("win_day"),
+            "dau_7d_approx",
+        )
+    )

@@ -209,6 +209,50 @@ def test_semantic_dedup_pairs_subset_of_exact_and_deterministic(spark, sf_oracle
     assert sem == sem2
 
 
+def test_semantic_dedup_sample_fit_subset_and_recall(spark, sf_oracle):
+    """A forcing ``fit_sample_cap`` (200 of 500 vectors see the Lloyd
+    iterations) must keep the subset-of-exact invariant — candidates
+    are still scored with exact cosine — and recall about as many
+    pairs as the FULL-corpus fit at the same parameters (the 0.45
+    test threshold sits far below near-duplicate similarity, so some
+    cluster-straddling loss is inherent to SemDeDup itself; the claim
+    under test is that sampling the fit doesn't make it worse)."""
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.dedup import embedding_cosine_pairs
+    from big_data_tools_spark.operators.semdedup import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45).collect()
+    }
+    full_fit = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            emb, "vec_id", "embedding", threshold=0.45, n_clusters=8,
+            fit_sample_cap=None,
+        ).collect()
+    }
+    sampled = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            emb, "vec_id", "embedding", threshold=0.45, n_clusters=8,
+            fit_sample_cap=200,
+        ).collect()
+    }
+    assert sampled <= exact
+    assert len(sampled) >= 0.7 * len(full_fit)
+    # deterministic: md5-membership sample + seeded fit -> same output
+    sampled2 = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            emb, "vec_id", "embedding", threshold=0.45, n_clusters=8,
+            fit_sample_cap=200,
+        ).collect()
+    }
+    assert sampled == sampled2
+
+
 def test_semantic_dedup_cluster_size_guard_trips(spark, sf_oracle):
     import pytest
 

@@ -215,3 +215,39 @@ def test_stateless_rollup_equals_batch_and_replays_idempotently(spark, sf_smoke,
     q.awaitTermination()
     after = sorted(map(tuple, read_rollup(spark, out).collect()))
     assert before == after
+
+
+def test_streaming_rolling_dau_matches_batch_sketch_and_exact_band(
+    spark, events_dir, sf_smoke
+):
+    """The drained sliding-window HLL must BIT-EQUAL the same
+    expression run in batch (sketch merge is order-independent), and
+    sit within a loose relative-error band of the exact batch
+    operator on the days both emit."""
+    from big_data_tools_spark.queries import get
+    from big_data_tools_spark.streaming.events import rolling_dau_approx
+
+    stream = read_events_stream(spark, events_dir)
+    got = {
+        (r["win_day"], r["dau_7d_approx"])
+        for r in run_available_now(
+            rolling_dau_approx(stream), "rolling_dau_test"
+        ).collect()
+    }
+    want = {
+        (r["win_day"], r["dau_7d_approx"])
+        for r in rolling_dau_approx(load_table(spark, sf_smoke, "events")).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+    exact = {
+        r["day"]: r["dau_7d"]
+        for r in get("events_rolling_dau").fn(spark, sf_smoke).collect()
+    }
+    approx = dict(got)
+    shared = set(exact) & set(approx)
+    assert shared, "no overlapping days between exact and streaming DAU"
+    for day in shared:
+        err = abs(approx[day] - exact[day]) / max(exact[day], 1)
+        assert err <= 0.10, f"{day}: approx {approx[day]} vs exact {exact[day]}"
