@@ -59,3 +59,38 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.format("parquet").saveAsTable(table)
+
+
+def parquet_layout_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) for a parquet directory, via the Hadoop
+    FileSystem API so it works identically on file://, HDFS, and
+    S3A-style stores (never os.walk — the driver may not share a
+    filesystem with the data)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    n_files = 0
+    total = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):  # _SUCCESS, checksums, markers
+            continue
+        n_files += 1
+        total += st.getLen()
+    return n_files, total
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written under an EVOLVING schema (columns added
+    over time) as one frame: ``mergeSchema`` unions the per-file
+    schemas (files missing a column read it as NULL) instead of
+    silently answering with whichever footer got sampled first — the
+    default picks an arbitrary file's schema, so a scan over old + new
+    data can drop the new column entirely. Genuinely incompatible type
+    changes (string vs int on the same name) fail the merge loudly,
+    which is what a backfill job wants.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

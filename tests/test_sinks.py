@@ -273,3 +273,38 @@ def test_read_xml_native_source(spark, tmp_path):
     explicit = read_xml(spark, p, row_tag="order", schema=schema)
     rows = {tuple(r) for r in explicit.collect()}
     assert rows == {(1, "O", 100.5), (2, "F", 7.25)}
+
+
+def test_parquet_layout_stats_counts_files_and_bytes(spark, sf_smoke, tmp_path_factory):
+    from big_data_tools_spark.io.sinks import parquet_layout_stats
+
+    out = str(tmp_path_factory.mktemp("layout"))
+    load_table(spark, sf_smoke, "region").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(out)
+    n_files, total = parquet_layout_stats(spark, out)
+    import os
+
+    disk = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert n_files == len(disk)
+    assert total == sum(os.path.getsize(os.path.join(out, f)) for f in disk)
+    assert total > 0
+
+
+def test_read_parquet_evolving_merges_added_column(spark, sf_smoke, tmp_path_factory):
+    """Old files lacking the new column read it as NULL; the default
+    single-footer read can drop the column entirely depending on which
+    file gets sampled, so the merged schema is the contract."""
+    from big_data_tools_spark.io.sinks import read_parquet_evolving
+
+    base = str(tmp_path_factory.mktemp("evolve"))
+    o = load_table(spark, sf_smoke, "orders").select("o_orderkey", "o_totalprice")
+    o.write.parquet(f"{base}/batch=1")
+    o.withColumn("channel", F.lit("web")).write.parquet(f"{base}/batch=2")
+
+    merged = read_parquet_evolving(spark, base)
+    assert set(merged.columns) >= {"o_orderkey", "o_totalprice", "channel"}
+    n = o.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("channel").isNull()).count() == n
+    assert merged.filter(F.col("channel") == "web").count() == n
