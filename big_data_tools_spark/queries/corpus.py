@@ -77,6 +77,49 @@ def _corpus_sql() -> str:
     """
 
 
+def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEPT documents after scrub -> score -> lang-ID -> exact
+    dedup — the frame the rollup query aggregates and the corpus-build
+    CLI (pipeline/corpus_build.py) writes out. Columns: doc_id,
+    source, text (scrubbed), n_tok, quality, pred_lang.
+
+    Plan-shape note: filtering directly on computed quality/pred_lang
+    columns lets predicate pushdown inline the WHOLE scoring
+    expression tree below the fan_out repartition — the filter then
+    runs single-task on the raw input AND every score is computed
+    twice (measured 3.8s vs 1.3s at sf0.1). Instead the scores ride
+    through the dedup Window (same fp partitioning, so they are
+    per-partition constants and min() is the identity): the Window is
+    a natural pushdown barrier — each score is computed exactly once,
+    after the shuffle, on all cores. Cost: the fp shuffle carries the
+    sub-threshold rows too (~30% here); the win: no double compute,
+    no single-task filter. Consumers that don't select ``text`` pay
+    nothing for it (column pruning drops the passthrough).
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    scrubbed = d.withColumn("text", scrub_pii(F.col("text")))
+    toked = scrubbed.withColumn("toks", tokens(F.col("text"))).withColumn(
+        "fp", fingerprint(F.col("text"))
+    )
+    w = Window.partitionBy("fp")
+    staged = toked.select(
+        "doc_id",
+        "source",
+        "text",
+        token_count(F.col("text")).alias("n_tok"),
+        F.min("doc_id").over(w).alias("keep_id"),
+        F.min(
+            quality_score_from_tokens(F.col("toks"), F.col("text"))
+        ).over(w).alias("quality"),
+        F.min(lang_id_from_tokens(F.col("toks"))).over(w).alias("pred_lang"),
+    )
+    return staged.filter(
+        (F.col("quality") >= _QUALITY_MIN)
+        & (F.col("pred_lang") == _KEEP_LANG)
+        & (F.col("doc_id") == F.col("keep_id"))
+    ).drop("keep_id")
+
+
 @register(
     "pretraining_corpus_pipeline",
     sql=_corpus_sql(),
@@ -89,38 +132,7 @@ def _corpus_sql() -> str:
     "per-op queries pin, so the composition is checked end to end.",
 )
 def pretraining_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Plan-shape note: filtering directly on computed quality/pred_lang
-    # columns lets predicate pushdown inline the WHOLE scoring
-    # expression tree below the fan_out repartition — the filter then
-    # runs single-task on the raw input AND every score is computed
-    # twice (measured 3.8s vs 1.3s at sf0.1). Instead the scores ride
-    # through the dedup Window (same fp partitioning, so they are
-    # per-partition constants and min() is the identity): the Window is
-    # a natural pushdown barrier — each score is computed exactly once,
-    # after the shuffle, on all cores. Cost: the fp shuffle carries the
-    # sub-threshold rows too (~30% here); the win: no double compute,
-    # no single-task filter.
-    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
-    scrubbed = d.withColumn("text", scrub_pii(F.col("text")))
-    toked = scrubbed.withColumn("toks", tokens(F.col("text"))).withColumn(
-        "fp", fingerprint(F.col("text"))
-    )
-    w = Window.partitionBy("fp")
-    staged = toked.select(
-        "doc_id",
-        "source",
-        token_count(F.col("text")).alias("n_tok"),
-        F.min("doc_id").over(w).alias("keep_id"),
-        F.min(
-            quality_score_from_tokens(F.col("toks"), F.col("text"))
-        ).over(w).alias("quality"),
-        F.min(lang_id_from_tokens(F.col("toks"))).over(w).alias("pred_lang"),
-    )
-    kept = staged.filter(
-        (F.col("quality") >= _QUALITY_MIN)
-        & (F.col("pred_lang") == _KEEP_LANG)
-        & (F.col("doc_id") == F.col("keep_id"))
-    )
+    kept = curated_documents(spark, sf_dir)
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),

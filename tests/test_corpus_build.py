@@ -1,0 +1,65 @@
+"""Corpus-build CLI: the written artifact must agree with the
+oracle-checked rollup query, and the shard layout must obey the
+packing budget."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from big_data_tools_spark.pipeline.corpus_build import build_corpus
+from big_data_tools_spark.queries import get
+
+
+def test_build_corpus_matches_rollup_query(spark, sf_smoke, tmp_path):
+    out = str(tmp_path / "corpus")
+    summary = build_corpus(spark, sf_smoke, out, budget=512, n_buckets=4)
+
+    rollup = {
+        r["source"]: (r["n_docs"], r["total_tokens"])
+        for r in get("pretraining_corpus_pipeline").fn(spark, sf_smoke).collect()
+    }
+    assert set(summary["per_source"]) == set(rollup)
+    for src, (n_docs, total_tokens) in rollup.items():
+        assert summary["per_source"][src]["n_docs"] == n_docs
+        assert summary["per_source"][src]["total_tokens"] == total_tokens
+
+    docs = spark.read.parquet(f"{out}/documents")
+    assert docs.count() == summary["n_docs"]
+    assert docs.select("doc_id").distinct().count() == summary["n_docs"]
+
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest == summary
+    assert manifest["n_files"] >= 1 and manifest["total_bytes"] > 0
+
+
+def test_build_corpus_shards_respect_budget(spark, sf_smoke, tmp_path):
+    """Packing invariant on the WRITTEN artifact: every shard's token
+    total stays under budget + the largest doc in it (a doc is never
+    split, so one doc may overhang)."""
+    out = str(tmp_path / "corpus2")
+    build_corpus(spark, sf_smoke, out, budget=512, n_buckets=4)
+    docs = spark.read.parquet(f"{out}/documents")
+    per_shard = (
+        docs.groupBy("bucket", "shard")
+        .agg(F.sum("n_tok").alias("tot"), F.max("n_tok").alias("biggest"))
+        .collect()
+    )
+    assert per_shard
+    for r in per_shard:
+        assert r["tot"] <= 512 + r["biggest"], dict(r.asDict())
+
+    shards = spark.read.parquet(f"{out}/shards")
+    written = {
+        (r["bucket"], r["shard"]): (r["n_docs"], r["total_tokens"])
+        for r in shards.collect()
+    }
+    from_docs = {
+        (r["bucket"], r["shard"]): (r["n"], r["tot"])
+        for r in docs.groupBy("bucket", "shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("tot"))
+        .collect()
+    }
+    assert written == from_docs

@@ -251,3 +251,10 @@ def test_streaming_rolling_dau_matches_batch_sketch_and_exact_band(
     for day in shared:
         err = abs(approx[day] - exact[day]) / max(exact[day], 1)
         assert err <= 0.10, f"{day}: approx {approx[day]} vs exact {exact[day]}"
+
+
+def test_rolling_dau_stream_plan_has_watermark(spark, events_dir):
+    from big_data_tools_spark.streaming.events import rolling_dau_approx
+
+    agg = rolling_dau_approx(read_events_stream(spark, events_dir))
+    assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
