@@ -96,7 +96,15 @@ def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     no single-task filter. Consumers that don't select ``text`` pay
     nothing for it (column pruning drops the passthrough).
     """
-    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    return curate_frame(fan_out(load_table(spark, sf_dir, "documents"), "doc_id"))
+
+
+def curate_frame(d: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`curated_documents`: curate ANY
+    documents-shaped frame (doc_id, source, text) — the streaming
+    ingest sink (streaming/corpus.py) runs it per micro-batch. Keeps
+    the content fingerprint ``fp`` in the output (the dedup index
+    key); batch-rollup consumers never pay for it (column pruning)."""
     scrubbed = d.withColumn("text", scrub_pii(F.col("text")))
     toked = scrubbed.withColumn("toks", tokens(F.col("text"))).withColumn(
         "fp", fingerprint(F.col("text"))
@@ -106,6 +114,7 @@ def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "text",
+        "fp",
         token_count(F.col("text")).alias("n_tok"),
         F.min("doc_id").over(w).alias("keep_id"),
         F.min(

@@ -193,6 +193,39 @@ def streaming_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_corpus_ingest",
+    sql=None,  # runs through the streaming engine, not a SQL query
+    doc="Continuous corpus ingestion (§2.10 x dedup): each micro-batch "
+    "of raw documents runs the capstone curation plan, drops content "
+    "already in the stored fingerprint INDEX, appends survivors to "
+    "the corpus table, and merges the index — zero streaming state, "
+    "applied-batch ledger for replay idempotence (streaming/"
+    "corpus.py). Rows-only driver check; drain==batch-curation and "
+    "replay/cross-batch dedup are asserted in "
+    "tests/test_streaming_corpus.py.",
+)
+def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.corpus import (
+        corpus_ingest_sink,
+        read_corpus,
+        read_documents_stream,
+    )
+
+    out = tempfile.mkdtemp(prefix="bdt_corpus_ingest_")
+    stream = read_documents_stream(spark, sf_dir, path_glob="documents.parquet")
+    q = corpus_ingest_sink(stream, out)
+    q.awaitTermination()
+    return (
+        read_corpus(spark, out)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+@register(
     "yelp_basetable",
     sql=None,  # inputs are in-memory Yelp-shaped fixtures, not sf_dir tables
     doc="The reference's END-TO-END pipeline (Databricks Notebook.py "

@@ -1,0 +1,85 @@
+"""Streaming corpus ingestion: drained corpus == batch curation; the
+index dedups across batches; the ledger makes replay a no-op."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_tools_spark.io.sources import load_table
+from big_data_tools_spark.queries.corpus import curated_documents
+from big_data_tools_spark.streaming.corpus import (
+    corpus_ingest_sink,
+    ingest_batch,
+    read_corpus,
+    read_documents_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_dir(sf_smoke):
+    d = tempfile.mkdtemp(prefix="bdt_docs_")
+    shutil.copy(f"{sf_smoke}/documents.parquet", f"{d}/documents.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_drained_corpus_equals_batch_curation(spark, docs_dir, sf_smoke, tmp_path):
+    out = str(tmp_path / "corpus")
+    q = corpus_ingest_sink(read_documents_stream(spark, docs_dir), out)
+    q.awaitTermination()
+    got = {
+        (r["doc_id"], r["source"], r["n_tok"])
+        for r in read_corpus(spark, out).collect()
+    }
+    want = {
+        (r["doc_id"], r["source"], r["n_tok"])
+        for r in curated_documents(spark, sf_smoke).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_cross_batch_dedup_and_replay_idempotence(spark, sf_smoke, tmp_path):
+    out = str(tmp_path / "corpus2")
+    docs = load_table(spark, sf_smoke, "documents")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs  # second day re-delivers day 1's content plus the rest
+
+    from big_data_tools_spark.operators.partitioning import fan_out
+    from big_data_tools_spark.queries.corpus import curate_frame
+
+    ingest_batch(b1, 0, out)
+    n1 = read_corpus(spark, out).count()
+    # the appended table is exactly batch 1 curated (index was empty)
+    assert n1 == curate_frame(fan_out(b1, "doc_id")).count()
+    assert n1 > 0
+
+    # replayed batch id: ledger skips it, corpus unchanged
+    ingest_batch(b1, 0, out)
+    assert read_corpus(spark, out).count() == n1
+
+    # new batch: only content fingerprints NOT already ingested land
+    ingest_batch(b2, 1, out)
+    corpus = read_corpus(spark, out)
+    total = corpus.count()
+    assert total > n1
+    # every fingerprint ingested exactly once: doc texts are unique
+    # per content group, so re-delivered duplicates must not re-append
+    full = curated_documents(spark, sf_smoke)
+    # union of both batches curated with cross-batch index dedup ==
+    # curating everything at once, except survivor CHOICE may differ
+    # (batch 1 keeps the min even id; the all-at-once run may keep an
+    # odd one) — compare at the content-group level via n_tok+source
+    got_groups = {
+        (r["source"], r["n_tok"]) for r in corpus.groupBy("source", "n_tok")
+        .count().collect()
+    }
+    want_groups = {
+        (r["source"], r["n_tok"]) for r in full.groupBy("source", "n_tok")
+        .count().collect()
+    }
+    assert got_groups == want_groups
