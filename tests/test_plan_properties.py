@@ -242,3 +242,37 @@ def test_cdc_single_key_shuffle(spark, sf_smoke):
     """CDC apply-changes: one window shuffle on the key, nothing else."""
     df = get("user_current_state_cdc").fn(spark, sf_smoke)
     assert count_exchanges(df) == 1
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(
+    spark, sf_smoke, tmp_path_factory
+):
+    """The 100 TB star-join mechanism this repo's partitioned sinks
+    exist for: joining a date-partitioned fact against a filtered dim
+    must inject a dynamicpruning subquery into the scan's
+    PartitionFilters, so only the dim-selected partitions are read —
+    without it, every partition of a 100 TB fact is scanned no matter
+    how selective the dim filter is."""
+    from pyspark.sql import functions as F
+
+    from big_data_tools_spark.io.sources import load_table
+
+    out = str(tmp_path_factory.mktemp("dpp")) + "/orders"
+    load_table(spark, sf_smoke, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    ).write.partitionBy("o_year").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [(y, "new" if y >= 1997 else "old") for y in range(1992, 1999)],
+        "y int, era string",
+    )
+    q = (
+        fact.join(dim, fact.o_year == dim.y)
+        .filter(F.col("era") == "new")
+        .groupBy("o_year")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = {r["o_year"] for r in q.collect()}
+    assert got == {1997, 1998}
