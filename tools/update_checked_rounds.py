@@ -60,5 +60,28 @@ def main(round_key: str) -> None:
     )
 
 
+def plan_next() -> None:
+    """Print the twins the NEXT round's window MUST seat: everything
+    absent from the last two committed windows (the 3-round union
+    invariant makes those mandatory once a new round is appended) —
+    the pending queue is a subset by construction. Run this at round
+    start before editing ``_PRIORITY``."""
+    data = json.loads((REPO / "checked_rounds.json").read_text())
+    rounds = sorted(
+        (k for k in data if not k.startswith("pending_")),
+        key=lambda k: int("".join(c for c in k if c.isdigit())),
+    )
+    last2 = set().union(*(data[k] for k in rounds[-2:]))
+    must = sorted(t for t in all_twins() if t not in last2)
+    free = WINDOW - len(must)
+    print(f"after {rounds[-1]}: {len(must)} twins MUST be in the next window "
+          f"({free} free slots):")
+    for t in must:
+        print(" ", t)
+
+
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "r3")
+    if "--plan" in sys.argv:
+        plan_next()
+    else:
+        main(sys.argv[1] if len(sys.argv) > 1 else "r3")
