@@ -189,3 +189,41 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_stats(und)
+
+
+@register(
+    "part_copurchase_communities",
+    sql=None,  # rows-only: 5 unrolled argmax-window rounds have no
+    # tractable SQL twin (contrast PageRank, whose iteration is a
+    # plain aggregate); determinism + hand-pinned structures are
+    # tested in tests/test_communities.py
+    doc="Deterministic label-propagation communities (5 synchronous "
+    "rounds, min-label tie-break — a pure function of the edge set) "
+    "on the part co-purchase graph; top-20 communities by size. "
+    "2 shuffles per round on the persisted symmetrized edge list, no "
+    "driver sync (operators/communities.py). Completes the graph "
+    "family: PageRank (centrality), triangles (cohesion), connected "
+    "components (reachability), LPA (community structure).",
+)
+def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.communities import label_propagation
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") != F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    edges = und.repartition("dst").persist()
+    comms = label_propagation(edges, iterations=5)
+    out = (
+        comms.groupBy("community_id")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy(F.desc("n_parts"), F.asc("community_id"))
+        .limit(20)
+    )
+    return track_cache(out, edges)
