@@ -276,3 +276,25 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     got = {r["o_year"] for r in q.collect()}
     assert got == {1997, 1998}
+
+
+def test_aqe_coalesces_small_shuffles_at_runtime(spark, sf_smoke):
+    """The session factory turns AQE on so runtime statistics — not
+    the static spark.sql.shuffle.partitions guess — size every
+    shuffle read. On a small aggregate the 32 static partitions must
+    coalesce (at 100 TB the same machinery splits skewed partitions
+    and rewrites oversized joins); the executed plan carries the
+    AQEShuffleRead coalesced marker only after the job actually
+    runs."""
+    from pyspark.sql import functions as F
+
+    from big_data_tools_spark.io.sources import load_table
+
+    q = (
+        load_table(spark, sf_smoke, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q.collect()  # AQE finalizes the plan during execution
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in plan
