@@ -505,3 +505,36 @@ def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rec, 6).alias("recall"),
         F.round(2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12)), 6).alias("f1"),
     )
+
+
+@register(
+    "embedding_pca_variance",
+    sql=None,  # MLlib SVD fit; no SQL twin (deterministic up to
+    # component sign, which the variance ratios don't carry)
+    doc="PCA explained-variance spectrum of the embedding corpus "
+    "(k=8): how concentrated the representation is — the screening "
+    "pass before choosing an int8/PQ compression or an IVF cluster "
+    "count. MLlib PCA fits on distributed covariance (one pass + a "
+    "k x dim driver eigensolve — dim is 64, never |corpus|); the "
+    "report is k rows of (component, variance_ratio, cumulative). "
+    "Rows-only driver check; spectrum properties pinned in "
+    "tests/test_ml_pipeline.py.",
+)
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    k = 8
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = PCA(k=k, inputCol="features", outputCol="pc").fit(emb)
+    ratios = [float(v) for v in model.explainedVariance]
+    rows = []
+    cum = 0.0
+    for i, v in enumerate(ratios):
+        cum += v
+        rows.append((i + 1, round(v, 6), round(cum, 6)))
+    return spark.createDataFrame(
+        rows, "component int, variance_ratio double, cumulative double"
+    )

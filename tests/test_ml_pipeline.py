@@ -148,3 +148,19 @@ def test_confusion_matrix_consistent_with_accuracy(spark, sf_smoke):
     assert abs(acc_from_cm - metrics["test_accuracy"]) < 1e-4
     if cm["tp"] > 0:
         assert 0.0 < cm["precision"] <= 1.0 and 0.0 < cm["recall"] <= 1.0
+
+
+def test_embedding_pca_variance_spectrum(spark, sf_smoke):
+    """k rows, ratios in (0,1], non-increasing, cumulative consistent
+    and <= 1; deterministic across runs (covariance eigensolve)."""
+    from big_data_tools_spark.queries import get
+
+    rows = get("embedding_pca_variance").fn(spark, sf_smoke).collect()
+    assert [r["component"] for r in rows] == list(range(1, 9))
+    ratios = [r["variance_ratio"] for r in rows]
+    assert all(0 < v <= 1 for v in ratios)
+    assert all(a >= b - 1e-9 for a, b in zip(ratios, ratios[1:]))
+    assert abs(rows[-1]["cumulative"] - sum(ratios)) < 1e-4
+    assert rows[-1]["cumulative"] <= 1.0 + 1e-6
+    again = get("embedding_pca_variance").fn(spark, sf_smoke).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
