@@ -77,3 +77,112 @@ def finish_rollup(state: DataFrame, keys: Sequence[str]) -> DataFrame:
         F.col("min").alias("lo"),
         F.col("max").alias("hi"),
     )
+
+
+def histogram_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Per-key fixed-bin histogram state — the MERGEABLE quantile
+    companion to :func:`aggregate_state`. Bin edges are FIXED by
+    (lo, hi, n_bins) at state-creation time, so two states over the
+    same grid merge by elementwise vector addition with NO
+    approximation: ``merge(state(A), state(B)) == state(A ∪ B)``
+    bit-for-bit (contrast KLL/t-digest sketches, whose merge is lossy
+    and order-sensitive — fine for one-shot queries, wrong for a
+    stored rollup that must absorb deltas forever and stay
+    reproducible). Values outside [lo, hi) clamp into the edge bins,
+    so the state never loses mass when data drifts past the declared
+    range (a drifted tail shows up as edge-bin concentration).
+
+    Shape: bin index is a pure expression; the first aggregate
+    reduces to at most |keys| x n_bins rows (map-side combine does
+    most of the work), the second gathers <= n_bins (bin, count)
+    pairs per key into the dense vector — per-key aggregation buffers
+    are bounded by n_bins, never by row count.
+    """
+    if hi <= lo:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    v = F.col(value_col).cast("double")
+    idx = (
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0), F.floor((v - F.lit(lo)) / F.lit((hi - lo) / n_bins))
+            ),
+        )
+        .cast("int")
+        .alias("__bin")
+    )
+    binned = df.select(*keys, idx).groupBy(*keys, "__bin").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    agged = binned.groupBy(*keys).agg(
+        F.map_from_entries(F.collect_list(F.struct("__bin", "__c"))).alias("__m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    return agged.select(*keys, dense.alias("bins"))
+
+
+def merge_histogram_states(keys: Sequence[str], *states: DataFrame) -> DataFrame:
+    """Merge histogram states over the SAME (lo, hi, n_bins) grid:
+    union -> posexplode -> per-(key, bin) sum -> dense reassembly.
+    Exact elementwise addition; shuffles |keys| x n_bins rows."""
+    if not states:
+        raise ValueError("merge_histogram_states needs at least one state frame")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    e = u.select(*keys, F.posexplode("bins").alias("__pos", "__c"))
+    summed = e.groupBy(*keys, "__pos").agg(F.sum("__c").alias("__c"))
+    agged = summed.groupBy(*keys).agg(
+        F.map_from_entries(F.collect_list(F.struct("__pos", "__c"))).alias("__m"),
+        F.max("__pos").alias("__mx"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.col("__mx")),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    return agged.select(*keys, dense.alias("bins"))
+
+
+def histogram_quantile(
+    state: DataFrame, keys: Sequence[str], q: float, lo: float, hi: float
+) -> DataFrame:
+    """Approximate per-key quantile from a histogram state: the left
+    edge of the first bin whose cumulative count reaches
+    ceil(q * total). Error is bounded by ONE bin width — a declared,
+    grid-determined bound, unlike sketch error which depends on merge
+    history. Pure per-row array expressions (O(n_bins^2) ops on a
+    64-long array), no extra shuffle."""
+    if not 0 < q <= 1:
+        raise ValueError(f"need 0 < q <= 1, got {q}")
+    bins = F.col("bins")
+    n = F.size(bins)
+    total = F.aggregate(bins, F.lit(0).cast("long"), lambda a, b: a + b)
+    cum = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.aggregate(
+            F.slice(bins, 1, i.cast("int")), F.lit(0).cast("long"), lambda a, b: a + b
+        ),
+    )
+    target = F.ceil(F.lit(q) * total)
+    hit = F.array_position(
+        F.transform(cum, lambda c: (c >= target).cast("int")), 1
+    )
+    width = (F.lit(hi) - F.lit(lo)) / n
+    return state.select(
+        *keys,
+        (F.lit(lo) + (hit - 1) * width).alias(f"q{int(q * 100)}_approx"),
+    )

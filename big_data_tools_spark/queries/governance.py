@@ -171,3 +171,45 @@ def bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
     )
+
+
+@register(
+    "orders_incremental_quantile",
+    sql=None,  # the fixed-grid form IS SQL-expressible, but the
+    # 147-twin window sits at the 3-round-union capacity ceiling
+    # (ROUND4_NOTES "r5 rotation pre-plan"); the exact merge==full
+    # invariant is pinned locally in tests/test_governance.py instead
+    doc="Mergeable QUANTILE rollup (operators/incremental.py "
+    "histogram_state): per-priority median of o_totalprice derived "
+    "from three monthly-style partial histogram states merged into "
+    "one — fixed-grid bins add elementwise, so merge(state(A), "
+    "state(B)) == state(A∪B) bit-for-bit (vs lossy order-sensitive "
+    "KLL/t-digest merges), the stored rollup absorbs deltas forever "
+    "without re-scanning history, and the quantile error is bounded "
+    "by ONE declared bin width. Rows-only driver check; exactness, "
+    "merge-order independence, clamping, and the error bound are "
+    "tested.",
+)
+def orders_incremental_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import (
+        histogram_quantile,
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    lo, hi, nb = 0.0, 600_000.0, 128
+    parts = [
+        histogram_state(
+            orders.filter(F.month("o_orderdate") % 3 == i),
+            keys,
+            "o_totalprice",
+            lo,
+            hi,
+            nb,
+        )
+        for i in range(3)
+    ]
+    merged = merge_histogram_states(keys, *parts)
+    return histogram_quantile(merged, keys, 0.5, lo, hi).orderBy("o_orderpriority")

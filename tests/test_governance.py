@@ -147,3 +147,73 @@ def test_skipgram_plan_is_single_shuffle(spark, sf_smoke):
     df = get("token_skipgram_counts").fn(spark, sf_smoke)
     assert count_exchanges(df) <= 2  # partial/final agg pair at most
     assert "Join" not in explain_text(df, "formatted")
+
+
+def test_histogram_state_merge_is_exact_and_quantile_bounded(spark, sf_oracle):
+    """Fixed-grid histogram states: any split of the table merges to
+    the FULL-table state bit-for-bit (vector addition, no sketch
+    loss), merge order never matters, and the derived quantile sits
+    within one bin width of the exact percentile."""
+    from pyspark.sql import functions as F
+
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.incremental import (
+        histogram_quantile,
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    o = load_table(spark, sf_oracle, "orders")
+    keys, lo, hi, nb = ["o_orderpriority"], 0.0, 400000.0, 64
+    full = {
+        r["o_orderpriority"]: r["bins"]
+        for r in histogram_state(o, keys, "o_totalprice", lo, hi, nb).collect()
+    }
+    parts = [
+        histogram_state(
+            o.filter(F.col("o_orderkey") % 3 == i), keys, "o_totalprice", lo, hi, nb
+        )
+        for i in range(3)
+    ]
+    merged = {
+        r["o_orderpriority"]: r["bins"]
+        for r in merge_histogram_states(keys, *parts).collect()
+    }
+    assert merged == full
+    reordered = {
+        r["o_orderpriority"]: r["bins"]
+        for r in merge_histogram_states(keys, parts[2], parts[0], parts[1]).collect()
+    }
+    assert reordered == full
+
+    q50 = {
+        r["o_orderpriority"]: r["q50_approx"]
+        for r in histogram_quantile(
+            histogram_state(o, keys, "o_totalprice", lo, hi, nb), keys, 0.5, lo, hi
+        ).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["p"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.expr("percentile(o_totalprice, 0.5)").alias("p"))
+        .collect()
+    }
+    width = (hi - lo) / nb
+    for k, p in exact.items():
+        assert abs(q50[k] - p) <= width, (k, q50[k], p)
+
+
+def test_histogram_state_clamps_out_of_range_mass(spark):
+    """Values past the declared range land in the edge bins — the
+    state never silently drops drifted data."""
+    from big_data_tools_spark.operators.incremental import histogram_state
+
+    df = spark.createDataFrame(
+        [("k", -100.0), ("k", 5.0), ("k", 999.0)], "g string, v double"
+    )
+    bins = histogram_state(df, ["g"], "v", 0.0, 10.0, 4).collect()[0]["bins"]
+    assert len(bins) == 4
+    assert bins[0] == 1  # -100 clamps into bin 0
+    assert bins[2] == 1  # 5.0 -> bin 2
+    assert bins[3] == 1  # 999 clamps into the top bin
+    assert sum(bins) == 3
