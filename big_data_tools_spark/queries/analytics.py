@@ -484,3 +484,59 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("total")
     )
     return track_cache(out, per_cust)
+
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+_HOLT_HORIZON = 3
+
+
+@register(
+    "monthly_revenue_forecast",
+    sql=None,  # the fold is sequential by construction (level/trend
+    # recurrence); pinned against a pure-Python replication in
+    # tests/test_forecast.py instead of a SQL twin
+    doc="Holt linear-trend forecast (double exponential smoothing, "
+    "alpha=0.5 beta=0.3) of monthly revenue, 3 months ahead. The "
+    "recurrence is inherently sequential, but the SERIES is tiny "
+    "(month grain), so the scale split is: one distributed fact "
+    "shuffle to month grain, then the fold runs as a single "
+    "F.aggregate lambda over the array_sort-ed (month, revenue) "
+    "array inside ONE row — no driver loop, no UDF, deterministic "
+    "fold order. Emits (month, forecast) rows via sequence-explode.",
+)
+def monthly_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("month")
+    ).agg(money_sum(F.col("o_totalprice")).cast("double").alias("y"))
+    agged = m.agg(
+        F.array_sort(F.collect_list(F.struct("month", "y"))).alias("s")
+    )
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    first = F.element_at(F.col("s"), 1)["y"]
+    second = F.element_at(F.col("s"), 2)["y"]
+    init = F.struct(first.alias("l"), (second - first).alias("b"))
+    rest = F.slice(F.col("s"), 2, F.greatest(F.size("s") - 1, F.lit(0)))
+
+    def _step(acc, x):
+        new_l = F.lit(a) * x["y"] + F.lit(1 - a) * (acc["l"] + acc["b"])
+        new_b = F.lit(b) * (new_l - acc["l"]) + F.lit(1 - b) * acc["b"]
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    folded = agged.select(
+        F.aggregate(rest, init, _step).alias("st"),
+        F.element_at(F.col("s"), F.size("s"))["month"].alias("m0"),
+    )
+    return folded.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_HOLT_HORIZON))).alias("h"),
+        "st",
+        "m0",
+    ).select(
+        F.add_months(F.col("m0"), F.col("h")).alias("month"),
+        F.round(F.col("st")["l"] + F.col("h") * F.col("st")["b"], 2).alias(
+            "forecast"
+        ),
+    )
