@@ -104,6 +104,13 @@ HEADLINE = [
     # plan); triangles stay OUT — output-bound wedge growth makes the
     # number track graph density, not engine regressions (SCALING.md)
     "part_copurchase_pagerank",
+    # round-4 final session: LPA (per-round join + two hash aggs —
+    # the second iterative-graph shape), mergeable histogram-quantile
+    # merge path, and the Holt F.aggregate fold (array-expression
+    # heavy; regression canary for lambda-function codegen)
+    "part_copurchase_communities",
+    "orders_incremental_quantile",
+    "monthly_revenue_forecast",
 ]
 
 

@@ -16,18 +16,19 @@ run-to-run drift is a feature for exploration, a bug for lineage).
 
 Scale shape, same as PageRank: the symmetrized edge list is
 hash-partitioned on ``dst`` once and persisted by the caller; each
-round is one join (labels onto edges), one count aggregate, and one
-per-node argmax window — the count and the window share the
-neighbor-node key, so a round costs 2 shuffles. Fixed ``iterations``
-compose into ONE static plan with no driver synchronization (label
-propagation stabilizes in a handful of rounds on social-style graphs;
-a fixpoint loop would re-introduce per-round driver sync for little
-gain).
+round is one join (labels onto edges), one (node, label) count
+aggregate, and one per-node ``max_by`` argmax — both aggregates are
+hash aggregations with map-side partial combine (no sort buffer; the
+tie-break rides inside the max_by struct), so a round costs 2
+shuffles. Fixed ``iterations`` compose into ONE static plan with no
+driver synchronization (label propagation stabilizes in a handful of
+rounds on social-style graphs; a fixpoint loop would re-introduce
+per-round driver sync for little gain).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -42,16 +43,23 @@ def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    argmax = Window.partitionBy("n").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(iterations):
         neigh = edges.join(labels, edges.dst == labels.node).select(
             edges.src.alias("n"), "label"
         )
+        # argmax by (count desc, label asc) as a hash aggregate:
+        # max_by on (c, -label) picks max count, then the SMALLEST
+        # label among ties — same total order the windowed row_number
+        # form encodes, without its per-partition sort
         labels = (
             neigh.groupBy("n", "label")
             .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rn", F.row_number().over(argmax))
-            .filter(F.col("rn") == 1)
+            .groupBy("n")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("label")
+            )
             .select(F.col("n").alias("node"), "label")
         )
     return labels.select("node", F.col("label").alias("community_id"))
