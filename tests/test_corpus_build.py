@@ -63,3 +63,35 @@ def test_build_corpus_shards_respect_budget(spark, sf_smoke, tmp_path):
         .collect()
     }
     assert written == from_docs
+
+
+def test_cli_module_entrypoint(tmp_path):
+    """The documented user entrypoint — python -m ...corpus_build —
+    must parse args, run, and print the summary JSON line."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "cli_corpus")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "big_data_tools_spark.pipeline.corpus_build",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--out",
+            out,
+            "--budget",
+            "512",
+            "--buckets",
+            "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_docs"] > 0 and summary["n_shards"] > 0
+    assert os.path.exists(os.path.join(out, "manifest.json"))
