@@ -298,3 +298,44 @@ def test_aqe_coalesces_small_shuffles_at_runtime(spark, sf_smoke):
     q.collect()  # AQE finalizes the plan during execution
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead coalesced" in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The runtime half of the skew defense: the manual salting tiers
+    (operators/skew.py) handle aggregation skew we can see coming; for
+    JOIN skew, AQE detects oversized shuffle partitions from runtime
+    stats and splits them (SortMergeJoin(skew=true)) — at 100 TB this
+    is what keeps one hot key from pinning a single task. Thresholds
+    are lowered here so the fixture-scale hot key qualifies; the
+    mechanism is the same at production sizes."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200_000).select(
+            (F.col("id") * 0).alias("k"), F.col("id").alias("v")
+        )
+        tail = spark.range(5_000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), F.lit("x").alias("attr")
+        )
+        q = hot.union(tail).join(right, "k")
+        assert len(q.collect()) == 205_000
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
