@@ -43,23 +43,42 @@ def build_corpus(
     out_dir: str,
     budget: int = 4096,
     n_buckets: int = 16,
+    split: bool = False,
+    split_salt: str = "split-v1",
 ) -> dict:
     """Write ``out_dir/{documents,shards,manifest.json}``; returns the
-    summary dict that also lands in manifest.json."""
-    kept = curated_documents(spark, sf_dir).persist()
+    summary dict that also lands in manifest.json.
+
+    ``split=True`` adds a leakage-safe 80/10/10 train/val/test column
+    keyed on the CONTENT fingerprint already computed by the curation
+    plan (same construction as the oracle-checked
+    ``leakage_safe_corpus_split``): duplicates can never straddle
+    train and test, and the assignment is stable across re-ingestion
+    (portable md5 uniform on fp + ``split_salt``)."""
+    from ..operators.sampling import md5_uniform
+
+    kept = curated_documents(spark, sf_dir)
+    if split:
+        u = md5_uniform(F.col("fp"), salt=split_salt)
+        kept = kept.withColumn(
+            "split",
+            F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"),
+        )
+    kept = kept.persist()
     packed = pack_token_shards(
         kept, "text", "doc_id", budget=budget, n_buckets=n_buckets
     )
     docs = kept.join(packed.select("doc_id", "bucket", "shard"), "doc_id")
+    doc_cols = [
+        "doc_id", "source", "pred_lang", "quality", "n_tok",
+        "bucket", "shard", "text",
+    ] + (["split", "fp"] if split else [])
     # one writer task per bucket: each bucket=... directory gets a few
     # right-sized files instead of (shuffle partitions x buckets)
     # KB-scale ones; n_buckets is the write parallelism knob, sized to
     # the cluster at real scale
     write_parquet(
-        docs.select(
-            "doc_id", "source", "pred_lang", "quality", "n_tok",
-            "bucket", "shard", "text",
-        ).repartition(n_buckets, "bucket"),
+        docs.select(*doc_cols).repartition(n_buckets, "bucket"),
         f"{out_dir}/documents",
         partition_by=["bucket"],
         sort_within_partitions=["shard", "doc_id"],
@@ -82,6 +101,16 @@ def build_corpus(
         .collect()
     }
     n_shards = packed.select("bucket", "shard").distinct().count()
+    per_split = (
+        {
+            r["split"]: r["n_docs"]
+            for r in kept.groupBy("split")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .collect()
+        }
+        if split
+        else None
+    )
     n_files, total_bytes = parquet_layout_stats(spark, f"{out_dir}/documents")
     kept.unpersist()
     summary = {
@@ -95,6 +124,9 @@ def build_corpus(
         "total_bytes": total_bytes,
         "per_source": per_source,
     }
+    if per_split is not None:
+        summary["per_split"] = per_split
+        summary["split_salt"] = split_salt
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(summary, f, indent=2, sort_keys=True)
     return summary
@@ -107,13 +139,25 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--out", required=True)
     p.add_argument("--budget", type=int, default=4096)
     p.add_argument("--buckets", type=int, default=16)
+    p.add_argument(
+        "--split",
+        action="store_true",
+        help="add a leakage-safe content-keyed train/val/test column",
+    )
+    p.add_argument("--split-salt", default="split-v1")
     args = p.parse_args(argv)
 
     from ..session import get_spark
 
     spark = get_spark(app_name="corpus-build")
     summary = build_corpus(
-        spark, args.sf_dir, args.out, budget=args.budget, n_buckets=args.buckets
+        spark,
+        args.sf_dir,
+        args.out,
+        budget=args.budget,
+        n_buckets=args.buckets,
+        split=args.split,
+        split_salt=args.split_salt,
     )
     print(json.dumps(summary, sort_keys=True))
     return summary

@@ -95,3 +95,39 @@ def test_cli_module_entrypoint(tmp_path):
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     assert summary["n_docs"] > 0 and summary["n_shards"] > 0
     assert os.path.exists(os.path.join(out, "manifest.json"))
+
+
+def test_split_mode_is_leakage_safe_and_stable(spark, sf_smoke, tmp_path):
+    """--split: every content fingerprint lands in exactly ONE split
+    (duplicates can never straddle train/test), fractions are sane,
+    and a rebuild with the same salt reproduces the assignment."""
+    from big_data_tools_spark.pipeline.corpus_build import build_corpus
+
+    out = str(tmp_path / "split_corpus")
+    summary = build_corpus(spark, sf_smoke, out, budget=512, n_buckets=2, split=True)
+    assert set(summary["per_split"]) <= {"train", "val", "test"}
+    assert sum(summary["per_split"].values()) == summary["n_docs"]
+    assert summary["per_split"]["train"] > summary["n_docs"] * 0.5
+
+    docs = spark.read.parquet(f"{out}/documents")
+    straddlers = (
+        docs.groupBy("fp")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddlers == 0
+
+    out2 = str(tmp_path / "split_corpus2")
+    build_corpus(spark, sf_smoke, out2, budget=512, n_buckets=2, split=True)
+    a = {
+        (r["doc_id"], r["split"])
+        for r in docs.select("doc_id", "split").collect()
+    }
+    b = {
+        (r["doc_id"], r["split"])
+        for r in spark.read.parquet(f"{out2}/documents")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
