@@ -681,3 +681,57 @@ def simhash_band_pairs_portable(
         .select("id_a", "id_b", "hamming")
     )
     return track_cache(out, sig)
+
+
+def lsh_banding_plan(
+    threshold: float,
+    num_hashes: int = 48,
+    target_fn_rate: float = 0.05,
+) -> dict:
+    """Choose the (bands, rows-per-band) split of a ``num_hashes``-
+    component MinHash signature for a target Jaccard ``threshold`` —
+    the tuning companion to :func:`minhash_band_pairs`.
+
+    Banding gives an S-curve: a pair with true Jaccard s becomes a
+    candidate with probability ``1 - (1 - s^r)^b``. Among the valid
+    (b, r) factorizations (b x r = num_hashes), pick the one whose
+    false-negative rate AT the threshold (``(1 - t^r)^b``) is under
+    ``target_fn_rate`` while maximizing r (larger r = steeper curve =
+    fewer sub-threshold candidates, i.e. less wasted exact-Jaccard
+    confirm work — the right bias because the confirm step already
+    guarantees precision, so candidates below the threshold are pure
+    cost). Falls back to the factorization with the LOWEST
+    false-negative rate if none meets the target (caller should then
+    raise num_hashes).
+
+    Pure math on the driver (no Spark): returns {bands, rows,
+    fn_rate_at_threshold, curve} where curve maps sample similarities
+    to candidate probabilities — print it before committing a corpus
+    pass. Cited curve: MMDS ch.3 (Leskovec/Rajaraman/Ullman).
+    """
+    if not 0 < threshold < 1:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    options = [
+        (num_hashes // r, r)
+        for r in range(1, num_hashes + 1)
+        if num_hashes % r == 0
+    ]
+
+    def fn_rate(b: int, r: int) -> float:
+        return (1.0 - threshold**r) ** b
+
+    meeting = [(b, r) for b, r in options if fn_rate(b, r) <= target_fn_rate]
+    if meeting:
+        b, r = max(meeting, key=lambda br: br[1])
+    else:
+        b, r = min(options, key=lambda br: fn_rate(*br))
+    curve = {
+        round(s, 2): round(1.0 - (1.0 - s**r) ** b, 4)
+        for s in (0.1, 0.3, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
+    }
+    return {
+        "bands": b,
+        "rows": r,
+        "fn_rate_at_threshold": round(fn_rate(b, r), 6),
+        "curve": curve,
+    }

@@ -92,13 +92,18 @@ def corpus_ingest_sink(
 
 
 def read_documents_stream(
-    spark, source_dir: str, path_glob: str | None = None
+    spark,
+    source_dir: str,
+    path_glob: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming source over a directory of documents parquet files.
     Schema comes from a lazy batch probe of the same files (footer
     only — no data scan); documents carry no timestamp columns, so no
     variant normalization is needed (contrast events in
-    streaming/events.py)."""
+    streaming/events.py). ``max_files_per_trigger`` bounds each
+    micro-batch (ingestion-rate control: one day's crawl drop = many
+    files = many bounded batches, not one giant one)."""
     batch = spark.read
     if path_glob:
         batch = batch.option("pathGlobFilter", path_glob)
@@ -106,4 +111,6 @@ def read_documents_stream(
     reader = spark.readStream.schema(schema)
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(source_dir)

@@ -322,3 +322,30 @@ def test_portable_simhash_identical_docs_hamming_zero(spark):
 
     rows = simhash_band_pairs_portable(df, "text", "doc_id").collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [(1, 2, 0)]
+
+
+def test_lsh_banding_plan_math():
+    """b x r == num_hashes, the false-negative target is honored when
+    feasible (maximizing r), the S-curve is monotone, and the
+    fallback picks the lowest-FN split when the target is infeasible."""
+    from big_data_tools_spark.operators.dedup import lsh_banding_plan
+
+    p = lsh_banding_plan(0.7, num_hashes=48, target_fn_rate=0.05)
+    assert p["bands"] * p["rows"] == 48
+    assert p["fn_rate_at_threshold"] <= 0.05
+    probs = list(p["curve"].values())
+    assert probs == sorted(probs)
+    # steeper than the repo's 16x3 default at the same threshold:
+    # (1 - 0.7^3)^16 ~ 0.0014 FN but a shallower curve; the plan
+    # prefers 12x4 (more confirm-work saved below threshold)
+    assert p["rows"] >= 3
+
+    # infeasible target: 4 hashes cannot reach 1e-6 FN at 0.9 --
+    # falls back to the split with the LOWEST fn rate
+    q = lsh_banding_plan(0.9, num_hashes=4, target_fn_rate=1e-6)
+    assert q["bands"] * q["rows"] == 4
+    best = min(
+        ((4 // r, r) for r in (1, 2, 4)),
+        key=lambda br: (1 - 0.9 ** br[1]) ** br[0],
+    )
+    assert (q["bands"], q["rows"]) == best

@@ -83,3 +83,44 @@ def test_cross_batch_dedup_and_replay_idempotence(spark, sf_smoke, tmp_path):
         .count().collect()
     }
     assert got_groups == want_groups
+
+
+def test_multi_batch_engine_drain_matches_single_batch(spark, sf_smoke, tmp_path):
+    """Two source files drained one-per-trigger through the ACTUAL
+    streaming engine: the final corpus must equal the one-shot drain's
+    at the content-group level (cross-batch dedup via the index), and
+    the index must record the later batch id."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    docs = load_table(spark, sf_smoke, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/f0")
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/f1")
+    flat = str(tmp_path / "flat")
+    spark.read.parquet(f"{src}/f0").coalesce(1).write.parquet(flat)
+    spark.read.parquet(f"{src}/f1").coalesce(1).write.mode("append").parquet(flat)
+
+    out = str(tmp_path / "multi")
+    q = corpus_ingest_sink(
+        read_documents_stream(spark, flat, max_files_per_trigger=1), out
+    )
+    q.awaitTermination()
+
+    single_out = str(tmp_path / "single")
+    q2 = corpus_ingest_sink(read_documents_stream(spark, flat), single_out)
+    q2.awaitTermination()
+
+    def groups(path):
+        return {
+            (r["source"], r["n_tok"], r["cnt"])
+            for r in spark.read.parquet(f"{path}/docs")
+            .groupBy("source", "n_tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    assert groups(out) == groups(single_out)
+    applied = (
+        spark.read.parquet(f"{out}/index").agg(F.max("applied_batch")).first()[0]
+    )
+    assert applied >= 1  # at least two micro-batches ran
