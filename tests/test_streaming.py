@@ -258,3 +258,21 @@ def test_rolling_dau_stream_plan_has_watermark(spark, events_dir):
 
     agg = rolling_dau_approx(read_events_stream(spark, events_dir))
     assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
+
+
+def test_rolling_dau_sketch_is_partitioning_independent(spark, sf_smoke):
+    """HLL register-max merge is commutative and idempotent, so the
+    sketch estimate must be identical under any input partitioning —
+    what makes the streaming and batch paths bit-comparable."""
+    from pyspark.sql import functions as F
+
+    from big_data_tools_spark.streaming.events import rolling_dau_approx
+
+    events = load_table(spark, sf_smoke, "events")
+    base = {tuple(r) for r in rolling_dau_approx(events).collect()}
+    shuffled = {
+        tuple(r)
+        for r in rolling_dau_approx(events.repartition(17, "event_type")).collect()
+    }
+    one_part = {tuple(r) for r in rolling_dau_approx(events.coalesce(1)).collect()}
+    assert base == shuffled == one_part
