@@ -45,6 +45,7 @@ def build_corpus(
     n_buckets: int = 16,
     split: bool = False,
     split_salt: str = "split-v1",
+    mixture_tau: float | None = None,
 ) -> dict:
     """Write ``out_dir/{documents,shards,manifest.json}``; returns the
     summary dict that also lands in manifest.json.
@@ -54,10 +55,30 @@ def build_corpus(
     plan (same construction as the oracle-checked
     ``leakage_safe_corpus_split``): duplicates can never straddle
     train and test, and the assignment is stable across re-ingestion
-    (portable md5 uniform on fp + ``split_salt``)."""
-    from ..operators.sampling import md5_uniform
+    (portable md5 uniform on fp + ``split_salt``).
+
+    ``mixture_tau`` applies temperature-based source rebalancing
+    (operators/sampling.py ``temperature_mixture_plan``, the XLM-R
+    recipe) between curation and packing: per-source keep rates come
+    from share^(1/tau) budgets (clamped — no upsampling), membership
+    is a deterministic doc-id hash, and the manifest records tau.
+    """
+    from ..operators.sampling import md5_uniform, temperature_mixture_plan
 
     kept = curated_documents(spark, sf_dir)
+    if mixture_tau is not None:
+        rates = temperature_mixture_plan(kept, "source", tau=mixture_tau).select(
+            "source",
+            F.least(F.col("target_n") / F.col("n_rows"), F.lit(1.0)).alias("__rate"),
+        )
+        kept = (
+            kept.join(F.broadcast(rates), "source")
+            .filter(
+                md5_uniform(F.col("doc_id"), salt=f"mix-{mixture_tau}")
+                <= F.col("__rate")
+            )
+            .drop("__rate")
+        )
     if split:
         u = md5_uniform(F.col("fp"), salt=split_salt)
         kept = kept.withColumn(
@@ -127,6 +148,8 @@ def build_corpus(
     if per_split is not None:
         summary["per_split"] = per_split
         summary["split_salt"] = split_salt
+    if mixture_tau is not None:
+        summary["mixture_tau"] = mixture_tau
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(summary, f, indent=2, sort_keys=True)
     return summary
@@ -145,6 +168,13 @@ def main(argv: list[str] | None = None) -> dict:
         help="add a leakage-safe content-keyed train/val/test column",
     )
     p.add_argument("--split-salt", default="split-v1")
+    p.add_argument(
+        "--mixture-tau",
+        type=float,
+        default=None,
+        help="temperature for source rebalancing (XLM-R recipe); omit to keep "
+        "the natural mixture",
+    )
     args = p.parse_args(argv)
 
     from ..session import get_spark
@@ -158,6 +188,7 @@ def main(argv: list[str] | None = None) -> dict:
         n_buckets=args.buckets,
         split=args.split,
         split_salt=args.split_salt,
+        mixture_tau=args.mixture_tau,
     )
     print(json.dumps(summary, sort_keys=True))
     return summary

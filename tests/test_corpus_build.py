@@ -131,3 +131,37 @@ def test_split_mode_is_leakage_safe_and_stable(spark, sf_smoke, tmp_path):
         .collect()
     }
     assert a == b
+
+
+def test_mixture_tau_flattens_sources_deterministically(spark, sf_smoke, tmp_path):
+    """--mixture-tau: per-source shares flatten toward uniform
+    (coefficient of variation strictly drops), no source grows, and
+    the deterministic hash makes rebuilds identical."""
+    import statistics
+
+    from big_data_tools_spark.pipeline.corpus_build import build_corpus
+
+    base = build_corpus(spark, sf_smoke, str(tmp_path / "nat"), budget=512, n_buckets=2)
+    mixed = build_corpus(
+        spark, sf_smoke, str(tmp_path / "mix"), budget=512, n_buckets=2,
+        mixture_tau=8.0,
+    )
+    assert mixed["mixture_tau"] == 8.0
+    nat = {s: v["n_docs"] for s, v in base["per_source"].items()}
+    mix = {s: v["n_docs"] for s, v in mixed["per_source"].items()}
+    assert set(mix) <= set(nat)
+    assert all(mix[s] <= nat[s] for s in mix)
+
+    def cv(counts):
+        vals = list(counts.values())
+        return statistics.pstdev(vals) / statistics.mean(vals)
+
+    # fill sources the mixture dropped entirely (if any) with 0
+    mix_full = {s: mix.get(s, 0) for s in nat}
+    assert cv(mix_full) < cv(nat) or cv(nat) < 0.02  # already near-uniform
+
+    again = build_corpus(
+        spark, sf_smoke, str(tmp_path / "mix2"), budget=512, n_buckets=2,
+        mixture_tau=8.0,
+    )
+    assert again["per_source"] == mixed["per_source"]
