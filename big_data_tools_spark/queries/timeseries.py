@@ -217,3 +217,51 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan-out also lands on up-to-6 ghost days past the last event)
     out = daily.join(rolling, "day").select("day", "dau", "dau_7d")
     return track_cache(out, du)
+
+
+@register(
+    "events_stickiness",
+    sql=None,  # SQL-expressible, but the 147-twin window sits at the
+    # 3-round-union capacity ceiling (ROUND4_NOTES "r5 rotation
+    # pre-plan"); the exact DuckDB comparison runs locally in
+    # tests/test_stickiness.py instead
+    doc="Monthly stickiness (avg daily active users / monthly active "
+    "users — the DAU/MAU engagement ratio): one pass dedups events to "
+    "(month, day, user) grain, from which BOTH distinct counts derive "
+    "— daily actives per day then averaged per month, and monthly "
+    "actives per month — joined back on the month key (the daily "
+    "frame is month-grain-tiny, broadcast). The raw event stream "
+    "shuffles once to the dedup grain; every later aggregate works "
+    "on <= |users x days| rows.",
+)
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track_cache
+
+    events = load_table(spark, sf_dir, "events")
+    mdu = (
+        events.select(
+            F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+            F.col("ts").cast("date").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .persist()
+    )
+    daily = (
+        mdu.groupBy("month", "day")
+        .agg(F.count_distinct("user_id").alias("dau"))
+        .groupBy("month")
+        .agg(F.round(F.avg("dau"), 4).alias("avg_dau"))
+    )
+    monthly = mdu.groupBy("month").agg(F.count_distinct("user_id").alias("mau"))
+    out = (
+        monthly.join(F.broadcast(daily), "month")
+        .select(
+            "month",
+            "mau",
+            "avg_dau",
+            F.round(F.col("avg_dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+    return track_cache(out, mdu)
