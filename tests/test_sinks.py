@@ -308,3 +308,25 @@ def test_read_parquet_evolving_merges_added_column(spark, sf_smoke, tmp_path_fac
     assert merged.count() == 2 * n
     assert merged.filter(F.col("channel").isNull()).count() == n
     assert merged.filter(F.col("channel") == "web").count() == n
+
+
+def test_compact_table_cli(spark, sf_smoke, tmp_path):
+    """tools/compact_table.py end to end: a 32-file mess compacts to
+    few files with rows preserved and layout stats reported."""
+    import json
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "mess")
+    load_table(spark, sf_smoke, "orders").repartition(32).write.parquet(src)
+    dest = str(tmp_path / "tidy")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "tools/compact_table.py", src, dest, "--target-mb", "64"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["before"]["n_files"] == 32
+    assert stats["after"]["n_files"] < 8
+    assert stats["rows"] == spark.read.parquet(src).count()
