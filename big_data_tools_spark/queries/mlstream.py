@@ -538,3 +538,34 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, variance_ratio double, cumulative double"
     )
+
+
+@register(
+    "embedding_cluster_silhouette",
+    sql=None,  # MLlib fits + silhouette; no SQL twin
+    doc="Silhouette sweep over IVF-style KMeans cluster counts "
+    "(k = 4, 8, 16): seeded fit + one ClusteringEvaluator pass per k "
+    "— with the PCA spectrum, the evidence for choosing n_clusters "
+    "before committing an IVF index or a SemDeDup bucketing to a "
+    "corpus (silhouette near 0 = clusters are a partitioning "
+    "convenience, not structure — fine for IVF routing, a warning "
+    "for semantic claims). Rows-only driver check; range/determinism "
+    "pinned in tests/test_ml_pipeline.py.",
+)
+def embedding_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.evaluation import ClusteringEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    ).persist()
+    rows = []
+    for k in (4, 8, 16):
+        model = KMeans(k=k, seed=7, maxIter=8, featuresCol="features").fit(emb)
+        sil = ClusteringEvaluator(featuresCol="features").evaluate(
+            model.transform(emb)
+        )
+        rows.append((k, round(float(sil), 6)))
+    emb.unpersist()
+    return spark.createDataFrame(rows, "k int, silhouette double")

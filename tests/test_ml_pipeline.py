@@ -164,3 +164,13 @@ def test_embedding_pca_variance_spectrum(spark, sf_smoke):
     assert rows[-1]["cumulative"] <= 1.0 + 1e-6
     again = get("embedding_pca_variance").fn(spark, sf_smoke).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_embedding_cluster_silhouette_sweep(spark, sf_smoke):
+    from big_data_tools_spark.queries import get
+
+    rows = get("embedding_cluster_silhouette").fn(spark, sf_smoke).collect()
+    assert [r["k"] for r in rows] == [4, 8, 16]
+    assert all(-1.0 <= r["silhouette"] <= 1.0 for r in rows)
+    again = get("embedding_cluster_silhouette").fn(spark, sf_smoke).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
