@@ -593,3 +593,69 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_band_pairs_portable(
         docs, "text", "doc_id", n=3, hamming_threshold=_SH_HAMMING
     )
+
+
+@register(
+    "dedup_tier_quality_report",
+    sql=None,  # composes seeded-hash tiers; the exact components are
+    # individually oracle-checked — this row is their measured
+    # precision/recall against the exact tier
+    doc="Empirical dedup tier-quality report: precision / recall / F1 "
+    "of each approximate tier's pair set against the EXACT >= 0.8 "
+    "Jaccard pairs — the measured counterpart to the analytic "
+    "lsh_banding_plan S-curve, and the evidence for the facade's "
+    "tier cost model. minhash hunts the same Jaccard truth "
+    "(precision ~1 by construction: candidates confirm exactly); "
+    "winnow and simhash measure DIFFERENT similarity notions "
+    "(shared-run coverage, hamming proximity), so their columns read "
+    "as overlap-with-Jaccard, not as errors. Each tier's pair set "
+    "computes independently and the per-tier counts reduce in one "
+    "union + grouped aggregate.",
+)
+def dedup_tier_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track_cache
+    from ..operators.dedup import (
+        jaccard_pairs,
+        minhash_band_pairs,
+        simhash64,
+        simhash_candidate_pairs,
+        winnow_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+        .select("id_a", "id_b")
+        .withColumn("in_exact", F.lit(1))
+        .persist()
+    )
+    tiers = {
+        "minhash": minhash_band_pairs(docs, "text", "doc_id", threshold=0.8).select(
+            "id_a", "id_b"
+        ),
+        "winnow": winnow_pairs(docs, "text", "doc_id").select("id_a", "id_b"),
+        "simhash": simhash_candidate_pairs(
+            simhash64(docs, "text", "doc_id"), max_hamming=6
+        ).select(F.col("id_a"), F.col("id_b")),
+    }
+    union = None
+    for name, pairs in tiers.items():
+        t = pairs.withColumn("tier", F.lit(name))
+        union = t if union is None else union.unionByName(t)
+    joined = union.join(exact, ["id_a", "id_b"], "left")
+    n_exact = exact.count()  # tiny guard-style scalar: |truth pairs|
+    per_tier = joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.coalesce(F.col("in_exact"), F.lit(0))).alias("tp"),
+    )
+    prec = F.col("tp") / F.greatest(F.col("n_pairs"), F.lit(1))
+    rec = F.col("tp") / F.lit(max(n_exact, 1))
+    out = per_tier.select(
+        "tier",
+        "n_pairs",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.round(prec, 4).alias("precision"),
+        F.round(rec, 4).alias("recall"),
+        F.round(2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12)), 4).alias("f1"),
+    ).orderBy("tier")
+    return track_cache(out, exact)

@@ -349,3 +349,21 @@ def test_lsh_banding_plan_math():
         key=lambda br: (1 - 0.9 ** br[1]) ** br[0],
     )
     assert (q["bands"], q["rows"]) == best
+
+
+def test_dedup_tier_quality_report(spark, sf_oracle):
+    """The measured tier report: minhash confirms candidates with
+    exact Jaccard so its precision is 1.0 and recall near-total; all
+    metrics stay in range; tiers with different similarity notions
+    (winnow coverage, simhash hamming) still report consistent
+    counts."""
+    from big_data_tools_spark.queries import get
+
+    rows = {r["tier"]: r for r in get("dedup_tier_quality_report").fn(spark, sf_oracle).collect()}
+    assert set(rows) == {"minhash", "winnow", "simhash"}
+    for r in rows.values():
+        assert 0 <= r["precision"] <= 1 and 0 <= r["recall"] <= 1
+        assert r["tp"] <= r["n_pairs"]
+    mh = rows["minhash"]
+    assert mh["precision"] == 1.0
+    assert mh["recall"] >= 0.9
