@@ -367,3 +367,24 @@ def test_dedup_tier_quality_report(spark, sf_oracle):
     mh = rows["minhash"]
     assert mh["precision"] == 1.0
     assert mh["recall"] >= 0.9
+
+
+def test_lsh_banding_plan_properties_random_sweep():
+    """Hypothesis-style sweep without Spark: over a grid of thresholds
+    and signature widths, the chosen split always factorizes, honors
+    the FN target when ANY split can, and the curve is monotone."""
+    from big_data_tools_spark.operators.dedup import lsh_banding_plan
+
+    for num_hashes in (16, 48, 64, 120):
+        for t in (0.3, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95):
+            p = lsh_banding_plan(t, num_hashes=num_hashes, target_fn_rate=0.05)
+            assert p["bands"] * p["rows"] == num_hashes
+            feasible = any(
+                (1 - t**r) ** (num_hashes // r) <= 0.05
+                for r in range(1, num_hashes + 1)
+                if num_hashes % r == 0
+            )
+            if feasible:
+                assert p["fn_rate_at_threshold"] <= 0.05, (num_hashes, t, p)
+            probs = list(p["curve"].values())
+            assert probs == sorted(probs)

@@ -73,3 +73,48 @@ def test_diff_validates_inputs(spark):
         snapshot_diff(old, new, keys=[])
     with pytest.raises(ValueError):
         snapshot_diff(old, new, keys=["id"], compare_cols=["nope"])
+
+
+def test_diff_tables_cli(spark, sf_smoke, tmp_path):
+    """tools/diff_tables.py end to end: deletions and updates triaged
+    with exact counts in the JSON summary."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from big_data_tools_spark.io.sources import load_table
+
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    o = load_table(spark, sf_smoke, "orders")
+    o.write.parquet(old_p)
+    (
+        o.filter(F.col("o_orderkey") % 10 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .write.parquet(new_p)
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable, "tools/diff_tables.py", old_p, new_p,
+            "--keys", "o_orderkey", "--compare", "o_totalprice,o_orderstatus",
+        ],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    s = json.loads(proc.stdout.strip().splitlines()[-1])
+    n = o.count()
+    assert s["n_deleted"] == o.filter(F.col("o_orderkey") % 10 == 0).count()
+    assert s["n_updated"] == o.filter(
+        (F.col("o_orderkey") % 10 != 0) & (F.col("o_orderkey") % 7 == 0)
+    ).count()
+    assert s["n_inserted"] == 0
+    assert s["n_changed_o_orderstatus"] == 0
+    assert s["n_changed_o_totalprice"] == s["n_updated"]
