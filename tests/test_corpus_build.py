@@ -165,3 +165,27 @@ def test_mixture_tau_flattens_sources_deterministically(spark, sf_smoke, tmp_pat
         mixture_tau=8.0,
     )
     assert again["per_source"] == mixed["per_source"]
+
+
+def test_run_query_cli(tmp_path):
+    """tools/run_query.py: --list shows the registry and a query runs
+    through the real entrypoint."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    listing = subprocess.run(
+        [sys.executable, "tools/run_query.py", "--list"],
+        capture_output=True, text=True, timeout=120, cwd=repo,
+    )
+    assert listing.returncode == 0
+    assert " * pricing_summary" in listing.stdout
+    run = subprocess.run(
+        [
+            sys.executable, "tools/run_query.py", "pricing_summary",
+            "--sf-dir", "/root/testdata/sf0.001",
+        ],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    assert "rows total" in run.stdout
