@@ -55,14 +55,71 @@ def get(name: str) -> QuerySpec:
 
 # The driver's correctness gate checks the FIRST 50 entries of
 # ``queries()``. The window ROTATES each round (tests/test_rotation.py
-# enforces it against checked_rounds.json): round 4 drains the nine
-# pending_r3 analytics twins, re-rows the 33 r1-era twins that would
-# otherwise fall out of the 3-round union (their last driver row was
-# round 1), and seats the 8 new round-4 twins. Everything past the
-# window was driver-green in r1-r3 and still runs against the same
+# enforces it against checked_rounds.json): round 5 drains the ten
+# pending_r4 flagship twins (PageRank, triangles, bucketed join,
+# leakage-safe split, incremental-ingest dedup, novelty, seasonality,
+# Pareto, PSI, referential integrity) and re-rows the 40 twins whose
+# last window was the lost-artifact r3 round. Everything past the
+# window was driver-rowed in r1/r2/r4 and still runs against the same
 # DuckDB oracle in tests/test_oracle_parity.py at every round.
 _PRIORITY = [
-    # -- pending_r3 drain: 3e analytics twins (test_rotation enforces) --
+    # -- round-5 window: the 50 twins absent from the r3/r4 windows --
+    # (tools/update_checked_rounds.py --plan computed this set; it
+    # includes the full pending_r4 drain. test_rotation enforces the
+    # 3-round union invariant, so all 50 slots are mandatory.)
+    "benchmark_contamination",
+    "boilerplate_ngrams",
+    "bucketed_revenue_join",  # pending_r4 drain
+    "copurchase_triangles",  # pending_r4 drain
+    "corpus_ngram_novelty",  # pending_r4 drain
+    "custkey_overlap_setops",
+    "customer_revenue_pareto",  # pending_r4 drain
+    "customer_scd2_merge",
+    "customers_without_orders",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_exact_docs",
+    "dedup_incremental_ingest",  # pending_r4 drain
+    "dedup_jaccard_pairs",
+    "dedup_winnow_pairs",
+    "doc_chunk_windows",
+    "doc_quality_by_source",
+    "doc_repetition_by_source",
+    "embedding_label_stats",
+    "event_funnel",
+    "event_sessions_builtin",
+    "events_multires_rollup",
+    "events_props_extract",
+    "fillna_policy",
+    "hours_parse",
+    "knn_cosine_brute",
+    "lang_id_confusion",
+    "leakage_safe_corpus_split",  # pending_r4 drain
+    "lineitem_metric_unpivot",
+    "map_literal_parse",
+    "monthly_revenue_seasonality",  # pending_r4 drain
+    "null_audit_orders",
+    "order_rollup_flagship",
+    "orders_price_psi",  # pending_r4 drain
+    "part_copurchase_pagerank",  # pending_r4 drain
+    "part_like_filter",
+    "pretraining_corpus_pipeline",
+    "purchase_click_window",
+    "purchase_last_click_asof",
+    "referential_integrity_audit",  # pending_r4 drain
+    "regional_revenue",
+    "salted_status_rollup",
+    "segment_pivot",
+    "source_mixture_plan",
+    "status_recode_operator",
+    "string_date_parse",
+    "tfidf_top_terms",
+    "token_shard_packing",
+    "user_value_hourly_ffill",
+    "waiting_supplier_lines",
+    # ---- window boundary (50) ----
+    # past-window: driver-rowed in r1/r2/r4, still oracle-checked
+    # locally by tests/test_oracle_parity.py every round.
     "customer_rfm_segments",
     "documents_temperature_mixture",
     "event_transition_matrix",
@@ -72,7 +129,6 @@ _PRIORITY = [
     "purchase_decay_attribution",
     "signup_retention_cohorts",
     "user_value_anomalies",
-  # -- r1-era twins at the 3-round union limit (must re-row in r4) --
     "pricing_summary",
     "priority_recode",
     "sentinel_audit_orders",
@@ -106,21 +162,14 @@ _PRIORITY = [
     "doc_token_stats",
     "doc_fingerprints",
     "doc_bpe_token_estimate",
-  # -- round-4 additions --
-    "events_rolling_dau",  # exact sliding 7-day distinct users, bounded fan-out
-    "orders_incremental_rollup",  # mergeable-state rollup maintenance
-    "gdpr_erasure_cascade",  # right-to-erasure cascade audit
-    "dedup_canonical_docs",  # survivor selection -> deduped corpus manifest
-    "dedup_cluster_size_spectrum",  # duplication spectrum report
-    "source_overlap_matrix",  # cross-source duplicate overlap
-    "vocab_oov_rate",  # top-V vocabulary OOV audit
-    "token_skipgram_counts",  # zero-join skip-gram co-occurrence
-    # ---- window boundary (50) ----
-    # (bucketed_revenue_join rides pending_r4: the 50 slots are
-    # saturated by the pending_r3 drain + the 33 r1-era twins
-    # hitting the 3-round union limit + 8 round-4 twins.)
-    "bucketed_revenue_join",  # zero-exchange bucketed layout join (pending r5 window)
-    # past-window: driver-green in r1-r3, still oracle-checked locally
+    "events_rolling_dau",
+    "orders_incremental_rollup",
+    "gdpr_erasure_cascade",
+    "dedup_canonical_docs",
+    "dedup_cluster_size_spectrum",
+    "source_overlap_matrix",
+    "vocab_oov_rate",
+    "token_skipgram_counts",
     "small_qty_part_revenue",
     "top_volume_orders",
     "top_revenue_supplier",
@@ -171,41 +220,7 @@ _PRIORITY = [
     "dedup_simhash_portable",
     "orders_pit_segment_revenue",
     "documents_weighted_sample",
-    "event_sessions_builtin",
     "streaming_segment_revenue",
-    "order_rollup_flagship",
-    "customer_scd2_merge",
-    "dedup_components",
-    "purchase_last_click_asof",
-    "tfidf_top_terms",
-    "dedup_jaccard_pairs",
-    "pretraining_corpus_pipeline",
-    "benchmark_contamination",
-    "doc_chunk_windows",
-    "purchase_click_window",
-    "events_multires_rollup",
-    "token_shard_packing",
-    "part_like_filter",
-    "null_audit_orders",
-    "segment_pivot",
-    "custkey_overlap_setops",
-    "status_recode_operator",
-    "string_date_parse",
-    "events_props_extract",
-    "lineitem_metric_unpivot",
-    "fillna_policy",
-    "hours_parse",
-    "map_literal_parse",
-    "salted_status_rollup",
-    "event_funnel",
-    "user_value_hourly_ffill",
-    "dedup_exact_docs",
-    "dedup_embedding_cosine",
-    "dedup_winnow_pairs",
-    "boilerplate_ngrams",
-    "waiting_supplier_lines",
-    "embedding_label_stats",
-    "knn_cosine_brute",
     "doc_length_quantiles_approx",
     "dedup_minhash_pairs",
     "dedup_semantic_groups",
@@ -216,10 +231,6 @@ _PRIORITY = [
     "streaming_sessions",
     "streaming_attribution",
     "yelp_basetable",
-    "doc_quality_by_source",
-    "lang_id_confusion",
-    "regional_revenue",
-    "customers_without_orders",
 ]
 
 

@@ -16,11 +16,37 @@ the live registry so the manifest cannot go stale).
 from __future__ import annotations
 
 import json
+import re
+import subprocess
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 WINDOW = 50
+
+
+def require_prior_artifacts(round_key: str) -> None:
+    """Refuse to append round N's window unless round N-1's driver
+    CORRECTNESS artifact is tracked in git (r2 VERDICT lost
+    CORRECTNESS_r03.json forever because it was never committed).
+    The previous round may legitimately have no artifact only if the
+    driver never produced one — require an explicit override then."""
+    n = int(re.sub(r"\D", "", round_key))
+    if n <= 1 or "--force" in sys.argv:
+        return
+    prev = f"CORRECTNESS_r{n - 1:02d}.json"
+    tracked = subprocess.run(
+        ["git", "ls-files", "--error-unmatch", prev],
+        cwd=REPO,
+        capture_output=True,
+    )
+    if tracked.returncode != 0:
+        sys.exit(
+            f"REFUSING to record {round_key}: {prev} is not git-tracked. "
+            f"`git add {prev} BENCH_r{n - 1:02d}.json` first (driver "
+            "artifacts must be committed the moment they land), or pass "
+            "--force if the driver genuinely produced none."
+        )
 
 
 def current_window() -> list[str]:
@@ -44,6 +70,7 @@ def main(round_key: str) -> None:
     new twins). A pending twin is allowed to wait ONE round;
     tests/test_rotation.py fails if it appears in two consecutive
     pending lists without ever being windowed."""
+    require_prior_artifacts(round_key)
     path = REPO / "checked_rounds.json"
     data = json.loads(path.read_text()) if path.exists() else {}
     data[round_key] = current_window()
