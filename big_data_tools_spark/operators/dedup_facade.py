@@ -133,9 +133,11 @@ def dedup(
         if output == "groups":
             return semantic_dedup_groups(df, id_col=id_col, vec_col=vec_col, **tier_kwargs)
         if output == "survivors":
+            # semantic_dedup_groups returns (id_col, keep_id), not the
+            # raw components schema — map to the survivor-ranker contract
             members = semantic_dedup_groups(
                 df, id_col=id_col, vec_col=vec_col, **tier_kwargs
-            ).select(F.col("node").alias("id"), F.col("component_id").alias("group_key"))
+            ).select(F.col(id_col).alias("id"), F.col("keep_id").alias("group_key"))
             return _rank_survivors(members, df, id_col, quality_col)
         return semantic_dedup_pairs(df, id_col=id_col, vec_col=vec_col, **tier_kwargs)
 

@@ -336,17 +336,15 @@ def ml_cv_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "replay idempotence asserted in tests/test_streaming.py.",
 )
 def streaming_upsert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
     import tempfile
 
     from ..streaming.events import read_events_stream
     from ..streaming.upsert import read_rollup, upsert_rollup_sink
 
-    # fresh table per run: dynamic overwrite never DROPS partitions for
-    # keys absent from the current input, so a stale dir from a prior
-    # run over different data would leak rows into the result
-    out = tempfile.gettempdir() + "/bdt_upsert_rollup_q"
-    shutil.rmtree(out, ignore_errors=True)
+    # fresh PRIVATE table per run (mkdtemp): dynamic overwrite never
+    # DROPS partitions for keys absent from the current input, and a
+    # shared fixed path would let concurrent runs corrupt each other
+    out = tempfile.mkdtemp(prefix="bdt_upsert_rollup_")
     stream = read_events_stream(spark, sf_dir, path_glob="events.parquet")
     q = upsert_rollup_sink(stream, out, query_name="bdt_upsert_rollup_q")
     q.awaitTermination()
@@ -402,15 +400,14 @@ def streaming_ingest_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and replay idempotence asserted in tests/test_streaming.py.",
 )
 def streaming_stateless_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
     import tempfile
 
     from ..operators.incremental import finish_rollup
     from ..streaming.events import read_events_stream
     from ..streaming.upsert import read_rollup, stateless_rollup_sink
 
-    out = tempfile.gettempdir() + "/bdt_stateless_rollup_q"
-    shutil.rmtree(out, ignore_errors=True)
+    # private dir per run so concurrent sessions can't share state
+    out = tempfile.mkdtemp(prefix="bdt_stateless_rollup_")
     stream = read_events_stream(spark, sf_dir, path_glob="events.parquet")
     q = stateless_rollup_sink(stream, out, keys=["event_type"], query_name="bdt_stateless_rollup_q")
     q.awaitTermination()

@@ -165,6 +165,39 @@ def test_survivors_output_pair_tier_picks_best_per_closure(spark):
     assert by_keep[2]["keep_quality"] == 50
 
 
+def test_survivors_output_semantic_tier(spark):
+    """ADVICE r4: the semantic tier's survivors path selected columns
+    from the raw components schema instead of semantic_dedup_groups'
+    (id, keep_id) output and raised UNRESOLVED_COLUMN — pin the mapping
+    with a fixture where the duplicate group is unambiguous."""
+    from big_data_tools_spark.operators.dedup_facade import dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 10),
+        (2, [0.999, 0.001, 0.0], 50),  # near-duplicate of 1
+        (3, [0.0, 1.0, 0.0], 7),  # orthogonal singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, q int")
+    out = dedup(
+        df,
+        tier="semantic",
+        id_col="vec_id",
+        output="survivors",
+        quality_col="q",
+        threshold=0.95,
+        n_clusters=2,
+        fit_sample_cap=None,
+    ).collect()
+    assert set(r[0] for r in out[:0]) == set()  # schema sanity below
+    assert out and out[0].asDict().keys() == {
+        "group_key", "group_size", "keep_id", "keep_quality",
+    }
+    by_keep = {r["keep_id"]: r for r in out}
+    # 1 and 2 group (cosine ~0.999); quality 50 wins the survivor rank
+    assert 2 in by_keep and by_keep[2]["group_size"] == 2
+    assert by_keep[2]["keep_quality"] == 50
+
+
 def test_survivors_requires_quality_col(spark, sf_smoke):
     import pytest
 

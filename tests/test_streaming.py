@@ -199,17 +199,19 @@ def test_stateless_rollup_equals_batch_and_replays_idempotently(spark, sf_smoke,
     )
     assert got == want
 
-    # replay: call the merge function again with an already-applied id
-    from big_data_tools_spark.streaming.upsert import read_rollup
+    # replay: drain the sink twice into the SAME private table path —
+    # the second drain restarts batch ids at 0, which the applied-batch
+    # ledger must treat as already-merged (idempotent at-least-once)
+    import tempfile
 
-    out = __import__("tempfile").gettempdir() + "/bdt_stateless_rollup_q"
-    before = sorted(map(tuple, read_rollup(spark, out).collect()))
-    # manufacture a replay by re-running the whole drained query with
-    # the same (fresh) checkpoint-less availableNow drain on the same
-    # table path: batch id restarts at 0 which is <= applied ledger
     from big_data_tools_spark.streaming.events import read_events_stream
-    from big_data_tools_spark.streaming.upsert import stateless_rollup_sink
+    from big_data_tools_spark.streaming.upsert import read_rollup, stateless_rollup_sink
 
+    out = tempfile.mkdtemp(prefix="bdt_stateless_replay_")
+    stream = read_events_stream(spark, sf_smoke, path_glob="events.parquet")
+    q = stateless_rollup_sink(stream, out, keys=["event_type"], query_name="bdt_stateless_first")
+    q.awaitTermination()
+    before = sorted(map(tuple, read_rollup(spark, out).collect()))
     stream = read_events_stream(spark, sf_smoke, path_glob="events.parquet")
     q = stateless_rollup_sink(stream, out, keys=["event_type"], query_name="bdt_stateless_replay")
     q.awaitTermination()
