@@ -80,6 +80,101 @@ def pagerank(edges: DataFrame, iterations: int) -> DataFrame:
     return ranks
 
 
+def pagerank_trace(edges: DataFrame, iterations: int) -> DataFrame:
+    """Convergence telemetry for :func:`pagerank` (r4 VERDICT ask #8:
+    fixed-k runs gave no evidence k was enough): one row per iteration
+    with the rank movement vs the previous iteration —
+
+    - ``l1_delta_e9``: Σ_v floor(|rank_i(v) - rank_{i-1}(v)| * 1e9),
+      the total L1 movement in nano-rank units;
+    - ``max_delta_e9``: the largest single-node movement, same units.
+
+    Per-node deltas are quantized to int64 BEFORE summing (the same
+    engine-exactness trick as the contribution loop — double sums are
+    order-dependent in final ulps, int64 sums are exact), so a DuckDB
+    twin unrolling the same iterations hash-matches exactly. Size
+    ``iterations`` by reading the tail: when l1 stops dropping by
+    ~an order of magnitude per round, extra rounds buy nothing.
+
+    Each iteration's rank frame is persisted (the trace joins
+    consecutive frames, which would otherwise recompute the whole
+    prefix per delta — O(k^2) joins); caller releases via the returned
+    frame's tracked caches (operators/cache.track_cache)."""
+    from .cache import track_cache
+
+    ranks = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(1.0).alias("rank"))
+        .persist()
+    )
+    kept = [ranks]
+    traces = []
+    for i in range(1, iterations + 1):
+        prev = ranks
+        contrib = edges.join(prev, edges.src == prev.node).select(
+            F.col("dst"),
+            F.floor(F.col("rank") * F.col("p") * F.lit(float(_QUANT)))
+            .cast("bigint")
+            .alias("c"),
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(
+                (
+                    F.lit(1.0 - DAMPING)
+                    + F.lit(DAMPING)
+                    * (F.sum("c").cast("double") / F.lit(float(_QUANT)))
+                ).alias("rank")
+            )
+            .select(F.col("dst").alias("node"), "rank")
+            .persist()
+        )
+        kept.append(ranks)
+        # alias both sides: ranks derives from prev, and an unaliased
+        # ancestor self-join trips AMBIGUOUS_SELF_JOIN resolution
+        a, b = ranks.alias("a"), prev.alias("b")
+        d = F.floor(
+            F.abs(F.col("a.rank") - F.col("b.rank")) * F.lit(1e9)
+        ).cast("bigint")
+        traces.append(
+            a.join(b, F.col("a.node") == F.col("b.node"))
+            .select(d.alias("d"))
+            .agg(
+                F.sum("d").alias("l1_delta_e9"),
+                F.max("d").alias("max_delta_e9"),
+            )
+            .select(
+                F.lit(i).cast("int").alias("iteration"),
+                "l1_delta_e9",
+                "max_delta_e9",
+            )
+        )
+    out = traces[0]
+    for t in traces[1:]:
+        out = out.unionByName(t)
+    return track_cache(out, *kept)
+
+
+def pagerank_trace_sql(edges_cte: str, iterations: int) -> str:
+    """DuckDB twin of :func:`pagerank_trace`: reuses the unrolled
+    ``pr{k}`` CTEs and adds one delta CTE per step; the caller appends
+    ``SELECT * FROM trace``."""
+    prefix = pagerank_iteration_sql(edges_cte, iterations)
+    deltas = []
+    for i in range(1, iterations + 1):
+        deltas.append(
+            f"d{i} AS (SELECT {i} AS iteration, "
+            f"CAST(sum(CAST(floor(abs(a.rank - b.rank) * 1e9) AS BIGINT)) AS BIGINT)"
+            f" AS l1_delta_e9, "
+            f"CAST(max(CAST(floor(abs(a.rank - b.rank) * 1e9) AS BIGINT)) AS BIGINT)"
+            f" AS max_delta_e9 "
+            f"FROM pr{i} a JOIN pr{i - 1} b ON a.node = b.node)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM d{i}" for i in range(1, iterations + 1))
+    return prefix + ",\n" + ",\n".join(deltas) + f",\ntrace AS ({union})\n"
+
+
 def pagerank_iteration_sql(
     edges_cte: str, iterations: int, node_alias: str = "node"
 ) -> str:

@@ -39,7 +39,9 @@ def stratified_hash_sample(
         *[x for k, v in fractions.items() for x in (F.lit(k), F.lit(float(v)))]
     )
     bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(_BUCKETS))
-    thresh = (frac_map.getItem(F.col(strata_col)) * _BUCKETS).cast("long")
+    # element_at, not getItem: a Column key to getItem is deprecated
+    # since Spark 3.0 (FutureWarning); both return NULL on missing keys
+    thresh = (F.element_at(frac_map, F.col(strata_col)) * _BUCKETS).cast("long")
     return df.filter(bucket < F.coalesce(thresh, F.lit(0)))
 
 

@@ -16,7 +16,13 @@ from pyspark.sql import functions as F
 
 from ..io.sources import load_table
 from ..operators.cache import track_cache
-from ..operators.pagerank import pagerank, pagerank_iteration_sql, transition_edges
+from ..operators.communities import lpa_trace_sql
+from ..operators.pagerank import (
+    pagerank,
+    pagerank_iteration_sql,
+    pagerank_trace_sql,
+    transition_edges,
+)
 from .registry import register
 
 _PR_ITERS = 5
@@ -43,6 +49,25 @@ _EDGES_CTE = """baskets AS (
     )"""
 
 
+def _copurchase_transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-normalized symmetrized co-purchase edges, partitioned on
+    src and persisted (shared by the PageRank query and its trace)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges0 = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
+    ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"))
+    return transition_edges(edges0).repartition("src").persist()
+
+
 @register(
     "part_copurchase_pagerank",
     sql=pagerank_iteration_sql(_EDGES_CTE, _PR_ITERS)
@@ -63,20 +88,7 @@ _EDGES_CTE = """baskets AS (
     "the DuckDB twin's unrolled iterations hash-match bit-for-bit.",
 )
 def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = baskets.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = baskets.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    edges0 = pairs.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
-    ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"))
-    edges = transition_edges(edges0).repartition("src").persist()
+    edges = _copurchase_transition_edges(spark, sf_dir)
     ranks = pagerank(edges, _PR_ITERS)
     out = (
         ranks.select(F.col("node").alias("l_partkey"), "rank")
@@ -84,6 +96,67 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PR_TOPK)
     )
     return track_cache(out, edges)
+
+
+@register(
+    "pagerank_convergence_trace",
+    sql=pagerank_trace_sql(_EDGES_CTE, _PR_ITERS) + "SELECT * FROM trace",
+    doc=f"Convergence telemetry for the fixed-k PageRank (r4 VERDICT "
+    "ask #8: a fixed iteration count carried no evidence k was "
+    "enough): per-iteration total and max rank movement in quantized "
+    "nano-rank units, so a user sizes `iterations` from the measured "
+    "tail instead of guessing. Per-node deltas are int64-quantized "
+    "before summing (order-independent exact arithmetic), so the "
+    f"DuckDB twin's {_PR_ITERS} unrolled delta CTEs hash-match "
+    "bit-for-bit. Same 2-shuffle-per-iteration plan as the ranking "
+    "query; each iteration's rank frame persists once and the trace "
+    "joins consecutive frames (O(k) joins, not O(k^2) recompute).",
+)
+def pagerank_convergence_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import pagerank_trace
+
+    edges = _copurchase_transition_edges(spark, sf_dir)
+    return track_cache(pagerank_trace(edges, _PR_ITERS), edges)
+
+
+_LPA_EDGES_CTE = """baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM baskets a
+        JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey <> b.l_partkey
+    )"""
+
+
+@register(
+    "lpa_convergence_trace",
+    sql=lpa_trace_sql(_LPA_EDGES_CTE, 5) + "SELECT * FROM trace",
+    doc="Convergence telemetry for the deterministic 5-round label "
+    "propagation (r4 VERDICT ask #8): per-round labels_changed and "
+    "surviving community count — labels_changed hitting 0 means the "
+    "fixpoint arrived and further rounds are wasted shuffles. All "
+    "integer counts, so the DuckDB twin (row_number argmax unrolled "
+    "per round — the same (count desc, label asc) total order the "
+    "max_by aggregate encodes) hash-matches exactly. This also gives "
+    "the previously rows-only LPA family its first hard oracle "
+    "signal on the real co-purchase graph.",
+)
+def lpa_convergence_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.communities import label_propagation_trace
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") != F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    edges = und.repartition("dst").persist()
+    return track_cache(label_propagation_trace(edges, 5), edges)
 
 
 _TRI_EDGES_CTE = """baskets AS (

@@ -99,3 +99,27 @@ def test_leakage_safe_split_never_straddles(spark, sf_smoke):
     total = docs.count()
     by_split = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert 0.7 < by_split.get("train", 0) / total < 0.9
+
+
+def test_pagerank_trace_movement_decays(spark):
+    """Convergence telemetry on a small fixture: total rank movement
+    must decay monotonically (damped fixpoint iteration on a connected
+    graph), max <= l1, and iterations are 1..k exactly."""
+    from big_data_tools_spark.operators.pagerank import (
+        pagerank_trace,
+        transition_edges,
+    )
+
+    und = [(1, 2, 1), (2, 3, 1), (3, 1, 1), (3, 4, 2), (4, 1, 1)]
+    rows = [(a, b, w) for a, b, w in und] + [(b, a, w) for a, b, w in und]
+    edges = transition_edges(
+        spark.createDataFrame(rows, "src long, dst long, w long")
+    ).persist()
+    trace = {r["iteration"]: r for r in pagerank_trace(edges, 4).collect()}
+    assert set(trace) == {1, 2, 3, 4}
+    l1 = [trace[i]["l1_delta_e9"] for i in (1, 2, 3, 4)]
+    assert l1 == sorted(l1, reverse=True), l1
+    assert l1[-1] < l1[0] / 3  # 4 damped rounds shed most of the movement
+    for i in (1, 2, 3, 4):
+        assert 0 <= trace[i]["max_delta_e9"] <= trace[i]["l1_delta_e9"]
+    edges.unpersist()
