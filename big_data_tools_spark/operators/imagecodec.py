@@ -237,6 +237,101 @@ def decode_mp4_duration(data: bytes) -> float:
     return duration / timescale
 
 
+def encode_mp4_video(
+    frames: list[bytes], fps: float = 1.0, timescale: int = 1000
+) -> bytes:
+    """ISO-BMFF container with REAL frame payloads: each sample is an
+    independently-coded PNG (the motion-JPEG layout, with PNG as the
+    intra codec so the whole path stays pure-stdlib). Real box
+    hierarchy — ``moov/mvhd`` (duration = n_frames/fps),
+    ``moov/trak/mdia/minf/stbl`` holding a real ``stts`` (one run of
+    n_frames samples at timescale/fps ticks) and ``stsz`` (per-sample
+    byte sizes), and a top-level ``mdat`` with the concatenated
+    samples. :func:`decode_mp4_duration` still reads these containers
+    unchanged; :func:`decode_mp4_video` walks the sample table and
+    returns every decoded frame."""
+    if not frames:
+        raise ValueError("encode_mp4_video needs at least one frame")
+    delta = int(round(timescale / fps))
+    duration = len(frames) * delta
+    mvhd = struct.pack(
+        ">BBBBIIII", 0, 0, 0, 0, 0, 0, timescale, duration
+    ) + b"\x00" * 80
+    stts = struct.pack(">BBBBIII", 0, 0, 0, 0, 1, len(frames), delta)
+    stsz = struct.pack(">BBBBII", 0, 0, 0, 0, 0, len(frames)) + b"".join(
+        struct.pack(">I", len(f)) for f in frames
+    )
+    stbl = _mp4_box(b"stts", stts) + _mp4_box(b"stsz", stsz)
+    trak = _mp4_box(b"trak", _mp4_box(b"mdia", _mp4_box(b"minf", _mp4_box(b"stbl", stbl))))
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + trak)
+    mdat = _mp4_box(b"mdat", b"".join(frames))
+    return _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov + mdat
+
+
+def _walk_box(buf: bytes, want: bytes) -> bytes | None:
+    pos = 0
+    while pos + 8 <= len(buf):
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        if size < 8:
+            break
+        if tag == want:
+            return buf[pos + 8 : pos + size]
+        pos += size
+    return None
+
+
+def decode_mp4_video(data: bytes) -> list[tuple[float, bytes]]:
+    """Real frame extraction from an :func:`encode_mp4_video`
+    container: walks ``moov/trak/mdia/minf/stbl`` for the ``stts``
+    timestamps and ``stsz`` sample sizes, slices ``mdat`` into the
+    per-sample payloads, and returns ``[(ts_sec, sample_bytes), ...]``
+    in decode order. Raises ``ValueError`` on containers without a
+    sample table (metadata-only headers) — callers decide whether
+    that's an error or a skip."""
+    moov = _walk_box(data, b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    mvhd = _walk_box(moov, b"mvhd")
+    if mvhd is None:
+        raise ValueError("no mvhd box")
+    timescale = struct.unpack(">I", mvhd[12:16])[0] if mvhd[0] == 0 else struct.unpack(">I", mvhd[20:24])[0]
+    stbl = None
+    trak = _walk_box(moov, b"trak")
+    if trak is not None:
+        mdia = _walk_box(trak, b"mdia")
+        minf = _walk_box(mdia, b"minf") if mdia is not None else None
+        stbl = _walk_box(minf, b"stbl") if minf is not None else None
+    mdat = _walk_box(data, b"mdat")
+    if stbl is None or mdat is None:
+        raise ValueError("container has no sample table (metadata-only header)")
+    stts = _walk_box(stbl, b"stts")
+    stsz = _walk_box(stbl, b"stsz")
+    if stts is None or stsz is None:
+        raise ValueError("incomplete sample table")
+    # stts: runs of (count, delta) -> absolute decode timestamps
+    (n_runs,) = struct.unpack(">I", stts[4:8])
+    ts, t = [], 0
+    off = 8
+    for _ in range(n_runs):
+        count, delta = struct.unpack(">II", stts[off : off + 8])
+        off += 8
+        for _ in range(count):
+            ts.append(t / timescale)
+            t += delta
+    uniform, n_samples = struct.unpack(">II", stsz[4:12])
+    sizes = (
+        [uniform] * n_samples
+        if uniform
+        else list(struct.unpack(f">{n_samples}I", stsz[12 : 12 + 4 * n_samples]))
+    )
+    out, pos = [], 0
+    for i, size in enumerate(sizes):
+        out.append((ts[i] if i < len(ts) else 0.0, mdat[pos : pos + size]))
+        pos += size
+    return out
+
+
 # ------------------------------------------------------------- dimension sniff
 def image_dimensions(data: bytes) -> tuple[str, int, int] | None:
     """(format, width, height) from the header alone — PNG, GIF, BMP,

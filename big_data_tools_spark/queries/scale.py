@@ -104,9 +104,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_video_frames",
     sql=None,  # Arrow mapInPandas 1->N fan-out; not SQL-expressible
     doc="Multimodal frame sampling (§2.11): video rows fan out to one "
-    "row per sampled frame inside the Arrow batch (the flatMap shape "
-    "real decoders need); decode deterministically stubbed. Rows-only "
-    "driver check; fan-out counts pinned in tests/test_multimodal.py.",
+    "row per sampled frame inside the Arrow batch, with REAL payload "
+    "decode as of round 5 — the container's stts/stsz/mdat sample "
+    "table picks the latest PNG sample per instant and the decoded "
+    "pixels produce width/height/px_mean (codec coverage is "
+    "PNG-in-BMFF; H.264 would need an external decoder). Rows-only "
+    "driver check; fan-out counts and exact pixel payloads pinned in "
+    "tests/test_multimodal.py.",
 )
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_fake_media, sample_video_frames

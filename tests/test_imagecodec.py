@@ -124,3 +124,42 @@ def test_image_dimensions_sniffers():
     jpeg = b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 33, 44) + b"\x00" * 6
     assert image_dimensions(jpeg) == ("jpeg", 44, 33)
     assert image_dimensions(b"plain text") is None
+
+
+def test_mp4_video_roundtrip_real_sample_table():
+    """encode_mp4_video/decode_mp4_video: genuine stts/stsz/mdat boxes
+    round-trip every frame payload and timestamp, and the mvhd
+    duration equals n_frames/fps for the legacy duration reader."""
+    from big_data_tools_spark.operators.imagecodec import (
+        decode_mp4_duration,
+        decode_mp4_video,
+        decode_png,
+        encode_mp4_video,
+        encode_png,
+    )
+
+    frames = [
+        encode_png(2, 2, bytes((i * 31 + k) % 256 for k in range(12)), channels=3)
+        for i in range(5)
+    ]
+    data = encode_mp4_video(frames, fps=2.0)
+    assert decode_mp4_duration(data) == 2.5  # 5 frames at 2 fps
+    samples = decode_mp4_video(data)
+    assert [t for t, _ in samples] == [0.0, 0.5, 1.0, 1.5, 2.0]
+    for i, (_, payload) in enumerate(samples):
+        assert payload == frames[i]
+        w, h, ch, px = decode_png(payload)
+        assert (w, h, ch) == (2, 2, 3)
+        assert px == bytes((i * 31 + k) % 256 for k in range(12))
+
+
+def test_mp4_video_decode_rejects_metadata_only():
+    import pytest
+
+    from big_data_tools_spark.operators.imagecodec import (
+        decode_mp4_video,
+        encode_mp4_header,
+    )
+
+    with pytest.raises(ValueError, match="sample table"):
+        decode_mp4_video(encode_mp4_header(4.0))

@@ -61,14 +61,56 @@ def test_extract_features_real_decoded_values(media_df):
     assert rows == again
 
 
-def test_video_frame_payloads_clearly_stubbed(media_df):
-    """Frame payload decode is the one remaining stub: the eager raise
-    documents it; extract's video features degrade to metadata-only
-    and raise executor-side when stubs are disallowed."""
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(media_df, allow_stub=False)
-    with pytest.raises(Exception, match="H.264"):
-        extract_media_features(media_df, allow_stub=False).collect()
+def test_video_frame_payloads_decode_real_pixels(media_df):
+    """Round 5: frame payloads are REAL — every sampled frame is a
+    decodable PNG whose pixels match the fixture formula exactly, and
+    metadata-only containers (no sample table) raise by default."""
+    from big_data_tools_spark.operators.multimodal import (
+        _FRAME_H,
+        _FRAME_W,
+        _synth_frame_png,
+    )
+
+    rows = sample_video_frames(media_df, every_n_seconds=2.0).collect()
+    assert rows
+    for r in rows:
+        w, h, ch, px = decode_png(bytes(r["frame"]))
+        assert (w, h, ch) == (_FRAME_W, _FRAME_H, 3)
+        assert (r["width"], r["height"]) == (w, h)
+        # sampling at t=2i with 1 fps frames picks source frame 2i,
+        # clamped to the last frame when t reaches the mvhd duration
+        n_frames = int(r["doc_id"]) % 30 + 1
+        src_frame_idx = min(2 * r["frame_idx"], n_frames - 1)
+        expect = decode_png(_synth_frame_png(int(r["doc_id"]), src_frame_idx))[3]
+        assert px == expect
+        assert r["px_mean"] == pytest.approx(
+            sum(expect) / len(expect)
+        )
+
+    # a metadata-only container (legacy header, no stbl/mdat) raises
+    # unless stubs are explicitly allowed
+    from big_data_tools_spark.operators.imagecodec import encode_mp4_header
+    from big_data_tools_spark.operators.multimodal import MEDIA_META_SCHEMA
+    from pyspark.sql import functions as F, types as T
+
+    spark = media_df.sparkSession
+    legacy = spark.createDataFrame(
+        [(1, bytearray(encode_mp4_header(3.0)), ("video/mp4", "synthetic://1", 0))],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+                T.StructField("media_meta", MEDIA_META_SCHEMA),
+            ]
+        ),
+    )
+    with pytest.raises(Exception, match="sample table"):
+        sample_video_frames(legacy).collect()
+    assert sample_video_frames(legacy, allow_stub=True).collect() == []
+    with pytest.raises(Exception, match="sample table"):
+        extract_media_features(legacy).collect()
+    degraded = extract_media_features(legacy, allow_stub=True).collect()
+    assert len(degraded) == 1 and degraded[0]["duration_sec"] == pytest.approx(3.0)
 
 
 def test_resize_images_real_decode_and_resample(spark, sf_smoke):
@@ -108,13 +150,11 @@ def test_sample_video_frames_fan_out_from_real_duration(spark, sf_smoke):
         # frame count comes from the REAL decoded mvhd duration
         duration = vid["doc_id"] % 30 + 1
         assert len(per_doc[vid["doc_id"]]) == int(duration / 2.0) + 1
-    # frame 0 is the unrotated payload
+    # frame 0 is the decoded first PNG sample of its container
+    from big_data_tools_spark.operators.multimodal import _synth_frame_png
+
     f0 = [r for r in rows if r["frame_idx"] == 0][0]
-    src = {
-        r["doc_id"]: bytes(r["content"])
-        for r in media.select("doc_id", "content").collect()
-    }
-    assert bytes(f0["frame"]) == src[f0["doc_id"]]
+    assert bytes(f0["frame"]) == _synth_frame_png(int(f0["doc_id"]), 0)
 
 
 def test_resample_audio_preserves_duration_and_values(spark):
