@@ -45,13 +45,18 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iterations):
+        # shuffle-hash pinned: both sides are O(V+E) frames, so an AQE
+        # broadcast promotion (stats under-estimate after the agg) is a
+        # driver-OOM hazard at scale — observed live on the sf1 pair
+        # graph, where 10x duplicate multiplication grows the edge set
+        # ~100x past what the optimizer expects
         neigh = (
-            edges.join(labels, edges.b == labels.node)
+            edges.join(labels.hint("shuffle_hash"), edges.b == labels.node)
             .groupBy("a")
             .agg(F.min("comp").alias("ncomp"))
         )
         proposed = (
-            labels.join(neigh, labels.node == neigh.a, "left")
+            labels.join(neigh.hint("shuffle_hash"), labels.node == neigh.a, "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),

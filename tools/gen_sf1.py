@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Generate a local sf1 dataset (~6M lineitem rows) for the scaling
+curve's next decade (r4 VERDICT ask #7).
+
+/root/testdata is read-only and the driver only ships sf<=0.1, so sf1
+is synthesized here by 10x replication of sf0.1 with key remapping:
+copy k shifts every primary/foreign key by k * stride (stride = one
+past the table's max key), which preserves per-key frequency
+histograms, join fan-outs, and value distributions while growing
+distinct-key cardinalities 10x — the properties the scaling
+measurement exercises. Dimension tables (region, nation) stay fixed,
+like real star schemas at scale.
+
+Documents and embeddings get a per-copy DISSIMILARITY transform, not
+raw replication: copy k rotates each document's word sequence left by
+k (intra-copy near-dup/exact-dup structure is preserved — similar
+texts stay similar under the same rotation — while cross-copy shingle
+overlap collapses), and flips a k-dependent sign mask over embedding
+components (cross-copy cosine collapses, intra-copy geometry is
+isometric). Raw replication instead multiplies every duplicate group
+10x, which grows pair graphs ~100x per decade — a duplicate bomb, not
+a bigger corpus; it OOMed the components fixpoint's driver before the
+shuffle-hash pin in operators/components.py.
+
+Writes /root/repo/testdata_sf1/*.parquet (gitignored). Idempotent:
+skips tables that already exist unless --force.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+DEST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "testdata_sf1")
+COPIES = 10
+
+# table -> {column: stride_source_table}; a column shifts by
+# k * (max(key of its source table) + 1) in copy k
+REMAP = {
+    "region": {},
+    "nation": {},
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "events": {"event_id": "events", "user_id": "events_user"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+
+KEY_OF = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "events_user": "user_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def main() -> None:
+    force = "--force" in sys.argv
+    os.makedirs(DEST, exist_ok=True)
+    con = duckdb.connect()
+    strides: dict[str, int] = {}
+    for name, key in KEY_OF.items():
+        table = "events" if name == "events_user" else name
+        strides[name] = (
+            con.execute(
+                f"SELECT max({key}) + 1 FROM read_parquet('{SRC}/{table}.parquet')"
+            ).fetchone()[0]
+        )
+    for table, remap in REMAP.items():
+        out = f"{DEST}/{table}.parquet"
+        if os.path.exists(out) and not force:
+            print(f"skip {table} (exists)")
+            continue
+        if not remap:  # fixed dimension: copy once
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{SRC}/{table}.parquet')) "
+                f"TO '{out}' (FORMAT PARQUET)"
+            )
+            print(f"wrote {table} (dim, 1 copy)")
+            continue
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{table}.parquet')"
+            ).fetchall()
+        ]
+
+        def expr(c: str) -> str:
+            if c in remap:
+                return f"({c} + k.k * {strides[remap[c]]}) AS {c}"
+            if table == "documents" and c == "text":
+                # rotate the word sequence left by k (copy 0 = original)
+                return (
+                    "CASE WHEN len(string_split(text, ' ')) <= 1 THEN text "
+                    "ELSE array_to_string("
+                    "string_split(text, ' ')[(k.k % len(string_split(text, ' '))) + 1:] "
+                    "|| string_split(text, ' ')[1:(k.k % len(string_split(text, ' ')))], "
+                    "' ') END AS text"
+                )
+            if table == "documents" and c == "n_chars":
+                return "n_chars"  # same words, joined by single spaces
+            if table == "embeddings" and c == "embedding":
+                # k-dependent sign mask: intra-copy geometry isometric,
+                # cross-copy cosine collapses (k=0 = identity)
+                return (
+                    "list_transform(embedding, "
+                    "(x, i) -> CASE WHEN k.k > 0 AND (i + k.k) % (k.k + 1) = 0 "
+                    "THEN -x ELSE x END) AS embedding"
+                )
+            return c
+
+        select = ", ".join(expr(c) for c in cols)
+        con.execute(
+            f"COPY (SELECT {select} "
+            f"FROM read_parquet('{SRC}/{table}.parquet') "
+            f"CROSS JOIN (SELECT unnest(range({COPIES})) AS k) k) "
+            f"TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE 122880)"
+        )
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
+        print(f"wrote {table}: {n} rows ({COPIES} remapped copies)")
+
+
+if __name__ == "__main__":
+    main()
