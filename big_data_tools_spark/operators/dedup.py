@@ -113,8 +113,18 @@ def jaccard_pairs(
     raw_idx = idx = shingle_index(df, text_col, id_col, n, hashed=True).persist()
     if max_doc_freq is not None:
         freq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        # shuffle-hash pinned: the shingle-df table is O(distinct
+        # shingles) — corpus-sized, never broadcastable at scale (an
+        # AQE broadcast promotion of it OOMed the driver on the sf1
+        # run), and the join's shingle exchange is reused by the
+        # posting-list groupBy below anyway
         idx = (
-            idx.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
+            idx.join(
+                freq.filter(F.col("df") <= max_doc_freq)
+                .select("shingle")
+                .hint("shuffle_hash"),
+                "shingle",
+            )
         ).persist()
     sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
 
