@@ -148,9 +148,13 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
+    # build the (small, per-doc) size side with shuffle-hash: left to
+    # itself the optimizer broadcast the CANDIDATE-PAIR side off a
+    # stale post-aggregation estimate — O(candidate pairs) is the one
+    # frame here that must never broadcast (driver OOM at sf1)
     jac = (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        common.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),

@@ -104,13 +104,18 @@ def main() -> None:
             if c in remap:
                 return f"({c} + k.k * {strides[remap[c]]}) AS {c}"
             if table == "documents" and c == "text":
-                # rotate the word sequence left by k (copy 0 = original)
+                # copy k deals the word sequence into k+1 piles (copy 0
+                # = original). NOT a rotation: rotations preserve the
+                # circular n-gram multiset, so rotated copies stayed
+                # near-dup cliques and the pair graph still grew ~100x;
+                # the stride permutation destroys local word order, so
+                # cross-copy shingle overlap actually collapses while
+                # same-copy similar docs stay similar (same permutation)
                 return (
-                    "CASE WHEN len(string_split(text, ' ')) <= 1 THEN text "
-                    "ELSE array_to_string("
-                    "string_split(text, ' ')[(k.k % len(string_split(text, ' '))) + 1:] "
-                    "|| string_split(text, ' ')[1:(k.k % len(string_split(text, ' ')))], "
-                    "' ') END AS text"
+                    "CASE WHEN k.k = 0 THEN text ELSE array_to_string("
+                    "flatten(list_transform(range(0, k.k + 1), "
+                    "j -> list_filter(string_split(text, ' '), "
+                    "(w, i) -> (i - 1) % (k.k + 1) = j))), ' ') END AS text"
                 )
             if table == "documents" and c == "n_chars":
                 return "n_chars"  # same words, joined by single spaces
