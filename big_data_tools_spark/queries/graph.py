@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..io.sources import load_table
 from ..operators.cache import track_cache
 from ..operators.communities import lpa_trace_sql
+from ..operators.kcore import kcore_trace_sql
 from ..operators.pagerank import (
     pagerank,
     pagerank_iteration_sql,
@@ -300,3 +301,55 @@ def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return track_cache(out, edges)
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+_KCORE_MIN_W = 2
+
+_KCORE_EDGES_CTE = f"""baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), und AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM baskets a
+        JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {_KCORE_MIN_W}
+    )"""
+
+
+@register(
+    "copurchase_kcore_peel",
+    sql=kcore_trace_sql(_KCORE_EDGES_CTE, _KCORE_K, _KCORE_ROUNDS)
+    + "SELECT * FROM trace",
+    doc=f"k-core decomposition ({_KCORE_K}-core, {_KCORE_ROUNDS} "
+    "synchronous peel rounds) of the REPEAT-co-purchase graph (parts "
+    f"bought together in >= {_KCORE_MIN_W} orders — the single-"
+    "co-occurrence graph is near-complete on this data, so the "
+    "repeat graph is where density structure lives). Each round "
+    "deletes every node whose degree dropped below k and keeps only "
+    "edges between survivors; the emitted per-round trace (n_nodes, "
+    "n_edges, n_removed) is the convergence telemetry — n_removed "
+    "hitting 0 means the survivors ARE the k-core (operators/"
+    "kcore.py; 3 hash shuffles per round on a monotonically "
+    "shrinking edge list, no driver sync). Integer-only, so the "
+    "DuckDB twin's unrolled MATERIALIZED round CTEs hash-match "
+    "bit-for-bit.",
+)
+def copurchase_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kcore import kcore_peel_trace
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("b"))
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _KCORE_MIN_W)
+        .select("a", "b")
+    )
+    return kcore_peel_trace(und, _KCORE_K, _KCORE_ROUNDS)

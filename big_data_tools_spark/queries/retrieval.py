@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.agg import dmean, sql_dmean
+from ..operators.sampling import sql_md5_uniform
 from ..io.sources import load_table
 from ..operators.text import token_count, tokens
 from .registry import register
@@ -345,3 +346,154 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(
         _RRF_TOPK
     )
+
+
+_SB_ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007)
+_SB_TRAIN_FRAC = 0.7
+_SB_SALT = "lm"
+
+
+@register(
+    "doc_bigram_backoff_nll",
+    sql=f"""
+    WITH fdocs AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS fl,
+               {sql_md5_uniform('CAST(doc_id AS VARCHAR)', _SB_SALT)} AS u
+        FROM documents
+    ), train_toks AS (
+        SELECT unnest(fl) AS w FROM fdocs WHERE u <= {_SB_TRAIN_FRAC}
+    ), uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM train_toks GROUP BY w
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT w) AS BIGINT) AS v
+        FROM train_toks
+    ), train_bg AS (
+        SELECT unnest(fl[1:len(fl) - 1]) AS w1,
+               unnest(fl[2:len(fl)]) AS w2
+        FROM fdocs WHERE u <= {_SB_TRAIN_FRAC}
+    ), bi AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM train_bg GROUP BY w1, w2
+    ), score_bg AS (
+        SELECT doc_id, lang,
+               unnest(fl[1:len(fl) - 1]) AS w1,
+               unnest(fl[2:len(fl)]) AS w2
+        FROM fdocs WHERE u > {_SB_TRAIN_FRAC}
+    ), scored AS (
+        SELECT s.doc_id, s.lang,
+               CASE WHEN bi.c12 IS NOT NULL
+                    THEN CAST(bi.c12 AS DOUBLE) / u1.c1
+                    ELSE {_SB_ALPHA} * (CAST(coalesce(u2.c1, 0) + 1 AS DOUBLE)
+                                        / (stats.n + stats.v))
+               END AS p,
+               CASE WHEN bi.c12 IS NULL THEN 1 ELSE 0 END AS backoff
+        FROM score_bg s
+        LEFT JOIN bi ON s.w1 = bi.w1 AND s.w2 = bi.w2
+        LEFT JOIN uni u1 ON s.w1 = u1.w
+        LEFT JOIN uni u2 ON s.w2 = u2.w
+        CROSS JOIN stats
+    ), per_doc AS (
+        SELECT doc_id, lang,
+               round(CAST(sum(CAST(round(-ln(p), 6) AS DECIMAL(28,8)))
+                          AS DOUBLE) / count(*), 6) AS nll,
+               CAST(count(*) AS BIGINT) AS nb,
+               CAST(sum(backoff) AS BIGINT) AS nbo
+        FROM scored GROUP BY doc_id, lang
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nb) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(nbo) AS DOUBLE) / sum(nb), 6) AS backoff_rate,
+           {sql_dmean('nll', 3)} AS avg_nll
+    FROM per_doc GROUP BY lang
+    """,
+    doc="Bigram language-model quality scoring with STUPID BACKOFF "
+    "(Brants et al. 2007, 'Large Language Models in Machine "
+    "Translation' — the web-scale LM score: S(w2|w1) = c(w1 w2)/c(w1) "
+    "if the bigram was seen, else 0.4 * add-one-smoothed unigram). "
+    "The LM trains on a deterministic md5 70% document split and "
+    "scores the held-out 30% — so the backoff path actually "
+    "exercises (scoring the training corpus would never back off), "
+    "and the emitted per-language backoff_rate doubles as an "
+    "out-of-vocabulary drift diagnostic next to the avg_nll quality "
+    "signal. Scale shape: the unigram model is vocab-bounded and "
+    "broadcast; the bigram model can outgrow a broadcast, so the "
+    "scoring join SHUFFLES on the (w1, w2) key — combiner-friendly "
+    "counts on both sides, no all-pairs step; bigram extraction is "
+    "pure array slicing inside the row (no self-join, unlike the "
+    "oracle's positional form). Float policy: ln() quantized per "
+    "token then decimal-summed (functions/agg.py).",
+)
+def doc_bigram_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import md5_uniform
+
+    d = load_table(spark, sf_dir, "documents")
+    fl = F.filter(tokens(F.col("text")), lambda x: x != "")
+    fdocs = d.select(
+        "doc_id",
+        "lang",
+        fl.alias("fl"),
+        md5_uniform(F.col("doc_id").cast("string"), _SB_SALT).alias("u"),
+    ).persist()
+    train = fdocs.filter(F.col("u") <= _SB_TRAIN_FRAC)
+    train_toks = train.select(F.explode("fl").alias("w"))
+    uni = train_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    stats = train_toks.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("w").alias("v")
+    )
+
+    def _bigrams(df: DataFrame, *extra: str) -> DataFrame:
+        pair = F.explode(
+            F.arrays_zip(
+                F.slice(F.col("fl"), 1, F.greatest(F.size("fl") - 1, F.lit(0))).alias("w1"),
+                F.slice(F.col("fl"), 2, F.greatest(F.size("fl") - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("bg")
+        return df.select(*extra, pair).select(
+            *extra, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+
+    bi = _bigrams(train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    score_bg = _bigrams(fdocs.filter(F.col("u") > _SB_TRAIN_FRAC), "doc_id", "lang")
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2"))
+    scored = (
+        score_bg.join(bi, ["w1", "w2"], "left")  # shuffle join: bigram model
+        .join(F.broadcast(u1), "w1", "left")
+        .join(F.broadcast(u2), "w2", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(
+                F.col("c12").isNotNull(),
+                F.col("c12").cast("double") / F.col("c1_w1"),
+            )
+            .otherwise(
+                F.lit(_SB_ALPHA)
+                * ((F.coalesce(F.col("c1_w2"), F.lit(0)) + 1).cast("double")
+                   / (F.col("n") + F.col("v")))
+            )
+            .alias("p"),
+            F.when(F.col("c12").isNull(), 1).otherwise(0).alias("backoff"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.sum(F.round(-F.log("p"), 6).cast("decimal(28,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("nll"),
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("backoff").alias("nbo"),
+    )
+    out = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nb").alias("n_bigrams"),
+        F.round(F.sum("nbo").cast("double") / F.sum("nb"), 6).alias("backoff_rate"),
+        dmean(F.col("nll"), 3).alias("avg_nll"),
+    )
+    from ..operators.cache import track_cache
+
+    return track_cache(out, fdocs)

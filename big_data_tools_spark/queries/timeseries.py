@@ -265,3 +265,125 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("month")
     )
     return track_cache(out, mdu)
+
+
+_CUSUM_K = 0.5   # slack (in std units) — shifts smaller than k/2 are ignored
+_CUSUM_H = 5.0   # alarm threshold (std units), the classic (k, h) pairing
+
+
+@register(
+    "daily_revenue_cusum",
+    sql=f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS y
+        FROM orders GROUP BY 1
+    ), stats AS (
+        SELECT count(*) AS n,
+               CAST(sum(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(round(y * y, 4) AS DECIMAL(38,8))) AS DOUBLE) AS s2
+        FROM daily
+    ), z AS (
+        SELECT row_number() OVER (ORDER BY day) AS rn, day,
+               round((y - s1 / n)
+                     / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z
+        FROM daily CROSS JOIN stats
+    ), c AS (
+        SELECT rn, day, z,
+               round(greatest(0, z - {_CUSUM_K}), 6) AS sp,
+               round(greatest(0, -z - {_CUSUM_K}), 6) AS sn
+        FROM z WHERE rn = 1
+        UNION ALL
+        SELECT d.rn, d.day, d.z,
+               round(greatest(0, c.sp + d.z - {_CUSUM_K}), 6),
+               round(greatest(0, c.sn - d.z - {_CUSUM_K}), 6)
+        FROM c JOIN z d ON d.rn = c.rn + 1
+    )
+    SELECT day, z AS zscore, sp AS cusum_pos, sn AS cusum_neg,
+           CAST(CASE WHEN sp > {_CUSUM_H} OR sn > {_CUSUM_H}
+                THEN 1 ELSE 0 END AS INTEGER) AS alarm
+    FROM c
+    """,
+    doc="CUSUM changepoint detection (Page 1954, 'Continuous "
+    "inspection schemes') on the daily revenue series: standardized "
+    "one-sided cumulative sums s+ = max(0, s+ + z - k), s- = max(0, "
+    "s- - z - k) with the classic (k=0.5, h=5) parameters — the "
+    "sequential mean-shift detector a pipeline runs on ingest-volume "
+    "/ quality-metric series, catching slow drifts that per-point "
+    "z-score anomaly checks (user_value_anomalies) miss. Scale "
+    "split: the fact table reduces DISTRIBUTED to day grain (exact "
+    "decimal sums; the series is ~2.4k rows at any SF), then the "
+    "inherently-sequential recurrence folds inside ONE row via "
+    "F.aggregate over the array_sort-ed series — no driver loop, no "
+    "UDF, deterministic order. Each step re-quantizes to 6 decimals, "
+    "so the DuckDB twin's recursive CTE reproduces the recurrence "
+    "bit-for-bit. Emits the full per-day trace (z, s+, s-, alarm) — "
+    "the alarm days are the changepoints.",
+)
+def daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("y")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(28,2)")).cast("double").alias("s1"),
+        F.sum(F.round(F.col("y") * F.col("y"), 4).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    z = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        F.round(
+            (F.col("y") - F.col("s1") / F.col("n"))
+            / F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            6,
+        ).alias("z"),
+    )
+    series = z.agg(F.array_sort(F.collect_list(F.struct("day", "z"))).alias("s"))
+    k = float(_CUSUM_K)
+    init = F.struct(
+        F.lit(0.0).alias("sp"),
+        F.lit(0.0).alias("sn"),
+        F.array().cast(
+            "array<struct<day:date,z:double,sp:double,sn:double>>"
+        ).alias("out"),
+    )
+
+    def _step(acc, x):
+        sp = F.round(F.greatest(F.lit(0.0), acc["sp"] + x["z"] - F.lit(k)), 6)
+        sn = F.round(F.greatest(F.lit(0.0), acc["sn"] - x["z"] - F.lit(k)), 6)
+        row = F.struct(
+            x["day"].alias("day"),
+            x["z"].alias("z"),
+            sp.alias("sp"),
+            sn.alias("sn"),
+        )
+        return F.struct(
+            sp.alias("sp"),
+            sn.alias("sn"),
+            F.concat(acc["out"], F.array(row)).alias("out"),
+        )
+
+    folded = series.select(
+        F.explode(F.aggregate(F.col("s"), init, _step)["out"]).alias("r")
+    )
+    return folded.select(
+        F.col("r.day").alias("day"),
+        F.col("r.z").alias("zscore"),
+        F.col("r.sp").alias("cusum_pos"),
+        F.col("r.sn").alias("cusum_neg"),
+        F.when(
+            (F.col("r.sp") > _CUSUM_H) | (F.col("r.sn") > _CUSUM_H), 1
+        )
+        .otherwise(0)
+        .alias("alarm"),
+    )
