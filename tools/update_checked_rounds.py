@@ -6,7 +6,11 @@ signal is decided by ``registry._PRIORITY`` ordering. To make window
 rotation a mechanical invariant instead of a per-round judgement call,
 this manifest records the checked window of every committed round;
 ``tests/test_rotation.py`` fails the build if any oracle twin would go
-3 consecutive rounds without a driver row.
+``CADENCE`` (4 as of round 5) consecutive rounds without a driver row.
+The cadence moved from 3 to 4 in round 5 when the twin count hit the
+3-round capacity ceiling (see tests/test_rotation.py module doc); the
+per-round LOCAL_PARITY artifact (tools/local_parity.py) is the
+compensating every-round hard signal.
 
 Usage: ``python tools/update_checked_rounds.py r3`` (run whenever
 ``_PRIORITY`` changes; the test also verifies the latest entry matches
@@ -23,6 +27,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 WINDOW = 50
+CADENCE = 4  # keep in sync with tests/test_rotation.py
 
 
 def require_prior_artifacts(round_key: str) -> None:
@@ -89,17 +94,19 @@ def main(round_key: str) -> None:
 
 def plan_next() -> None:
     """Print the twins the NEXT round's window MUST seat: everything
-    absent from the last two committed windows (the 3-round union
-    invariant makes those mandatory once a new round is appended) —
-    the pending queue is a subset by construction. Run this at round
-    start before editing ``_PRIORITY``."""
+    absent from the last ``CADENCE - 1`` committed windows (the
+    CADENCE-round union invariant makes those mandatory once a new
+    round is appended) — the pending queue is a subset by
+    construction. Run this at round start before editing
+    ``_PRIORITY``; free slots go to never-windowed rows-only queries
+    (r4 VERDICT ask #4), 2-3 per round."""
     data = json.loads((REPO / "checked_rounds.json").read_text())
     rounds = sorted(
         (k for k in data if not k.startswith("pending_")),
         key=lambda k: int("".join(c for c in k if c.isdigit())),
     )
-    last2 = set().union(*(data[k] for k in rounds[-2:]))
-    must = sorted(t for t in all_twins() if t not in last2)
+    recent = set().union(*(data[k] for k in rounds[-(CADENCE - 1):]))
+    must = sorted(t for t in all_twins() if t not in recent)
     free = WINDOW - len(must)
     print(f"after {rounds[-1]}: {len(must)} twins MUST be in the next window "
           f"({free} free slots):")
