@@ -56,9 +56,13 @@ def kcore_peel_trace(und: DataFrame, k: int, rounds: int) -> DataFrame:
     - ``n_nodes``: nodes surviving the round (degree >= k against the
       round's incoming edge set);
     - ``n_edges``: edges with both endpoints surviving;
-    - ``n_removed``: nodes peeled this round (0 => converged: the
-      surviving subgraph IS the k-core and further rounds are wasted
-      shuffles).
+    - ``n_removed``: nodes LOST from the surviving set this round —
+      previous round's ``n_nodes`` minus this round's (round 1
+      baselines against the distinct endpoints of the input). This
+      counts stranded nodes (survivors whose last edge vanished and
+      who therefore no longer appear as endpoints) in the round they
+      disappear, so 0 really means converged: the surviving subgraph
+      IS the k-core and further rounds are wasted shuffles.
 
     Each round's shrunken edge frame is eagerly localCheckpoint-ed:
     a round references the previous round's frame THREE times (degree
@@ -77,6 +81,7 @@ def kcore_peel_trace(und: DataFrame, k: int, rounds: int) -> DataFrame:
         raise ValueError(f"need rounds >= 1, got {rounds}")
     cur = und.localCheckpoint(eager=True)
     traces = []
+    prev_nodes = _degrees(cur).select("node")
     for i in range(1, rounds + 1):
         deg = _degrees(cur)
         surv = deg.filter(F.col("d") >= k).select("node").localCheckpoint(eager=True)
@@ -86,7 +91,7 @@ def kcore_peel_trace(und: DataFrame, k: int, rounds: int) -> DataFrame:
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
-        n_before = deg.agg(F.count(F.lit(1)).alias("nb"))
+        n_before = prev_nodes.agg(F.count(F.lit(1)).alias("nb"))
         n_nodes = surv.agg(F.count(F.lit(1)).alias("n_nodes"))
         n_edges = nxt.agg(F.count(F.lit(1)).alias("n_edges"))
         traces.append(
@@ -100,6 +105,7 @@ def kcore_peel_trace(und: DataFrame, k: int, rounds: int) -> DataFrame:
             )
         )
         cur = nxt
+        prev_nodes = surv
     out = traces[0]
     for t in traces[1:]:
         out = out.unionByName(t)
@@ -127,11 +133,16 @@ def kcore_trace_sql(und_cte: str, k: int, rounds: int) -> str:
             f"WHERE a IN (SELECT node FROM s{i}) "
             f"AND b IN (SELECT node FROM s{i}))"
         )
+        # baseline for n_removed: round 1 uses the input's distinct
+        # endpoints (d1), later rounds the previous surviving set —
+        # so stranded zero-degree survivors count in the round they
+        # disappear (they are no longer endpoints, so d_i misses them)
+        prev = "d1" if i == 1 else f"s{i - 1}"
         steps.append(
             f"t{i} AS (SELECT {i} AS round, "
             f"(SELECT count(*) FROM s{i}) AS n_nodes, "
             f"(SELECT count(*) FROM e{i}) AS n_edges, "
-            f"(SELECT count(*) FROM d{i}) - (SELECT count(*) FROM s{i})"
+            f"(SELECT count(*) FROM {prev}) - (SELECT count(*) FROM s{i})"
             f" AS n_removed)"
         )
     union = " UNION ALL ".join(f"SELECT * FROM t{i}" for i in range(1, rounds + 1))

@@ -493,9 +493,46 @@ _HOLT_HORIZON = 3
 
 @register(
     "monthly_revenue_forecast",
-    sql=None,  # the fold is sequential by construction (level/trend
-    # recurrence); pinned against a pure-Python replication in
-    # tests/test_forecast.py instead of a SQL twin
+    # promoted from rows-only to a full twin when the cadence moved to
+    # 4 rounds (tests/test_rotation.py): each fold step re-quantizes
+    # level and trend to 6 decimals (the daily_revenue_cusum recipe),
+    # so a recursive CTE replays the recurrence bit-for-bit; the
+    # pure-Python replication in tests/test_forecast.py still pins it
+    # a third way.
+    sql=f"""
+    WITH RECURSIVE m AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS y
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT month, y, row_number() OVER (ORDER BY month) AS rn FROM m
+    ), nn AS (SELECT max(rn) AS mx FROM s),
+    rec AS (
+        SELECT 1 AS rn,
+               (SELECT y FROM s WHERE rn = 1) AS l,
+               round((SELECT y FROM s WHERE rn = 2)
+                     - (SELECT y FROM s WHERE rn = 1), 6) AS b
+        UNION ALL
+        SELECT r.rn + 1,
+               round(CAST({_HOLT_ALPHA!r} AS DOUBLE) * sy.y
+                     + CAST({1 - _HOLT_ALPHA!r} AS DOUBLE) * (r.l + r.b), 6),
+               round(CAST({_HOLT_BETA!r} AS DOUBLE)
+                     * (round(CAST({_HOLT_ALPHA!r} AS DOUBLE) * sy.y
+                              + CAST({1 - _HOLT_ALPHA!r} AS DOUBLE)
+                                * (r.l + r.b), 6) - r.l)
+                     + CAST({1 - _HOLT_BETA!r} AS DOUBLE) * r.b, 6)
+        FROM rec r JOIN s sy ON sy.rn = r.rn + 1
+    ), fin AS (
+        SELECT l, b FROM rec, nn WHERE rn = nn.mx
+    ), last AS (
+        SELECT month FROM s, nn WHERE rn = nn.mx
+    )
+    SELECT CAST(last.month + to_months(CAST(h AS INTEGER)) AS DATE) AS month,
+           round(fin.l + h * fin.b, 2) AS forecast
+    FROM fin, last,
+         (SELECT unnest(range(1, {_HOLT_HORIZON} + 1)) AS h) hs
+    """,
     doc="Holt linear-trend forecast (double exponential smoothing, "
     "alpha=0.5 beta=0.3) of monthly revenue, 3 months ahead. The "
     "recurrence is inherently sequential, but the SERIES is tiny "
@@ -503,7 +540,9 @@ _HOLT_HORIZON = 3
     "shuffle to month grain, then the fold runs as a single "
     "F.aggregate lambda over the array_sort-ed (month, revenue) "
     "array inside ONE row — no driver loop, no UDF, deterministic "
-    "fold order. Emits (month, forecast) rows via sequence-explode.",
+    "fold order, level/trend re-quantized each step so the DuckDB "
+    "recursive-CTE twin hash-matches. Emits (month, forecast) rows "
+    "via sequence-explode.",
 )
 def monthly_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -518,12 +557,16 @@ def monthly_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = _HOLT_ALPHA, _HOLT_BETA
     first = F.element_at(F.col("s"), 1)["y"]
     second = F.element_at(F.col("s"), 2)["y"]
-    init = F.struct(first.alias("l"), (second - first).alias("b"))
+    init = F.struct(first.alias("l"), F.round(second - first, 6).alias("b"))
     rest = F.slice(F.col("s"), 2, F.greatest(F.size("s") - 1, F.lit(0)))
 
     def _step(acc, x):
-        new_l = F.lit(a) * x["y"] + F.lit(1 - a) * (acc["l"] + acc["b"])
-        new_b = F.lit(b) * (new_l - acc["l"]) + F.lit(1 - b) * acc["b"]
+        new_l = F.round(
+            F.lit(a) * x["y"] + F.lit(1 - a) * (acc["l"] + acc["b"]), 6
+        )
+        new_b = F.round(
+            F.lit(b) * (new_l - acc["l"]) + F.lit(1 - b) * acc["b"], 6
+        )
         return F.struct(new_l.alias("l"), new_b.alias("b"))
 
     folded = agged.select(

@@ -401,3 +401,95 @@ def bpe_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join/groupBy wrappers — re-tag the query's return frame so the
     # caller's release_caches frees the vocab
     return track_cache(out, encoded)
+
+
+_ZIPF_TOP = 500  # head ranks used for the log-log fit
+
+
+@register(
+    "corpus_zipf_fit",
+    sql=f"""
+    WITH words AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ), counts AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq
+        FROM words WHERE w <> '' GROUP BY w
+    ), head AS (
+        SELECT freq, row_number() OVER (ORDER BY freq DESC, w ASC) AS rnk
+        FROM counts ORDER BY freq DESC, w ASC LIMIT {_ZIPF_TOP}
+    ), pts AS (
+        SELECT round(ln(CAST(rnk AS DOUBLE)), 6) AS x,
+               round(ln(CAST(freq AS DOUBLE)), 6) AS y
+        FROM head
+    ), sums AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(round(x * y, 8) AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(round(x * x, 8) AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(round(y * y, 8) AS DECIMAL(28,10))) AS DOUBLE) AS syy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+               AS zipf_intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM sums
+    """,
+    doc="Zipf's-law fit over the corpus vocabulary: OLS of ln(freq) "
+    "on ln(rank) for the top-500 ranks — slope near -1 is the "
+    "natural-language signature (Zipf 1949; Piantadosi 2014 review), "
+    "and deviation flags synthetic/templated/boilerplate corpora, "
+    "making this a one-row corpus-health check next to "
+    "doc_quality_by_source. Scale shape: one token explode + grouped "
+    "count (map-side combine) reduce the corpus to vocab grain; the "
+    "head selection is a bounded TakeOrdered (freq desc, token asc "
+    "total order, engine-identical at the cut), and the closed-form "
+    "OLS runs over 500 quantized log-points via the exact "
+    "decimal-sum policy (functions/agg.py) so both engines compute "
+    "identical sums, identical slope bits, identical rounding.",
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    head = counts.orderBy(F.desc("freq"), F.asc("w")).limit(_ZIPF_TOP)
+    w = Window.orderBy(F.desc("freq"), F.asc("w"))
+    pts = head.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 6).alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,8)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,8)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 8).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 8).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 8).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        n.cast("long").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

@@ -175,10 +175,42 @@ def bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_incremental_quantile",
-    sql=None,  # the fixed-grid form IS SQL-expressible, but the
-    # 147-twin window sits at the 3-round-union capacity ceiling
-    # (ROUND4_NOTES "r5 rotation pre-plan"); the exact merge==full
-    # invariant is pinned locally in tests/test_governance.py instead
+    # promoted from rows-only to a full twin when the cadence moved
+    # to 4 rounds (tests/test_rotation.py): the fixed-grid bin math
+    # is pure integer/exact-double arithmetic, so the oracle
+    # recomputes the merged histogram's median from the raw rows —
+    # which also re-proves merge(parts) == full on every run. Bin
+    # width 600000/128 = 4687.5 is exact binary, floor() identical
+    # across engines; the quantile is the left edge of the first bin
+    # whose cumulative count reaches ceil(0.5 * total).
+    sql="""
+    WITH b AS (
+        SELECT o_orderpriority,
+               least(127, greatest(0, CAST(floor(
+                   CAST(o_totalprice AS DOUBLE)
+                   / CAST(4687.5 AS DOUBLE)) AS INTEGER)))
+                   AS bin
+        FROM orders
+    ), counts AS (
+        SELECT o_orderpriority, bin, count(*) AS c
+        FROM b GROUP BY 1, 2
+    ), tot AS (
+        SELECT o_orderpriority, sum(c) AS t FROM counts GROUP BY 1
+    ), cum AS (
+        SELECT o_orderpriority, bin,
+               sum(c) OVER (PARTITION BY o_orderpriority
+                            ORDER BY bin) AS cc
+        FROM counts
+    ), hit AS (
+        SELECT cum.o_orderpriority, min(bin) AS hb
+        FROM cum JOIN tot USING (o_orderpriority)
+        WHERE cc >= ceil(0.5 * t)
+        GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           hb * CAST(4687.5 AS DOUBLE) AS q50_approx
+    FROM hit ORDER BY o_orderpriority
+    """,
     doc="Mergeable QUANTILE rollup (operators/incremental.py "
     "histogram_state): per-priority median of o_totalprice derived "
     "from three monthly-style partial histogram states merged into "

@@ -380,3 +380,53 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").limit(200)
     media = attach_fake_media(docs, id_col="doc_id")
     return resample_audio(media, target_rate=16000)
+
+
+_STRAT_FRACS = (("en", 0.5), ("de", 0.25), ("fr", 0.25), ("es", 0.25), ("zh", 0.1))
+_STRAT_SALT = "strat"
+
+
+@register(
+    "documents_stratified_portable",
+    sql=f"""
+    WITH drawn AS (
+        SELECT doc_id, lang,
+               {sql_md5_uniform('CAST(doc_id AS VARCHAR)', _STRAT_SALT)} AS u
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, lang FROM drawn
+        WHERE u <= CASE lang
+            {' '.join(f"WHEN '{lang}' THEN {f}" for lang, f in _STRAT_FRACS)}
+            ELSE 0.0 END
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM kept GROUP BY lang
+    """,
+    doc="Engine-PORTABLE stratified sampling: per-language keep "
+    "fractions decided by the md5 uniform draw of doc_id "
+    "(operators/sampling.py md5_uniform — 52-bit, exactly "
+    "reproducible in DuckDB), giving the production xxhash64 variant "
+    "(documents_stratified_sample) a hash-checkable twin with "
+    "identical semantics: layout-independent membership, no shuffle, "
+    "no RNG streams, same rows survive under any partitioning or "
+    "engine. The md5 draw costs ~2x xxhash64 per row; both are "
+    "scan-local, so the production path keeps xxhash64 and this "
+    "portable path carries the oracle signal (the "
+    "dedup_minhash_portable pattern).",
+)
+def documents_stratified_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import md5_uniform
+
+    d = load_table(spark, sf_dir, "documents")
+    frac = F.lit(0.0)
+    for lang, f in _STRAT_FRACS:
+        frac = F.when(F.col("lang") == lang, F.lit(f)).otherwise(frac)
+    kept = d.filter(
+        md5_uniform(F.col("doc_id").cast("string"), _STRAT_SALT) <= frac
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -221,10 +221,27 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_stickiness",
-    sql=None,  # SQL-expressible, but the 147-twin window sits at the
-    # 3-round-union capacity ceiling (ROUND4_NOTES "r5 rotation
-    # pre-plan"); the exact DuckDB comparison runs locally in
-    # tests/test_stickiness.py instead
+    # promoted from rows-only to a full twin when the cadence moved to
+    # 4 rounds (the 3-round window ceiling had blocked it; see
+    # tests/test_rotation.py) — same SQL tests/test_stickiness.py has
+    # been pinning locally since round 4
+    sql="""
+    WITH mdu AS (
+        SELECT DISTINCT date_trunc('month', CAST(ts AS DATE)) AS month,
+               CAST(ts AS DATE) AS day, user_id
+        FROM events
+    ), daily AS (
+        SELECT month, round(avg(dau), 4) AS avg_dau FROM (
+            SELECT month, day, count(DISTINCT user_id) AS dau
+            FROM mdu GROUP BY 1, 2
+        ) GROUP BY month
+    ), monthly AS (
+        SELECT month, count(DISTINCT user_id) AS mau FROM mdu GROUP BY 1
+    )
+    SELECT monthly.month, CAST(mau AS BIGINT) AS mau, avg_dau,
+           round(avg_dau / mau, 6) AS stickiness
+    FROM monthly JOIN daily USING (month)
+    """,
     doc="Monthly stickiness (avg daily active users / monthly active "
     "users — the DAU/MAU engagement ratio): one pass dedups events to "
     "(month, day, user) grain, from which BOTH distinct counts derive "

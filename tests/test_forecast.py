@@ -14,11 +14,13 @@ from big_data_tools_spark.queries.analytics import (
 
 
 def _python_holt(series):
+    # mirrors the per-step 6-decimal quantization the query applies so
+    # its recursive-CTE oracle can replay the fold bit-for-bit
     ys = [y for _, y in series]
-    l, b = ys[0], ys[1] - ys[0]
+    l, b = ys[0], round(ys[1] - ys[0], 6)
     for y in ys[1:]:
-        nl = _HOLT_ALPHA * y + (1 - _HOLT_ALPHA) * (l + b)
-        nb = _HOLT_BETA * (nl - l) + (1 - _HOLT_BETA) * b
+        nl = round(_HOLT_ALPHA * y + (1 - _HOLT_ALPHA) * (l + b), 6)
+        nb = round(_HOLT_BETA * (nl - l) + (1 - _HOLT_BETA) * b, 6)
         l, b = nl, nb
     return l, b
 
