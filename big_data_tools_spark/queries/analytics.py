@@ -583,3 +583,99 @@ def monthly_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast"
         ),
     )
+
+
+_LN2 = 0.6931471805599453  # shared literal: keep both engines on one constant
+
+
+@register(
+    "event_entropy_rate",
+    sql=f"""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ), trans AS (
+        SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+    ), totals AS (
+        SELECT prev, sum(n) AS pn FROM trans GROUP BY prev
+    ), grand AS (
+        SELECT sum(n) AS t FROM trans
+    ), terms AS (
+        SELECT t.prev,
+               round(-(t.n * 1.0 / x.pn)
+                     * round(ln(t.n * 1.0 / x.pn), 6) / {_LN2!r}, 8) AS term
+        FROM trans t JOIN totals x USING (prev)
+    ), state AS (
+        SELECT terms.prev,
+               CAST(x.pn AS BIGINT) AS n_out,
+               round(x.pn * 1.0 / (SELECT t FROM grand), 6) AS pi,
+               round(CAST(sum(CAST(term AS DECIMAL(28,10))) AS DOUBLE), 6)
+                   AS h_bits
+        FROM terms JOIN totals x USING (prev)
+        GROUP BY terms.prev, x.pn
+    )
+    SELECT prev, n_out, pi, h_bits,
+           round(CAST((SELECT sum(CAST(round(s2.pi * s2.h_bits, 8)
+                                       AS DECIMAL(28,10))) FROM state s2)
+                      AS DOUBLE), 6) AS entropy_rate_bits
+    FROM state
+    """,
+    doc="Entropy rate of the user-journey Markov chain (Shannon 1948; "
+    "Cover & Thomas ch.4): per-state conditional entropy "
+    "H(next | state) in bits plus the chain's overall rate "
+    "sum_s pi(s) H(.|s) with pi the empirical source-state "
+    "distribution — the single number that says how PREDICTABLE user "
+    "behavior is (0 = deterministic funnels, log2|states| = uniform "
+    "noise), and the information-theoretic companion to "
+    "event_transition_matrix's raw probabilities. Everything reduces "
+    "at the |event_types|^2 transition grain after one lag window "
+    "and one count shuffle, so the chain math costs nothing beyond "
+    "the bigram rollup at any scale. Per-term quantization "
+    "(ln to 6dp, term to 8dp, decimal sums) keeps the DuckDB twin "
+    "hash-matched bit-for-bit.",
+)
+def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("cur"),
+    ).filter(F.col("prev").isNotNull())
+    trans = seq.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n"))
+    pn = F.sum("n").over(Window.partitionBy("prev"))
+    t_all = F.sum("n").over(Window.partitionBy())
+    p = F.col("n") / F.col("pn")
+    terms = trans.select(
+        "prev",
+        F.col("n"),
+        pn.alias("pn"),
+        t_all.alias("t"),
+    ).select(
+        "prev",
+        "pn",
+        "t",
+        F.round(-p * F.round(F.log(p), 6) / F.lit(_LN2), 8).alias("term"),
+    )
+    state = terms.groupBy("prev", "pn", "t").agg(
+        F.round(
+            F.sum(F.col("term").cast("decimal(28,10)")).cast("double"), 6
+        ).alias("h_bits")
+    )
+    state = state.select(
+        "prev",
+        F.col("pn").cast("bigint").alias("n_out"),
+        F.round(F.col("pn") / F.col("t"), 6).alias("pi"),
+        "h_bits",
+    )
+    rate = state.agg(
+        F.round(
+            F.sum(
+                F.round(F.col("pi") * F.col("h_bits"), 8).cast("decimal(28,10)")
+            ).cast("double"),
+            6,
+        ).alias("entropy_rate_bits")
+    )
+    return state.crossJoin(F.broadcast(rate))

@@ -493,3 +493,142 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+_HEAPS_POINTS = 10  # doc_id-fraction checkpoints for the growth curve
+
+
+@register(
+    "corpus_heaps_fit",
+    sql=f"""
+    WITH mx AS (
+        SELECT max(doc_id) AS m FROM documents
+    ), cp AS (
+        SELECT DISTINCT CAST(floor(i * (SELECT m FROM mx) / {_HEAPS_POINTS}.0)
+                    AS BIGINT) AS c
+        FROM (SELECT unnest(range(1, {_HEAPS_POINTS} + 1)) AS i)
+    ), dtok AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ) WHERE w <> '' GROUP BY doc_id
+    ), firstocc AS (
+        SELECT w, min(doc_id) AS first_doc FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ) WHERE w <> '' GROUP BY w
+    ), curve AS (
+        SELECT cp.c,
+               (SELECT CAST(sum(n_tok) AS BIGINT) FROM dtok
+                WHERE doc_id <= cp.c) AS n_tokens,
+               (SELECT CAST(count(*) AS BIGINT) FROM firstocc
+                WHERE first_doc <= cp.c) AS vocab
+        FROM cp
+    ), pts AS (
+        SELECT round(ln(CAST(n_tokens AS DOUBLE)), 6) AS x,
+               round(ln(CAST(vocab AS DOUBLE)), 6) AS y
+        FROM curve WHERE n_tokens > 0 AND vocab > 0
+    ), sums AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(round(x * y, 8) AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(round(x * x, 8) AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(round(y * y, 8) AS DECIMAL(28,10))) AS DOUBLE) AS syy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+               AS heaps_lnk,
+           CASE WHEN n * syy - sy * sy = 0 THEN 0.0
+                ELSE round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS r2
+    FROM sums
+    """,
+    doc="Heaps'-law fit over corpus vocabulary growth: V(N) ~ K*N^beta "
+    "with beta in [0.4, 0.6] for natural language (Heaps 1978) — the "
+    "companion diagnostic to corpus_zipf_fit, and the number that "
+    "answers 'how big will the vocab/tokenizer table get at 100 TB'. "
+    "The growth curve is sampled at 10 doc_id-fraction checkpoints "
+    "WITHOUT any global ordering window: N(c) aggregates per-doc "
+    "token counts with doc_id <= c, V(c) counts words whose "
+    "first-occurrence doc (a plain min per word) is <= c — two "
+    "grouped aggregates plus a broadcast range join against the "
+    "10-row checkpoint frame, all shuffle-light at any scale. OLS of "
+    "ln V on ln N uses the corpus_zipf_fit quantized decimal-sum "
+    "recipe, so the DuckDB twin hash-matches bit-for-bit.",
+)
+def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    dtok = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    firstocc = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    mx = d.agg(F.max("doc_id").alias("m"))
+    cp = (
+        spark.range(1, _HEAPS_POINTS + 1)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(F.col("id") * F.col("m") / F.lit(float(_HEAPS_POINTS)))
+            .cast("long")
+            .alias("c")
+        )
+        .distinct()
+    )
+    n_curve = (
+        dtok.crossJoin(F.broadcast(cp))
+        .filter(F.col("doc_id") <= F.col("c"))
+        .groupBy("c")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    v_curve = (
+        firstocc.crossJoin(F.broadcast(cp))
+        .filter(F.col("first_doc") <= F.col("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    curve = n_curve.join(v_curve, "c")
+    pts = curve.filter(
+        (F.col("n_tokens") > 0) & (F.col("vocab") > 0)
+    ).select(
+        F.round(F.log(F.col("n_tokens").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("vocab").cast("double")), 6).alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,8)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,8)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 8).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 8).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 8).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        n.cast("long").alias("n_points"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round((sy - slope * sx) / n, 6).alias("heaps_lnk"),
+        # a vocabulary that saturates before the first checkpoint (the
+        # beta=0 degenerate corpus) zeroes the y-variance; define r2=0
+        # there instead of emitting 0/0 NaN
+        F.when(n * syy - sy * sy == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (n * sxy - sx * sy)
+                * (n * sxy - sx * sy)
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            )
+        )
+        .alias("r2"),
+    )

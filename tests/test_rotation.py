@@ -85,7 +85,11 @@ def test_pending_twins_drain():
     data = _manifest()
     keys = _round_keys(data)
     cur = set(data.get(f"pending_{keys[-1]}", []))
-    assert len(cur) <= 10, f"pending queue too large: {sorted(cur)}"
+    # cap raised 10 -> 15 in round 5: at the 4-round cadence the next
+    # window has ~40 free slots after mandatory re-checks (tools/
+    # update_checked_rounds.py --plan), so 15 still drains in one round
+    # with room for the rows-only seating debt
+    assert len(cur) <= 15, f"pending queue too large: {sorted(cur)}"
     if len(keys) >= 2:
         prev = set(data.get(f"pending_{keys[-2]}", []))
         stuck = cur & prev

