@@ -111,6 +111,15 @@ HEADLINE = [
     "part_copurchase_communities",
     "orders_incremental_quantile",
     "monthly_revenue_forecast",
+    # round-5: k-core peel (monotone-shrink iterative shape — the
+    # third graph loop), Adamic-Adar (wedge join + candidate-grain
+    # anti-join), Zipf fit (token explode -> bounded TakeOrdered ->
+    # closed-form OLS), bigram backoff NLL (n-gram grain joins +
+    # quantized log sums)
+    "copurchase_kcore_peel",
+    "copurchase_adamic_adar",
+    "corpus_zipf_fit",
+    "doc_bigram_backoff_nll",
 ]
 
 

