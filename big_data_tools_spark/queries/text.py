@@ -464,3 +464,86 @@ def doc_repetition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         dmean(F.col("rep"), 4).alias("avg_repetition"),
         F.sum(F.when(F.col("rep") > 0.1, 1).otherwise(0)).cast("bigint").alias("high_rep_docs"),
     )
+
+
+@register(
+    "doc_quality_auc",
+    sql=f"""
+    WITH scored AS (
+        SELECT lang = 'en' AS is_pos,
+               round(least(n_tok / 100.0, 1.0) * 0.4
+                   + least((sw_hits * 1.0 / n_tok) * 4, 1.0) * 0.3
+                   + greatest(0.0, 1.0 - (n_bad * 1.0 / n_chars) * 5) * 0.3,
+                   4) AS q
+        FROM (
+            SELECT lang,
+                   len(string_split(lower(text), ' ')) AS n_tok,
+                   len(list_filter(string_split(lower(text), ' '),
+                       t -> t IN ({_SW}))) AS sw_hits,
+                   length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                       AS n_bad,
+                   length(lower(text)) AS n_chars
+            FROM documents
+        )
+    ), grain AS (
+        SELECT q,
+               CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_c,
+               CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS neg_c
+        FROM scored GROUP BY q
+    ), cum AS (
+        SELECT pos_c, neg_c,
+               CAST(coalesce(sum(neg_c) OVER (ORDER BY q
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS neg_below
+        FROM grain
+    )
+    SELECT CAST(sum(pos_c) AS BIGINT) AS n_pos,
+           CAST(sum(neg_c) AS BIGINT) AS n_neg,
+           round(CAST(sum(2 * pos_c * neg_below + pos_c * neg_c) AS DOUBLE)
+                 / (2.0 * sum(pos_c) * sum(neg_c)), 6) AS auc
+    FROM cum
+    """,
+    doc="Rank-sum AUC (Mann-Whitney U) of the heuristic quality score "
+    "as a classifier for lang='en' — the eval-metric that says "
+    "whether a score SEPARATES populations without picking a "
+    "threshold, here auditing that the stopword-ratio term leaks "
+    "language signal into 'quality' (a real pretraining-pipeline "
+    "failure mode: English-biased quality filters). Scale shape: one "
+    "grouped count at the QUANTIZED-score grain (<= 10^4 rows at 4 "
+    "decimals, however large the corpus), then the tie-aware U "
+    "statistic as integer arithmetic over that tiny frame — "
+    "2*pos*neg_below + pos*neg ties keeps every term integral, one "
+    "rounded division at the end, so the DuckDB twin hash-matches "
+    "bit-for-bit. No global rank window over the corpus (the naive "
+    "rank-sum form) — the score-grain cumulative replaces it.",
+)
+def doc_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        (F.col("lang") == "en").alias("is_pos"),
+        F.round(
+            quality_score_from_tokens(tokens(F.col("text")), F.col("text")), 4
+        ).alias("q"),
+    )
+    grain = toked.groupBy("q").agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("pos_c"),
+        F.sum(F.when(F.col("is_pos"), 0).otherwise(1)).alias("neg_c"),
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grain.select(
+        "pos_c",
+        "neg_c",
+        F.coalesce(F.sum("neg_c").over(w), F.lit(0)).alias("neg_below"),
+    )
+    return cum.agg(
+        F.sum("pos_c").cast("bigint").alias("n_pos"),
+        F.sum("neg_c").cast("bigint").alias("n_neg"),
+        F.round(
+            F.sum(
+                2 * F.col("pos_c") * F.col("neg_below")
+                + F.col("pos_c") * F.col("neg_c")
+            ).cast("double")
+            / (2.0 * F.sum("pos_c") * F.sum("neg_c")),
+            6,
+        ).alias("auc"),
+    )

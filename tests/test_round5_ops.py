@@ -191,3 +191,44 @@ def test_heaps_fit_properties(spark, sf_smoke):
     assert 0.0 <= row["heaps_beta"] < 0.1
     assert 0.0 <= row["r2"] <= 1.0
     assert row["r2"] == row["r2"]  # not NaN
+
+
+def test_quality_auc_matches_naive_rank_sum(spark, sf_smoke):
+    """The score-grain U statistic must equal the naive average-rank
+    Mann-Whitney computed in Python over the same quantized scores."""
+    import duckdb
+
+    from big_data_tools_spark.queries.text import _SW  # noqa: F401
+
+    rows = duckdb.sql(
+        f"""
+        SELECT lang = 'en' AS is_pos,
+               round(least(len(string_split(lower(text), ' ')) / 100.0, 1.0) * 0.4
+                   + least((len(list_filter(string_split(lower(text), ' '),
+                         t -> t IN ({_SW}))) * 1.0
+                         / len(string_split(lower(text), ' '))) * 4, 1.0) * 0.3
+                   + greatest(0.0, 1.0 - (length(regexp_replace(lower(text),
+                         '[a-z0-9 ]', '', 'g')) * 1.0 / length(lower(text))) * 5)
+                     * 0.3, 4) AS q
+        FROM '{sf_smoke}/documents.parquet'
+        """
+    ).fetchall()
+    scored = sorted((q, pos) for pos, q in rows)
+    # average ranks with ties
+    ranks, i = {}, 0
+    while i < len(scored):
+        j = i
+        while j < len(scored) and scored[j][0] == scored[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks[k] = avg
+        i = j
+    pos_ranks = [ranks[k] for k, (_, p) in enumerate(scored) if p]
+    n_pos = len(pos_ranks)
+    n_neg = len(scored) - n_pos
+    u = sum(pos_ranks) - n_pos * (n_pos + 1) / 2.0
+    want = round(u / (n_pos * n_neg), 6)
+    row = get("doc_quality_auc").fn(spark, sf_smoke).collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (n_pos, n_neg)
+    assert abs(row["auc"] - want) < 1e-6
