@@ -171,6 +171,30 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_unattributed",
+    sql=None,  # runs through the streaming engine, not a SQL query
+    doc="Stream-stream LEFT OUTER interval join (\u00a72.10): purchases "
+    "with NO click by the same user in the prior hour — the "
+    "null-emission semantics the inner join never exercises: the "
+    "engine must HOLD each purchase in state until the click-side "
+    "watermark proves no match can still arrive, then emit the "
+    "null-extended row. State bounded exactly as the inner variant "
+    "(streaming/joins.py unattributed_purchases); the emitted stream "
+    "trails the watermark by design. Rows-only driver check; "
+    "containment + behind-horizon completeness vs the batch left "
+    "join asserted in tests/test_streaming.py.",
+)
+def streaming_unattributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import read_events_stream, run_available_now
+    from ..streaming.joins import unattributed_purchases
+
+    stream = read_events_stream(spark, sf_dir, path_glob="events.parquet")
+    return run_available_now(
+        unattributed_purchases(stream), "bdt_stream_unattrib", output_mode="append"
+    )
+
+
+@register(
     "streaming_rolling_dau",
     sql=None,  # runs through the streaming engine, not a SQL query
     doc="Streaming sliding-window distinct (§2.10): 7-day rolling "

@@ -58,3 +58,46 @@ def purchase_click_pairs(
     return purch.join(clicks, cond, "inner").select(
         "event_id", "user_id", "cts", "value"
     )
+
+
+def unattributed_purchases(
+    events: DataFrame,
+    window_sec: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Purchases with NO click by the same user in the ``window_sec``
+    seconds before them: (event_id, user_id, pts) — the left-outer
+    complement of :func:`purchase_click_pairs` and the campaign-health
+    stream ("conversions we cannot attribute").
+
+    Streaming semantics are the interesting part: a LEFT OUTER
+    stream-stream join cannot emit the null-extended row when the
+    purchase arrives — a matching click may still be in flight — so
+    the engine holds the purchase in state and emits the null row only
+    once the click-side state watermark passes (purchase time +
+    window). The emitted stream is therefore delayed by the watermark
+    by DESIGN, and purchases newer than the final watermark at drain
+    time stay buffered (tests assert containment plus completeness
+    behind the watermark horizon, not naive equality). Batch frames
+    run the same expression tree as a plain left join; both modes
+    filter the null click side.
+    """
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("cts"),
+    )
+    if events.isStreaming:
+        purch = purch.withWatermark("pts", watermark)
+        clicks = clicks.withWatermark("cts", watermark)
+    cond = F.expr(
+        "user_id = click_user AND "
+        f"cts >= pts - INTERVAL {int(window_sec)} SECONDS AND cts <= pts"
+    )
+    return (
+        purch.join(clicks, cond, "left_outer")
+        .filter(F.col("cts").isNull())
+        .select("event_id", "user_id", "pts")
+    )

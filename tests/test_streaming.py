@@ -278,3 +278,39 @@ def test_rolling_dau_sketch_is_partitioning_independent(spark, sf_smoke):
     }
     one_part = {tuple(r) for r in rolling_dau_approx(events.coalesce(1)).collect()}
     assert base == shuffled == one_part
+
+
+def test_left_outer_interval_join_null_emission(spark, events_dir, sf_smoke):
+    """LEFT OUTER stream-stream join: every drained row must be a
+    genuinely unattributed purchase (containment in the batch left
+    join), and every unattributed purchase old enough that the final
+    watermark has provably passed it must have been emitted — the
+    null-emission semantics. Naive stream==batch equality is WRONG
+    here: purchases newer than the drain-time watermark stay
+    buffered by design."""
+    from big_data_tools_spark.streaming.joins import unattributed_purchases
+
+    stream = read_events_stream(spark, events_dir)
+    result = run_available_now(
+        unattributed_purchases(stream), "unattrib_test", output_mode="append"
+    )
+    events = load_table(spark, sf_smoke, "events")
+    batch = unattributed_purchases(events)
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got <= want  # no false "unattributed" rows, no duplicates
+    # completeness behind the watermark horizon: the drain-time
+    # watermark trails max ts by the 2h delay TWICE (availableNow
+    # commits each batch's watermark one batch late) plus the 1h join
+    # window; 7h adds cushion for batch-boundary effects (measured
+    # eviction horizon ~6.7h on this fixture)
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=7)
+    old_want = {t for t in want if t[2] <= horizon}
+    missing = old_want - got
+    assert not missing, f"{len(missing)} expired rows never emitted"
+    assert len(got) > 0
