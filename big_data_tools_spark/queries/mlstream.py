@@ -293,6 +293,57 @@ def streaming_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ml_learning_curve",
+    sql=None,  # model metrics are not SQL-expressible
+    doc="Learning curve (the sample-efficiency diagnostic the "
+    "reference's fixed 70/30 protocol never produces): LR(maxIter=10, "
+    "regParam=0.01) refit on seeded 10/25/50/100% subsamples of the "
+    "train split, train and held-out AUC per point — rising test AUC "
+    "says more data still helps (collect more / sample less), a flat "
+    "curve says the model is capacity-bound (spend on features, not "
+    "rows). Each point is one distributed fit on a seeded sample; the "
+    "test frame is identical across points, so the curve is "
+    "apples-to-apples. Rows-only driver check; monotone-band "
+    "properties in tests/test_ml_pipeline.py.",
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import LogisticRegression
+
+    from ..ml.pipeline import SEED, featurize
+
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    train, test, _ = featurize(
+        _orders_basetable(spark, sf_dir),
+        categorical_cols=("status",),
+        select_percentile=None,
+    )
+    train = train.persist()
+    auc_eval = BinaryClassificationEvaluator(
+        labelCol="label", rawPredictionCol="rawPrediction", metricName="areaUnderROC"
+    )
+    rows = []
+    for frac in (0.1, 0.25, 0.5, 1.0):
+        part = train if frac == 1.0 else train.sample(frac, seed=SEED)
+        part = part.persist()
+        n = part.count()
+        model = LogisticRegression(maxIter=10, regParam=0.01).fit(part)
+        rows.append(
+            (
+                frac,
+                n,
+                round(float(auc_eval.evaluate(model.transform(part))), 6),
+                round(float(auc_eval.evaluate(model.transform(test))), 6),
+            )
+        )
+        part.unpersist()
+    train.unpersist()
+    return spark.createDataFrame(
+        rows, "train_frac double, n_train bigint, auc_train double, auc_test double"
+    )
+
+
+@register(
     "ml_cv_select",
     sql=None,  # CV metrics are not SQL-expressible
     doc="Hyperparameter selection via 3-fold CrossValidator over the "

@@ -174,3 +174,21 @@ def test_embedding_cluster_silhouette_sweep(spark, sf_smoke):
     assert all(-1.0 <= r["silhouette"] <= 1.0 for r in rows)
     again = get("embedding_cluster_silhouette").fn(spark, sf_smoke).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_learning_curve_properties(spark, sf_smoke):
+    from big_data_tools_spark.queries import get
+
+    rows = sorted(
+        (tuple(r) for r in get("ml_learning_curve").fn(spark, sf_smoke).collect())
+    )
+    assert [r[0] for r in rows] == [0.1, 0.25, 0.5, 1.0]
+    ns = [r[1] for r in rows]
+    assert ns == sorted(ns) and ns[0] > 0  # sample sizes grow with frac
+    assert ns[-1] > 2 * ns[0]
+    for _, _, auc_train, auc_test in rows:
+        assert 0.0 <= auc_train <= 1.0 and 0.0 <= auc_test <= 1.0
+    # the full-data model must not be catastrophically worse than the
+    # smallest-sample model on the SAME held-out frame (loose band —
+    # tiny samples are noisy)
+    assert rows[-1][3] >= rows[0][3] - 0.15
