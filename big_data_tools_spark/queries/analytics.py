@@ -679,3 +679,163 @@ def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entropy_rate_bits")
     )
     return state.crossJoin(F.broadcast(rate))
+
+
+@register(
+    "segment_revenue_gini",
+    sql="""
+    WITH rev AS (
+        SELECT c.c_mktsegment,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_custkey
+    ), vals AS (
+        SELECT c_mktsegment, x, CAST(count(*) AS BIGINT) AS c
+        FROM rev GROUP BY c_mktsegment, x
+    ), pos AS (
+        SELECT c_mktsegment, x, c,
+               CAST(sum(c) OVER (PARTITION BY c_mktsegment ORDER BY x
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - c AS BIGINT) AS cum0
+        FROM vals
+    ), terms AS (
+        SELECT c_mktsegment, c,
+               CAST(x * c AS DECIMAL(38,2)) AS sx,
+               CAST(x * CAST(cum0 * c + c * (c + 1) // 2 AS BIGINT)
+                    AS DECIMAL(38,2)) AS rx
+        FROM pos
+    ), seg AS (
+        SELECT c_mktsegment,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(sx) AS DOUBLE) AS s,
+               CAST(sum(rx) AS DOUBLE) AS t
+        FROM terms GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n AS n_customers, round(s, 2) AS revenue_total,
+           round((2.0 * t - (n + 1) * s) / (n * s), 6) AS gini
+    FROM seg
+    """,
+    doc="Revenue-concentration Gini coefficient per market segment via "
+    "the tie-aware rank formula G = (2*Sigma(i*x_i) - (n+1)*S)/(n*S). "
+    "Scale shape: the fact table reduces to customer grain with one "
+    "exact-decimal aggregate, then to DISTINCT-REVENUE grain (ties "
+    "collapsed, so the sorted-prefix window runs over value groups, "
+    "not customers — within a tie block Sigma i*x_i is closed-form "
+    "x*(C*c + c(c+1)/2), identical to any per-customer tiebreak). All "
+    "rank weights are integers and every product/prefix sum is exact "
+    "DECIMAL, so both engines compute identical slope bits before the "
+    "single terminal rounding. The inequality-audit counterpart of "
+    "customer_revenue_pareto (top-share) and "
+    "supplier_value_concentration (HHI-style).",
+)
+def segment_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("decimal(18,2)").alias("x"))
+    )
+    vals = rev.groupBy("c_mktsegment", "x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = vals.withColumn(
+        "cum0", (F.sum("c").over(w) - F.col("c")).cast("bigint")
+    )
+    c = F.col("c")
+    terms = pos.select(
+        "c_mktsegment",
+        "c",
+        (F.col("x") * c).cast("decimal(38,2)").alias("sx"),
+        (
+            F.col("x")
+            * (F.col("cum0") * c + F.floor(c * (c + F.lit(1)) / F.lit(2)))
+            .cast("bigint")
+        )
+        .cast("decimal(38,2)")
+        .alias("rx"),
+    )
+    seg = terms.groupBy("c_mktsegment").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("sx").cast("double").alias("s"),
+        F.sum("rx").cast("double").alias("t"),
+    )
+    n, s, t = F.col("n"), F.col("s"), F.col("t")
+    return seg.select(
+        "c_mktsegment",
+        n.alias("n_customers"),
+        F.round(s, 2).alias("revenue_total"),
+        F.round((F.lit(2.0) * t - (n + F.lit(1)) * s) / (n * s), 6).alias("gini"),
+    )
+
+
+@register(
+    "discount_quantity_ols",
+    sql="""
+    WITH pts AS (
+        SELECT l_returnflag,
+               l_discount AS x, l_quantity AS y
+        FROM lineitem
+    ), sums AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(round(x * y, 8) AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(round(x * x, 8) AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(round(y * y, 8) AS DECIMAL(28,10))) AS DOUBLE) AS syy
+        FROM pts GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_lines,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+               AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM sums
+    """,
+    doc="Grouped closed-form OLS: quantity regressed on discount per "
+    "return flag — the does-discounting-move-volume elasticity probe, "
+    "and the engine's grouped-regression primitive (the corpus_zipf_fit "
+    "machinery generalized from one global fit to one fit PER GROUP in "
+    "a single aggregate). Scale shape: one map-side-combining groupBy "
+    "over the fact table computes the five moment sums (per-row "
+    "quantization + exact decimal accumulation per functions/agg.py), "
+    "slope/intercept/r2 are closed-form per group — no second pass, no "
+    "gradient loop, no driver round-trips; bit-identical across "
+    "engines before the terminal rounding.",
+)
+def discount_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_discount"), F.col("l_quantity")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum(F.round(x * y, 8).cast("decimal(28,10)")).cast("double").alias("sxy"),
+        F.sum(F.round(x * x, 8).cast("decimal(28,10)")).cast("double").alias("sxx"),
+        F.sum(F.round(y * y, 8).cast("decimal(28,10)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_lines"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

@@ -435,3 +435,56 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "orders_benford_digits",
+    sql="""
+    WITH digits AS (
+        SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders
+    ), obs AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n
+        FROM digits GROUP BY digit
+    ), tot AS (
+        SELECT digit, n, CAST(sum(n) OVER () AS DOUBLE) AS total
+        FROM obs
+    )
+    SELECT digit, n,
+           round(total * log10(1.0 + 1.0 / digit), 2) AS expected_n,
+           round(pow(n - total * log10(1.0 + 1.0 / digit), 2)
+                 / (total * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
+    FROM tot
+    """,
+    doc="Benford's-law forensic audit of order totals: observed "
+    "first-significant-digit counts vs the log10(1+1/d) expectation, "
+    "with per-digit chi-square contributions — the classic synthetic/"
+    "fabricated-amounts detector for a billing fact table (Nigrini "
+    "1996). Digit extraction goes through an exact DECIMAL(18,2) "
+    "render (both engines print the same digits; no float-log10 "
+    "first-digit math whose ulps could flip a power-of-ten boundary). "
+    "Scale shape: the fact table collapses to at most 9 rows in one "
+    "map-side-combining aggregate; the window total runs over those 9 "
+    "rows. Expected counts/chi2 are per-row IEEE ops on identical "
+    "inputs, quantized before compare.",
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    total = obs.agg(F.sum("n").cast("double").alias("total"))
+    tot = obs.crossJoin(F.broadcast(total))
+    expected = F.col("total") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return tot.select(
+        "digit",
+        "n",
+        F.round(expected, 2).alias("expected_n"),
+        F.round(F.pow(F.col("n") - expected, 2) / expected, 6).alias("chi2_term"),
+    )

@@ -404,3 +404,88 @@ def daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("alarm"),
     )
+
+
+_ACF_MAX_LAG = 10
+
+
+@register(
+    "daily_revenue_acf",
+    sql=f"""
+    WITH rev AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rd
+        FROM orders GROUP BY 1
+    ), stats AS (
+        SELECT CAST(sum(rd) AS DOUBLE) / count(*) AS mu FROM rev
+    ), devs AS (
+        SELECT day, CAST(rd AS DOUBLE) - mu AS dev FROM rev, stats
+    ), den AS (
+        SELECT CAST(sum(CAST(round(dev * dev, 6) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS d
+        FROM devs
+    ), lags AS (
+        SELECT CAST(unnest(range(1, {_ACF_MAX_LAG + 1})) AS INTEGER) AS lag
+    ), pairs AS (
+        SELECT l.lag, a.dev AS da, b.dev AS db
+        FROM lags l
+        JOIN devs a ON TRUE
+        JOIN devs b ON b.day = a.day - l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(CAST(round(da * db, 6) AS DECIMAL(28,8)))
+                      AS DOUBLE) / (SELECT d FROM den), 6) AS acf
+    FROM pairs GROUP BY lag
+    """,
+    doc="Autocorrelation function of the daily-revenue series at "
+    "calendar lags 1..10 — the seasonality/momentum diagnostic under "
+    "monthly_revenue_forecast (a weekly cycle shows as an acf peak at "
+    "lag 7). Pairs are CALENDAR-lagged (join on day-k, so date gaps "
+    "never misalign the series, unlike a row-offset lag window). "
+    "Scale shape: the fact table reduces to day grain in one exact-"
+    "decimal aggregate; the mean is a broadcast one-row normalizer; "
+    "the lag fan-out joins day-grain frames (|days| x 10 rows, "
+    "independent of fact cardinality). Deviation products are "
+    "per-row-quantized and decimal-summed so both engines hash "
+    "identically.",
+)
+def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rd"))
+    stats = rev.agg(
+        (F.sum("rd").cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    devs = rev.crossJoin(F.broadcast(stats)).select(
+        "day", (F.col("rd").cast("double") - F.col("mu")).alias("dev")
+    )
+    den = devs.agg(
+        F.sum(F.round(F.col("dev") * F.col("dev"), 6).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("d")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = devs.select(F.col("day").alias("a_day"), F.col("dev").alias("da"))
+    b = devs.select(F.col("day").alias("b_day"), F.col("dev").alias("db"))
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("b_day") == F.date_sub(F.col("a_day"), F.col("lag"))
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.round(F.col("da") * F.col("db"), 6).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("num"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            "n_pairs",
+            F.round(F.col("num") / F.col("d"), 6).alias("acf"),
+        )
+    )
