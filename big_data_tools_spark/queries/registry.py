@@ -63,25 +63,32 @@ def get(name: str) -> QuerySpec:
 # window was driver-rowed in r1/r2/r4 and still runs against the same
 # DuckDB oracle in tests/test_oracle_parity.py at every round.
 _PRIORITY = [
-    # -- round-5 window: the 50 twins absent from the r3/r4 windows --
-    # (tools/update_checked_rounds.py --plan computed this set; it
-    # includes the full pending_r4 drain. test_rotation enforces the
-    # 3-round union invariant, so all 50 slots are mandatory.)
+    # -- round-5 window: the pending_r4 drain plus re-rows of the
+    # twins whose only other driver rows predate the lost r3 artifact.
+    # (tools/update_checked_rounds.py --plan computed the original
+    # set under the 3-round cadence; after the mid-round move to
+    # cadence 4, four slots whose occupants carry BOTH r1 and r2
+    # surviving driver rows — custkey_overlap_setops,
+    # customers_without_orders, fillna_policy, hours_parse — were
+    # re-used for the four twins registered late in round 5, which
+    # would otherwise overflow the pending queue. The evicted four
+    # become cadence-mandatory again in r6; test_rotation enforces
+    # the 4-round union invariant.)
     "benchmark_contamination",
     "boilerplate_ngrams",
     "bucketed_revenue_join",  # pending_r4 drain
     "copurchase_triangles",  # pending_r4 drain
     "corpus_ngram_novelty",  # pending_r4 drain
-    "custkey_overlap_setops",
     "customer_revenue_pareto",  # pending_r4 drain
     "customer_scd2_merge",
-    "customers_without_orders",
+    "daily_revenue_acf",  # registered round 5 (late)
     "dedup_components",
     "dedup_embedding_cosine",
     "dedup_exact_docs",
     "dedup_incremental_ingest",  # pending_r4 drain
     "dedup_jaccard_pairs",
     "dedup_winnow_pairs",
+    "discount_quantity_ols",  # registered round 5 (late)
     "doc_chunk_windows",
     "doc_quality_by_source",
     "doc_repetition_by_source",
@@ -90,8 +97,6 @@ _PRIORITY = [
     "event_sessions_builtin",
     "events_multires_rollup",
     "events_props_extract",
-    "fillna_policy",
-    "hours_parse",
     "knn_cosine_brute",
     "lang_id_confusion",
     "leakage_safe_corpus_split",  # pending_r4 drain
@@ -100,6 +105,7 @@ _PRIORITY = [
     "monthly_revenue_seasonality",  # pending_r4 drain
     "null_audit_orders",
     "order_rollup_flagship",
+    "orders_benford_digits",  # registered round 5 (late)
     "orders_price_psi",  # pending_r4 drain
     "part_copurchase_pagerank",  # pending_r4 drain
     "part_like_filter",
@@ -110,6 +116,7 @@ _PRIORITY = [
     "regional_revenue",
     "salted_status_rollup",
     "segment_pivot",
+    "segment_revenue_gini",  # registered round 5 (late)
     "source_mixture_plan",
     "status_recode_operator",
     "string_date_parse",

@@ -1,0 +1,205 @@
+"""Round-5 statistical-audit additions: segment Gini, grouped OLS,
+Benford first-digit audit, calendar-lag ACF — hand-computed fixture
+values pinned (the registry-level DuckDB twins run in
+test_oracle_parity; these tests prove the FORMULAS on planted data,
+including the tie-closed-form and calendar-gap semantics the parity
+sweep cannot distinguish from plausible-but-wrong variants)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import shutil
+import tempfile
+
+import pytest
+
+from big_data_tools_spark.queries import get
+
+
+def _plant(spark, tables: dict[str, tuple[list, str]]) -> str:
+    d = tempfile.mkdtemp(prefix="bdt_r5stats_")
+    for name, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{name}.parquet")
+    return d
+
+
+def test_gini_planted_segments(spark):
+    """Segment A revenues [1,2,3,4] -> G = (2*30 - 5*10)/(4*10) = 0.25.
+    Segment B [2,2,6] has a tie run: the closed-form tie block must
+    equal the naive per-customer ranking (Sigma i*x_i = 24 either way)
+    -> G = (48 - 40)/30 = 0.266667."""
+    orders = [
+        (i + 1, float(x))
+        for i, x in enumerate([1, 2, 3, 4])  # custkeys 1..4 segment A
+    ] + [(5, 2.0), (6, 2.0), (7, 6.0)]  # segment B with a tie run
+    cust = [(k, "A" if k <= 4 else "B") for k in range(1, 8)]
+    d = _plant(
+        spark,
+        {
+            "orders": (
+                [(k, x) for k, x in orders],
+                "o_custkey long, o_totalprice double",
+            ),
+            "customer": (cust, "c_custkey long, c_mktsegment string"),
+        },
+    )
+    try:
+        got = {
+            r["c_mktsegment"]: (r["n_customers"], r["revenue_total"], r["gini"])
+            for r in get("segment_revenue_gini").fn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got["A"] == (4, 10.0, 0.25)
+    assert got["B"][0] == 3
+    assert got["B"][1] == 10.0
+    assert got["B"][2] == pytest.approx(round(8 / 30, 6), abs=1e-9)
+
+
+def test_gini_uniform_is_zero(spark):
+    """Equal revenues -> zero concentration, exactly."""
+    d = _plant(
+        spark,
+        {
+            "orders": (
+                [(k, 5.0) for k in range(1, 6)],
+                "o_custkey long, o_totalprice double",
+            ),
+            "customer": (
+                [(k, "U") for k in range(1, 6)],
+                "c_custkey long, c_mktsegment string",
+            ),
+        },
+    )
+    try:
+        [row] = get("segment_revenue_gini").fn(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert row["gini"] == 0.0
+
+
+def test_ols_perfect_line_and_noisy_group(spark):
+    """Group N lies exactly on y = 2x + 1 -> slope 2, intercept 1,
+    r2 = 1. Group R is hand-noisy; pin against the closed-form moment
+    arithmetic replicated in Python with the query's quantization."""
+    line = [("N", 0.0 + 0.1 * i, 1.0 + 0.2 * i) for i in range(4)]
+    noisy = [("R", 0.00, 10.0), ("R", 0.05, 13.0), ("R", 0.10, 11.0),
+             ("R", 0.15, 18.0)]
+    d = _plant(
+        spark,
+        {
+            "lineitem": (
+                line + noisy,
+                "l_returnflag string, l_discount double, l_quantity double",
+            )
+        },
+    )
+    try:
+        got = {
+            r["l_returnflag"]: (r["n_lines"], r["slope"], r["intercept"], r["r2"])
+            for r in get("discount_quantity_ols").fn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got["N"] == (4, 2.0, 1.0, 1.0)
+
+    xs = [x for _, x, _ in noisy]
+    ys = [y for _, _, y in noisy]
+    n = float(len(xs))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(round(x * y, 8) for x, y in zip(xs, ys))
+    sxx = sum(round(x * x, 8) for x in xs)
+    syy = sum(round(y * y, 8) for y in ys)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    want = (
+        4,
+        round(slope, 6),
+        round((sy - slope * sx) / n, 6),
+        round(
+            (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ),
+    )
+    assert got["R"] == pytest.approx(want, abs=1e-6)
+    assert 0.0 < got["R"][3] < 1.0  # noise really degrades the fit
+
+
+def test_benford_planted_digits(spark):
+    """First digits come from the exact decimal render: totals
+    [1.00, 19.50, 2.00, 29.00, 900.00] -> digits 1,1,2,2,9 ->
+    counts {1:2, 2:2, 9:1}; expected counts and chi-square terms
+    replicate total*log10(1+1/d) by hand."""
+    totals = [1.00, 19.50, 2.00, 29.00, 900.00]
+    d = _plant(
+        spark,
+        {
+            "orders": (
+                [(i, t) for i, t in enumerate(totals)],
+                "o_orderkey long, o_totalprice double",
+            )
+        },
+    )
+    try:
+        got = {
+            r["digit"]: (r["n"], r["expected_n"], r["chi2_term"])
+            for r in get("orders_benford_digits").fn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    total = 5.0
+    for digit, n in [(1, 2), (2, 2), (9, 1)]:
+        e = total * math.log10(1.0 + 1.0 / digit)
+        assert got[digit][0] == n
+        assert got[digit][1] == pytest.approx(round(e, 2), abs=1e-9)
+        assert got[digit][2] == pytest.approx(round((n - e) ** 2 / e, 6), abs=1e-6)
+    assert set(got) == {1, 2, 9}
+
+
+def test_acf_calendar_lag_respects_date_gaps(spark):
+    """Days 1,2,3,5 (day 4 missing). A row-offset lag would pair
+    day5 with day3 at lag 1; the calendar join must NOT -> lag-1
+    n_pairs is 2, and lag-2 pairs are (3,1) and (5,3) -> 2. Values
+    replicated in Python with the query's quantization."""
+    day = lambda n: datetime.date(2024, 1, n)  # noqa: E731
+    daily = {day(1): 10.0, day(2): 30.0, day(3): 20.0, day(5): 40.0}
+    d = _plant(
+        spark,
+        {
+            "orders": (
+                [(i, dt, v) for i, (dt, v) in enumerate(daily.items())],
+                "o_orderkey long, o_orderdate date, o_totalprice double",
+            )
+        },
+    )
+    try:
+        got = {
+            r["lag"]: (r["n_pairs"], r["acf"])
+            for r in get("daily_revenue_acf").fn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    mu = sum(daily.values()) / len(daily)
+    dev = {dt: v - mu for dt, v in daily.items()}
+    den = sum(round(x * x, 6) for x in dev.values())
+    want = {}
+    for lag in range(1, 11):
+        pairs = [
+            (dev[dt], dev[dt - datetime.timedelta(days=lag)])
+            for dt in daily
+            if dt - datetime.timedelta(days=lag) in daily
+        ]
+        if pairs:
+            want[lag] = (
+                len(pairs),
+                round(sum(round(a * b, 6) for a, b in pairs) / den, 6),
+            )
+    assert set(got) == set(want)
+    assert got[1][0] == 2  # day5 never pairs with day3 at lag 1
+    assert got[2][0] == 2
+    for lag, (n_pairs, acf) in want.items():
+        assert got[lag][0] == n_pairs
+        assert got[lag][1] == pytest.approx(acf, abs=1e-6)
