@@ -73,7 +73,11 @@ _PRIORITY = [
     # re-used for the four twins registered late in round 5, which
     # would otherwise overflow the pending queue. The evicted four
     # become cadence-mandatory again in r6; test_rotation enforces
-    # the 4-round union invariant.)
+    # the 4-round union invariant. Three further doubly-evidenced
+    # slots — regional_revenue, segment_pivot, status_recode_operator
+    # — were re-used to seat the first never-driver-windowed
+    # rows-only representatives (r4 VERDICT ask #4):
+    # streaming_corpus_ingest, ml_train_eval, multimodal_features.)
     "benchmark_contamination",
     "boilerplate_ngrams",
     "bucketed_revenue_join",  # pending_r4 drain
@@ -102,7 +106,9 @@ _PRIORITY = [
     "leakage_safe_corpus_split",  # pending_r4 drain
     "lineitem_metric_unpivot",
     "map_literal_parse",
+    "ml_train_eval",  # rows-only seating (never driver-windowed)
     "monthly_revenue_seasonality",  # pending_r4 drain
+    "multimodal_features",  # rows-only seating (never driver-windowed)
     "null_audit_orders",
     "order_rollup_flagship",
     "orders_benford_digits",  # registered round 5 (late)
@@ -113,12 +119,10 @@ _PRIORITY = [
     "purchase_click_window",
     "purchase_last_click_asof",
     "referential_integrity_audit",  # pending_r4 drain
-    "regional_revenue",
     "salted_status_rollup",
-    "segment_pivot",
     "segment_revenue_gini",  # registered round 5 (late)
     "source_mixture_plan",
-    "status_recode_operator",
+    "streaming_corpus_ingest",  # rows-only seating (never driver-windowed)
     "string_date_parse",
     "tfidf_top_terms",
     "token_shard_packing",
