@@ -120,6 +120,11 @@ HEADLINE = [
     "copurchase_adamic_adar",
     "corpus_zipf_fit",
     "doc_bigram_backoff_nll",
+    # round-5b: calendar-lag ACF (day-grain lag fan-out join — shuffle
+    # volume independent of fact cardinality) and the tie-closed-form
+    # Gini (value-group window over a two-level reduction)
+    "daily_revenue_acf",
+    "segment_revenue_gini",
 ]
 
 
@@ -197,7 +202,10 @@ def main() -> None:
             return dt
 
         one()  # warm
-        return round(min(one(), one()), 3)
+        # best-of-3, same as the headline set: BENCH_r04's 1.19x
+        # salted/unsalted ratio (vs 0.98-1.04x in quiet-box runs) was
+        # a single co-tenant burst that best-of-2 couldn't bound
+        return round(min(one(), one(), one()), 3)
 
     salted_sec = run_minhash(64)  # every boilerplate band is hot
     unsalted_sec = run_minhash(1 << 62)  # hot path never engages

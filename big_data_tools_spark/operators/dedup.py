@@ -164,6 +164,127 @@ def jaccard_pairs(
     return track_cache(out, raw_idx, idx)
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_prefix_freq: int | None = None,
+) -> DataFrame:
+    """EXACT threshold-Jaccard pair join via prefix filtering (the
+    AllPairs/PPJoin candidate scheme — Bayardo et al. WWW'07, Xiao et
+    al. WWW'08) — no doc-frequency cap needed for exactness, unlike
+    :func:`jaccard_pairs` whose ``max_doc_freq`` changes the computed
+    Jaccard values.
+
+    Scheme: order every doc's shingles by ASCENDING global document
+    frequency (rarest first; shingle hash tiebreak — any fixed total
+    order works, this one minimizes posting sizes). J(x,y) >= t
+    implies |x ∩ y| >= ceil(t*max(|x|,|y|)), and by the prefix lemma
+    the two prefixes of length |x| - ceil(t*|x|) + 1 must then share
+    a token — so candidate pairs come from posting lists of PREFIX
+    tokens only (the rarest ~(1-t) fraction of each doc), and each
+    candidate is verified exactly against the full shingle sets.
+
+    100 TB shape: three shuffles — (1) shingle-df join + per-doc rank
+    window (partitioned by doc, bounded by doc length), (2) prefix
+    posting-list expansion grouped by shingle (lists are short by
+    construction: prefixes hold the rarest tokens), (3) candidate
+    verification via two shuffle-hash joins against the per-doc sorted
+    shingle arrays (array_intersect per candidate — never a corpus
+    self-join). The length filter t*|x| <= |y| <= |x|/t prunes
+    candidates before the verify joins. ``max_prefix_freq`` optionally
+    caps prefix posting lists for adversarial corpora (near-identical
+    docs make even rare-token postings hot); it trades recall and is
+    OFF by default because it breaks the exactness contract.
+    """
+    from .cache import track_cache
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    # ceil(t*n) in EXACT integer arithmetic: IEEE 0.8*5 is
+    # 4.0000000000000002, so a float F.ceil would overshoot to 5 at
+    # every exact-multiple boundary — shortening the prefix and
+    # silently breaking the completeness lemma. t is taken to micro
+    # precision (every realistic threshold is a short decimal).
+    t_micro = round(threshold * 1_000_000)
+
+    def ceil_t(ncol):
+        return ((ncol * F.lit(t_micro) + F.lit(999_999)) / F.lit(1_000_000)).cast(
+            "bigint"
+        )
+
+    idx = shingle_index(df, text_col, id_col, n, hashed=True).persist()
+    freq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
+    # rarest-first total order; the df join shuffles on shingle and is
+    # reused by nothing downstream, but the df table is corpus-sized
+    # (one row per distinct shingle) — never broadcastable; pin it
+    from pyspark.sql import Window
+
+    ranked = idx.join(freq.hint("shuffle_hash"), "shingle")
+    w_ord = Window.partitionBy("doc").orderBy("df_cnt", "shingle")
+    w_all = Window.partitionBy("doc")
+    ranked = ranked.select(
+        "doc",
+        "shingle",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_sh"),
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("n_sh") - ceil_t(F.col("n_sh")) + 1)
+    if max_prefix_freq is not None:
+        hot = freq.filter(F.col("df_cnt") > max_prefix_freq).select("shingle")
+        prefix = prefix.join(hot.hint("shuffle_hash"), "shingle", "left_anti")
+    posting = prefix.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc")).alias("docs")
+    )
+    pair_expr = (
+        "flatten(transform(docs, (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), y -> struct(x AS id_a, y AS id_b))))"
+    )
+    cands = (
+        posting.filter(F.size("docs") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    doc_sets = idx.groupBy("doc").agg(
+        F.sort_array(F.collect_list("shingle")).alias("sh_set"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    sa = doc_sets.select(
+        F.col("doc").alias("id_a"),
+        F.col("sh_set").alias("set_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = doc_sets.select(
+        F.col("doc").alias("id_b"),
+        F.col("sh_set").alias("set_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    # the candidate frame is the one that must never broadcast
+    # (O(candidates) off a stale post-agg estimate OOMed sf1 runs of
+    # the sibling jaccard_pairs); pin the doc-set build sides
+    verified = (
+        cands.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
+        # length filter: J >= t forces t <= n_a/n_b <= 1/t
+        .filter(
+            (F.col("n_b") >= ceil_t(F.col("n_a")))
+            & (F.col("n_a") >= ceil_t(F.col("n_b")))
+        )
+        .withColumn("common", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return track_cache(verified, idx)
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str,

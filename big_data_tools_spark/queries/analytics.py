@@ -839,3 +839,119 @@ def discount_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+_AB_SALT = "ab0"
+# DuckDB twin of the arm draw — built from the shared portable-md5
+# helper so Spark and the oracle assign identical arms per user
+from ..operators.sampling import sql_md5_uniform as _sql_u  # noqa: E402
+
+_AB_U = _sql_u("CAST(user_id AS VARCHAR)", _AB_SALT)
+
+
+@register(
+    "event_value_welch_ab",
+    sql=f"""
+    WITH assigned AS (
+        SELECT event_type,
+               CASE WHEN {_AB_U} < 0.5 THEN 1 ELSE 0 END AS in_a,
+               value
+        FROM events
+    ), sums AS (
+        SELECT event_type,
+               CAST(sum(in_a) AS DOUBLE) AS na,
+               CAST(count(*) - sum(in_a) AS DOUBLE) AS nb,
+               CAST(sum(CASE WHEN in_a = 1
+                    THEN CAST(round(value, 2) AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS sa,
+               CAST(sum(CASE WHEN in_a = 0
+                    THEN CAST(round(value, 2) AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS sb,
+               CAST(sum(CASE WHEN in_a = 1
+                    THEN CAST(round(value * value, 6) AS DECIMAL(28,8)) END)
+                    AS DOUBLE) AS qa,
+               CAST(sum(CASE WHEN in_a = 0
+                    THEN CAST(round(value * value, 6) AS DECIMAL(28,8)) END)
+                    AS DOUBLE) AS qb
+        FROM assigned GROUP BY event_type
+    ), welch AS (
+        SELECT event_type, na, nb, sa, sb,
+               (qa - sa * sa / na) / (na - 1) / na AS wa,
+               (qb - sb * sb / nb) / (nb - 1) / nb AS wb
+        FROM sums WHERE na > 1 AND nb > 1
+    )
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(sa / na, 6) AS mean_a, round(sb / nb, 6) AS mean_b,
+           round((sa / na - sb / nb) / sqrt(wa + wb), 6) AS t_stat,
+           round((wa + wb) * (wa + wb)
+                 / (wa * wa / (na - 1) + wb * wb / (nb - 1)), 6) AS df_welch
+    FROM welch
+    """,
+    doc="Welch two-sample t-test per event type — the A/B-experiment "
+    "evaluation primitive. Users split into deterministic arms by the "
+    "shared portable-md5 draw (operators/sampling.py md5_uniform, so "
+    "DuckDB assigns bit-identical arms); per arm the test needs only "
+    "(n, sum, sum-of-squares), all computed in ONE map-side-combining "
+    "aggregate with per-row quantization + exact decimal accumulation "
+    "(functions/agg.py policy) — t statistic and Welch-Satterthwaite "
+    "degrees of freedom are closed-form per group. Scale shape: one "
+    "shuffle at event_type grain regardless of fact cardinality; no "
+    "pivot, no second pass. Groups with an arm of size <2 are "
+    "excluded (variance undefined).",
+)
+def event_value_welch_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import md5_uniform
+
+    events = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    assigned = events.select(
+        "event_type",
+        F.when(
+            md5_uniform(F.col("user_id").cast("string"), _AB_SALT) < 0.5, 1
+        )
+        .otherwise(0)
+        .alias("in_a"),
+        v.alias("value"),
+    )
+    in_a = F.col("in_a") == 1
+    sums = assigned.groupBy("event_type").agg(
+        F.sum("in_a").cast("double").alias("na"),
+        (F.count(F.lit(1)) - F.sum("in_a")).cast("double").alias("nb"),
+        F.sum(F.when(in_a, F.round(v, 2).cast("decimal(18,2)")))
+        .cast("double")
+        .alias("sa"),
+        F.sum(F.when(~in_a, F.round(v, 2).cast("decimal(18,2)")))
+        .cast("double")
+        .alias("sb"),
+        F.sum(F.when(in_a, F.round(v * v, 6).cast("decimal(28,8)")))
+        .cast("double")
+        .alias("qa"),
+        F.sum(F.when(~in_a, F.round(v * v, 6).cast("decimal(28,8)")))
+        .cast("double")
+        .alias("qb"),
+    )
+    na, nb, sa, sb = F.col("na"), F.col("nb"), F.col("sa"), F.col("sb")
+    welch = sums.filter((na > 1) & (nb > 1)).select(
+        "event_type",
+        na,
+        nb,
+        sa,
+        sb,
+        ((F.col("qa") - sa * sa / na) / (na - 1) / na).alias("wa"),
+        ((F.col("qb") - sb * sb / nb) / (nb - 1) / nb).alias("wb"),
+    )
+    wa, wb = F.col("wa"), F.col("wb")
+    return welch.select(
+        "event_type",
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(sa / na, 6).alias("mean_a"),
+        F.round(sb / nb, 6).alias("mean_b"),
+        F.round((sa / na - sb / nb) / F.sqrt(wa + wb), 6).alias("t_stat"),
+        F.round(
+            (wa + wb) * (wa + wb)
+            / (wa * wa / (na - 1) + wb * wb / (nb - 1)),
+            6,
+        ).alias("df_welch"),
+    )

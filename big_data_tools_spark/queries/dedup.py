@@ -75,6 +75,48 @@ def dedup_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_jaccard_prefix",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id AS doc,
+               unnest(list_transform(generate_series(1, len(tokens) - 2),
+                      i -> array_to_string(tokens[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(tokens) >= 3
+    ), sizes AS (
+        SELECT doc, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc
+    ), common AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, CAST(count(*) AS BIGINT) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           common * 1.0 / (sa.n_sh + sb.n_sh - common) AS jaccard
+    FROM common
+    JOIN sizes sa ON id_a = sa.doc
+    JOIN sizes sb ON id_b = sb.doc
+    WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.7
+    """,
+    doc="EXACT threshold-Jaccard pairs via AllPairs/PPJoin prefix "
+    "filtering (Bayardo et al. WWW'07): candidates only from posting "
+    "lists of each doc's rarest (1-t) shingle-prefix, verified against "
+    "full shingle sets — no doc-frequency cap, so unlike "
+    "dedup_jaccard_pairs the reported Jaccard values are the true "
+    "uncapped ones (the oracle is the brute-force self-join). Prefix "
+    "arithmetic (ceil(t*n)) runs in exact integer micro-units — a "
+    "float ceil overshoots at every exact-multiple boundary (IEEE "
+    "0.8*5 = 4.0000000000000002) and silently breaks the completeness "
+    "lemma.",
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_prefix_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(d, "text", "doc_id", n=3, threshold=0.7)
+
+
+@register(
     "dedup_minhash_pairs",
     sql=None,  # MinHash seeds/banding are engine-specific; no SQL twin
     doc="MinHash+LSH near-dup pairs (north-star scale path), pure "

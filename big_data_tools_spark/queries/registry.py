@@ -71,9 +71,11 @@ _PRIORITY = [
     # surviving driver rows — custkey_overlap_setops,
     # customers_without_orders, fillna_policy, hours_parse — were
     # re-used for the four twins registered late in round 5, which
-    # would otherwise overflow the pending queue. The evicted four
-    # become cadence-mandatory again in r6; test_rotation enforces
-    # the 4-round union invariant. Three further doubly-evidenced
+    # would otherwise overflow the pending queue — as were two more
+    # (map_literal_parse, string_date_parse) for the prefix-Jaccard
+    # and Welch twins registered in the same continuation. The
+    # evicted six become cadence-mandatory again in r6; test_rotation
+    # enforces the 4-round union invariant. Three further doubly-evidenced
     # slots — regional_revenue, segment_pivot, status_recode_operator
     # — were re-used to seat the first never-driver-windowed
     # rows-only representatives (r4 VERDICT ask #4):
@@ -91,6 +93,7 @@ _PRIORITY = [
     "dedup_exact_docs",
     "dedup_incremental_ingest",  # pending_r4 drain
     "dedup_jaccard_pairs",
+    "dedup_jaccard_prefix",  # registered round 5 (late)
     "dedup_winnow_pairs",
     "discount_quantity_ols",  # registered round 5 (late)
     "doc_chunk_windows",
@@ -99,13 +102,13 @@ _PRIORITY = [
     "embedding_label_stats",
     "event_funnel",
     "event_sessions_builtin",
+    "event_value_welch_ab",  # registered round 5 (late)
     "events_multires_rollup",
     "events_props_extract",
     "knn_cosine_brute",
     "lang_id_confusion",
     "leakage_safe_corpus_split",  # pending_r4 drain
     "lineitem_metric_unpivot",
-    "map_literal_parse",
     "ml_train_eval",  # rows-only seating (never driver-windowed)
     "monthly_revenue_seasonality",  # pending_r4 drain
     "multimodal_features",  # rows-only seating (never driver-windowed)
@@ -123,7 +126,6 @@ _PRIORITY = [
     "segment_revenue_gini",  # registered round 5 (late)
     "source_mixture_plan",
     "streaming_corpus_ingest",  # rows-only seating (never driver-windowed)
-    "string_date_parse",
     "tfidf_top_terms",
     "token_shard_packing",
     "user_value_hourly_ffill",

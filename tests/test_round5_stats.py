@@ -203,3 +203,53 @@ def test_acf_calendar_lag_respects_date_gaps(spark):
     for lag, (n_pairs, acf) in want.items():
         assert got[lag][0] == n_pairs
         assert got[lag][1] == pytest.approx(acf, abs=1e-6)
+
+
+def test_welch_ab_matches_python_replication(spark):
+    """Arms come from the shared portable md5 draw — replicate it and
+    the quantized Welch arithmetic in Python on planted events. A
+    group whose arms can't both reach n>=2 must be excluded."""
+    import hashlib
+
+    def u01(uid: int) -> float:
+        h = int(hashlib.md5(f"{uid}|ab0".encode()).hexdigest()[:13], 16)
+        return (h + 1.0) / float((1 << 52) + 1)
+
+    rows, vals = [], {}
+    for uid in range(1, 25):
+        v = 3.0 + (uid % 7) * 1.25 + (0.5 if u01(uid) < 0.5 else 0.0)
+        rows.append((uid, "purchase", v))
+        vals.setdefault(u01(uid) < 0.5, []).append(v)
+    # a sparse group: three users, all in one arm or 2/1 split ->
+    # whichever arm has <2 members kills the group
+    sparse_uids = [u for u in range(100, 200) if u01(u) < 0.5][:1] + [
+        u for u in range(100, 200) if u01(u) >= 0.5
+    ][:2]
+    rows += [(u, "sparse", 1.0) for u in sparse_uids]
+    d = _plant(spark, {"events": (rows, "user_id long, event_type string, value double")})
+    try:
+        got = {r["event_type"]: r.asDict() for r in
+               get("event_value_welch_ab").fn(spark, d).collect()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert "sparse" not in got  # arm of size 1 -> variance undefined
+    r = got["purchase"]
+    a, b = vals[True], vals[False]
+    na, nb = float(len(a)), float(len(b))
+    sa, sb = sum(round(v, 2) for v in a), sum(round(v, 2) for v in b)
+    qa = sum(round(v * v, 6) for v in a)
+    qb = sum(round(v * v, 6) for v in b)
+    wa = (qa - sa * sa / na) / (na - 1) / na
+    wb = (qb - sb * sb / nb) / (nb - 1) / nb
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    assert r["mean_a"] == pytest.approx(round(sa / na, 6), abs=1e-9)
+    assert r["mean_b"] == pytest.approx(round(sb / nb, 6), abs=1e-9)
+    assert r["t_stat"] == pytest.approx(
+        round((sa / na - sb / nb) / (wa + wb) ** 0.5, 6), abs=1e-6
+    )
+    assert r["df_welch"] == pytest.approx(
+        round((wa + wb) ** 2 / (wa**2 / (na - 1) + wb**2 / (nb - 1)), 6),
+        abs=1e-6,
+    )
+    # the planted +0.5 arm-A lift must surface as a positive t
+    assert r["t_stat"] > 0
