@@ -121,10 +121,13 @@ HEADLINE = [
     "corpus_zipf_fit",
     "doc_bigram_backoff_nll",
     # round-5b: calendar-lag ACF (day-grain lag fan-out join — shuffle
-    # volume independent of fact cardinality) and the tie-closed-form
-    # Gini (value-group window over a two-level reduction)
+    # volume independent of fact cardinality), the tie-closed-form
+    # Gini (value-group window over a two-level reduction), and the
+    # prefix-filtered exact Jaccard (PPJoin candidate scheme — the
+    # uncapped-exactness counterpart of dedup_jaccard_pairs)
     "daily_revenue_acf",
     "segment_revenue_gini",
+    "dedup_jaccard_prefix",
 ]
 
 

@@ -264,3 +264,43 @@ def temperature_mixture_plan(
         )
     )
     return track_cache(out, counts)
+
+
+# Poisson(1) inverse CDF breakpoints, cumulative P(X <= k). Shared
+# double literals between the Spark expression and the DuckDB twin:
+# both engines compare the SAME md5 uniform against the SAME bits, so
+# bootstrap weights are engine-identical. P(X > 8) < 1.2e-6; the tail
+# clamps to 9.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+)
+
+
+def poisson1_weight(u):
+    """Deterministic Poisson(1) draw from a uniform — the per-row
+    resampling weight of the POISSON BOOTSTRAP (the scale-correct
+    bootstrap: no global resample indices, one independent weight per
+    (row, replicate), trivially distributed; Chamandy et al. 2012,
+    "Estimating Uncertainty for Massive Data Streams", Google TR).
+    Inverse-CDF via a fixed when-chain over shared double literals."""
+    expr = F.lit(9)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        expr = F.when(u <= F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(expr)
+    return expr.cast("int")
+
+
+def sql_poisson1_weight(u_expr: str) -> str:
+    """DuckDB twin of :func:`poisson1_weight` — identical breakpoint
+    literals (rendered via repr, bit-exact round-trip)."""
+    cases = " ".join(
+        f"WHEN ({u_expr}) <= {cdf!r} THEN {k}" for k, cdf in enumerate(_POIS1_CDF)
+    )
+    return f"(CASE {cases} ELSE 9 END)"

@@ -955,3 +955,123 @@ def event_value_welch_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("df_welch"),
     )
+
+
+_BOOT_B = 40  # replicates; nearest-rank 2.5%/97.5% -> sorted idx 1 and 39
+_BOOT_SALT = "boot0"
+
+
+def _boot_sql() -> str:
+    from ..operators.sampling import sql_md5_uniform, sql_poisson1_weight
+
+    u = sql_md5_uniform(
+        "CAST(o_orderkey AS VARCHAR) || '#' || CAST(b AS VARCHAR)", _BOOT_SALT
+    )
+    w = sql_poisson1_weight(u)
+    return f"""
+    WITH base AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2)) AS x,
+               o.o_orderkey
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), rep AS (
+        SELECT seg, x, o_orderkey,
+               CAST(unnest(range({_BOOT_B})) AS BIGINT) AS b
+        FROM base
+    ), weighted AS (
+        SELECT seg, b, x, {w} AS wt FROM rep
+    ), means AS (
+        SELECT seg, b,
+               CAST(sum(wt * x) AS DOUBLE) / CAST(sum(wt) AS DOUBLE) AS m
+        FROM weighted GROUP BY seg, b
+        HAVING sum(wt) > 0
+    ), stats AS (
+        SELECT seg, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(x) AS DOUBLE) / count(*) AS mean_rev
+        FROM base GROUP BY seg
+    ), cis AS (
+        SELECT seg, list_sort(list(m)) AS ms,
+               CAST(count(*) AS BIGINT) AS n_reps
+        FROM means GROUP BY seg
+    )
+    SELECT s.seg AS c_mktsegment, s.n_orders, c.n_reps,
+           round(s.mean_rev, 6) AS mean_revenue,
+           round(c.ms[1], 6) AS ci_lo,
+           round(c.ms[{_BOOT_B - 1}], 6) AS ci_hi
+    FROM stats s JOIN cis c ON s.seg = c.seg
+    """
+
+
+@register(
+    "segment_revenue_bootstrap_ci",
+    sql=_boot_sql(),
+    doc="95% bootstrap confidence interval for mean order value per "
+    "market segment via the POISSON BOOTSTRAP (Chamandy et al. 2012) "
+    "— the bootstrap that actually distributes: instead of resampling "
+    "indices (a global shuffle per replicate), every (row, replicate) "
+    "draws an independent Poisson(1) weight from the shared portable "
+    "md5 uniform, so all B=40 replicate means come from ONE bounded "
+    "40x fan-out + one map-side-combining aggregate at (segment, "
+    "replicate) grain. Weights and uniforms use shared double "
+    "literals, so DuckDB reproduces every replicate mean "
+    "bit-identically before the terminal rounding. Nearest-rank "
+    "2.5%/97.5% over the 40 sorted replicate means (a bounded array "
+    "per segment, never a global sort); replicates with zero total "
+    "weight (probability e^-n per segment) are excluded by both "
+    "engines. Scale shape: shuffle volume is |segments| x B rows "
+    "regardless of fact cardinality.",
+)
+def segment_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import md5_uniform, poisson1_weight
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    base = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round("o_totalprice", 2).cast("decimal(18,2)").alias("x"),
+            "o_orderkey",
+        )
+    )
+    rep = base.select(
+        "seg",
+        "x",
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = md5_uniform(
+        F.concat_ws(
+            "#", F.col("o_orderkey").cast("string"), F.col("b").cast("string")
+        ),
+        _BOOT_SALT,
+    )
+    weighted = rep.select("seg", "b", "x", poisson1_weight(u).alias("wt"))
+    means = (
+        weighted.groupBy("seg", "b")
+        .agg(
+            F.sum(F.col("wt") * F.col("x")).alias("wx"),
+            F.sum("wt").alias("wsum"),
+        )
+        .filter(F.col("wsum") > 0)
+        .select(
+            "seg",
+            (F.col("wx").cast("double") / F.col("wsum").cast("double")).alias("m"),
+        )
+    )
+    stats = base.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mean_rev"),
+    )
+    cis = means.groupBy("seg").agg(
+        F.sort_array(F.collect_list("m")).alias("ms"),
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+    )
+    return stats.join(cis, "seg").select(
+        F.col("seg").alias("c_mktsegment"),
+        "n_orders",
+        "n_reps",
+        F.round("mean_rev", 6).alias("mean_revenue"),
+        F.round(F.element_at("ms", 1), 6).alias("ci_lo"),
+        F.round(F.element_at("ms", _BOOT_B - 1), 6).alias("ci_hi"),
+    )

@@ -108,7 +108,6 @@ _PRIORITY = [
     "knn_cosine_brute",
     "lang_id_confusion",
     "leakage_safe_corpus_split",  # pending_r4 drain
-    "lineitem_metric_unpivot",
     "ml_train_eval",  # rows-only seating (never driver-windowed)
     "monthly_revenue_seasonality",  # pending_r4 drain
     "multimodal_features",  # rows-only seating (never driver-windowed)
@@ -123,6 +122,7 @@ _PRIORITY = [
     "purchase_last_click_asof",
     "referential_integrity_audit",  # pending_r4 drain
     "salted_status_rollup",
+    "segment_revenue_bootstrap_ci",  # registered round 5 (late)
     "segment_revenue_gini",  # registered round 5 (late)
     "source_mixture_plan",
     "streaming_corpus_ingest",  # rows-only seating (never driver-windowed)

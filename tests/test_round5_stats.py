@@ -253,3 +253,58 @@ def test_welch_ab_matches_python_replication(spark):
     )
     # the planted +0.5 arm-A lift must surface as a positive t
     assert r["t_stat"] > 0
+
+
+def test_bootstrap_ci_matches_python_replication(spark):
+    """Replicate the full Poisson-bootstrap pipeline in Python — md5
+    uniform, inverse-CDF weight, replicate means, nearest-rank CI —
+    on a planted single-segment orders table. The CI must bracket the
+    point mean, and every output value must match the replication."""
+    import hashlib
+
+    from big_data_tools_spark.operators.sampling import _POIS1_CDF
+    from big_data_tools_spark.queries.analytics import _BOOT_B, _BOOT_SALT
+
+    def u01(key: str) -> float:
+        h = int(hashlib.md5(f"{key}|{_BOOT_SALT}".encode()).hexdigest()[:13], 16)
+        return (h + 1.0) / float((1 << 52) + 1)
+
+    def pois(u: float) -> int:
+        for k, c in enumerate(_POIS1_CDF):
+            if u <= c:
+                return k
+        return 9
+
+    vals = {k: round(5.0 + (k % 11) * 2.5, 2) for k in range(1, 61)}
+    d = _plant(
+        spark,
+        {
+            "orders": (
+                [(k, 100 + k, v) for k, v in vals.items()],
+                "o_orderkey long, o_custkey long, o_totalprice double",
+            ),
+            "customer": (
+                [(100 + k, "S") for k in vals],
+                "c_custkey long, c_mktsegment string",
+            ),
+        },
+    )
+    try:
+        [r] = get("segment_revenue_bootstrap_ci").fn(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    means = []
+    for b in range(_BOOT_B):
+        ws = {k: pois(u01(f"{k}#{b}")) for k in vals}
+        tot = sum(ws.values())
+        if tot > 0:
+            means.append(sum(w * vals[k] for k, w in ws.items()) / tot)
+    means.sort()
+    assert r["n_orders"] == 60
+    assert r["n_reps"] == len(means)
+    point = sum(vals.values()) / len(vals)
+    assert r["mean_revenue"] == pytest.approx(round(point, 6), abs=1e-9)
+    assert r["ci_lo"] == pytest.approx(round(means[0], 6), abs=1e-6)
+    assert r["ci_hi"] == pytest.approx(round(means[_BOOT_B - 2], 6), abs=1e-6)
+    assert r["ci_lo"] < r["mean_revenue"] < r["ci_hi"]
