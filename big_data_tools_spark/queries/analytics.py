@@ -1075,3 +1075,73 @@ def segment_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("ms", 1), 6).alias("ci_lo"),
         F.round(F.element_at("ms", _BOOT_B - 1), 6).alias("ci_hi"),
     )
+
+
+@register(
+    "event_type_hour_mutual_info",
+    sql=f"""
+    WITH joint AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), marg AS (
+        SELECT event_type, hr, n,
+               sum(n) OVER (PARTITION BY event_type) AS nx,
+               sum(n) OVER (PARTITION BY hr) AS ny,
+               sum(n) OVER () AS t
+        FROM joint
+    ), terms AS (
+        SELECT event_type, hr, n,
+               round((n * 1.0 / t)
+                     * round(ln((n * 1.0 * t) / (nx * 1.0 * ny)), 6)
+                     / {0.6931471805599453!r}, 8) AS term,
+               round(round(ln((n * 1.0 * t) / (nx * 1.0 * ny)), 6)
+                     / {0.6931471805599453!r}, 6) AS pmi_bits
+        FROM marg
+    )
+    SELECT event_type, hr, n, pmi_bits,
+           round(CAST((SELECT sum(CAST(t2.term AS DECIMAL(28,10)))
+                       FROM terms t2) AS DOUBLE), 6) AS mi_bits
+    FROM terms
+    """,
+    doc="Mutual information between event type and hour-of-day in "
+    "bits — the does-behavior-depend-on-time-of-day audit (MI = 0 iff "
+    "independent; the information-theoretic complement of "
+    "lang_source_chi2's significance test and event_entropy_rate's "
+    "sequence predictability). Joint counts reduce to the "
+    "|event_types| x 24 grain in one map-side-combining aggregate; "
+    "marginals are window sums OVER THAT GRID (bounded, never the "
+    "fact table); per-cell pointwise MI and the decimal-summed total "
+    "use the entropy-rate quantization policy (ln to 6dp, terms to "
+    "8dp) so DuckDB hash-matches bit-for-bit.",
+)
+def event_type_hour_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    joint = events.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    marg = joint.select(
+        "event_type",
+        "hr",
+        "n",
+        F.sum("n").over(Window.partitionBy("event_type")).alias("nx"),
+        F.sum("n").over(Window.partitionBy("hr")).alias("ny"),
+        F.sum("n").over(Window.partitionBy()).alias("t"),
+    )
+    n, nx, ny, t = F.col("n"), F.col("nx"), F.col("ny"), F.col("t")
+    lratio = F.round(F.log((n * t) / (nx * ny)), 6)
+    terms = marg.select(
+        "event_type",
+        "hr",
+        "n",
+        F.round((n / t) * lratio / F.lit(_LN2), 8).alias("term"),
+        F.round(lratio / F.lit(_LN2), 6).alias("pmi_bits"),
+    )
+    total = terms.agg(
+        F.round(
+            F.sum(F.col("term").cast("decimal(28,10)")).cast("double"), 6
+        ).alias("mi_bits")
+    )
+    return terms.select("event_type", "hr", "n", "pmi_bits").crossJoin(
+        F.broadcast(total)
+    )

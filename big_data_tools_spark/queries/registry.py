@@ -102,9 +102,9 @@ _PRIORITY = [
     "embedding_label_stats",
     "event_funnel",
     "event_sessions_builtin",
+    "event_type_hour_mutual_info",  # registered round 5 (late)
     "event_value_welch_ab",  # registered round 5 (late)
     "events_multires_rollup",
-    "events_props_extract",
     "knn_cosine_brute",
     "lang_id_confusion",
     "leakage_safe_corpus_split",  # pending_r4 drain

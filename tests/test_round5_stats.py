@@ -308,3 +308,44 @@ def test_bootstrap_ci_matches_python_replication(spark):
     assert r["ci_lo"] == pytest.approx(round(means[0], 6), abs=1e-6)
     assert r["ci_hi"] == pytest.approx(round(means[_BOOT_B - 2], 6), abs=1e-6)
     assert r["ci_lo"] < r["mean_revenue"] < r["ci_hi"]
+
+
+def test_mutual_info_planted_extremes(spark):
+    """Independent planted grid -> MI = 0 and every PMI = 0;
+    perfectly type<->hour dependent grid -> MI = 1 bit with PMI
+    +1 on the diagonal."""
+    ts0 = datetime.datetime(2024, 1, 1, 0, 30)
+    ts1 = datetime.datetime(2024, 1, 1, 1, 30)
+
+    def plant(rows):
+        return _plant(
+            spark,
+            {
+                "events": (
+                    [(i, t, ts) for i, (t, ts) in enumerate(rows)],
+                    "event_id long, event_type string, ts timestamp",
+                )
+            },
+        )
+
+    # independent: every (type, hour) cell has 5 events
+    rows = [(t, ts) for t in ("a", "b") for ts in (ts0, ts1) for _ in range(5)]
+    d = plant(rows)
+    try:
+        out = get("event_type_hour_mutual_info").fn(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert len(out) == 4
+    assert all(r["mi_bits"] == 0.0 and r["pmi_bits"] == 0.0 for r in out)
+
+    # dependent: type a only in hour 0, type b only in hour 1
+    rows = [("a", ts0)] * 6 + [("b", ts1)] * 6
+    d = plant(rows)
+    try:
+        out = get("event_type_hour_mutual_info").fn(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert len(out) == 2
+    for r in out:
+        assert r["mi_bits"] == pytest.approx(1.0, abs=1e-5)
+        assert r["pmi_bits"] == pytest.approx(1.0, abs=1e-5)
