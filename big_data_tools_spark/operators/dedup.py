@@ -236,15 +236,32 @@ def jaccard_prefix_pairs(
     if max_prefix_freq is not None:
         hot = freq.filter(F.col("df_cnt") > max_prefix_freq).select("shingle")
         prefix = prefix.join(hot.hint("shuffle_hash"), "shingle", "left_anti")
-    posting = prefix.groupBy("shingle").agg(
-        F.sort_array(F.collect_list("doc")).alias("docs")
-    )
+    # posting lists keep each doc's prefix POSITION and size so pair
+    # expansion can apply PPJoin's positional filter (Xiao et al.
+    # WWW'08 Lemma 2): for a pair's FIRST shared prefix token (no
+    # common token precedes it in the global order), the achievable
+    # overlap is at most 1 + min(|x| - rn_x, |y| - rn_y), while
+    # J >= t needs overlap >= ceil(t/(1+t) * (|x|+|y|)). A pair
+    # survives if ANY of its shared-token occurrences passes — the
+    # first-shared occurrence always does for a true pair, so the
+    # prune is lossless; it cuts the candidate set BEFORE the verify
+    # joins (the expensive stage on high-df corpora). alpha is exact
+    # integer arithmetic for the same reason as ceil_t.
+    alpha_den = 1_000_000 + t_micro
     pair_expr = (
-        "flatten(transform(docs, (x, i) -> "
-        "transform(slice(docs, i + 2, size(docs)), y -> struct(x AS id_a, y AS id_b))))"
+        "flatten(transform(ds, (x, i) -> "
+        "filter(transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x.doc AS id_a, y.doc AS id_b, "
+        "CAST(1 + least(x.n_sh - x.rn, y.n_sh - y.rn) AS BIGINT) AS ub, "
+        f"CAST(({t_micro} * (x.n_sh + y.n_sh) + {alpha_den - 1}) "
+        f"/ {alpha_den} AS BIGINT) AS alpha)), "
+        "s -> s.ub >= s.alpha)))"
+    )
+    posting = prefix.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("doc", "rn", "n_sh"))).alias("ds")
     )
     cands = (
-        posting.filter(F.size("docs") > 1)
+        posting.filter(F.size("ds") > 1)
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
