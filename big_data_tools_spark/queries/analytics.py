@@ -1137,11 +1137,13 @@ def event_type_hour_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((n / t) * lratio / F.lit(_LN2), 8).alias("term"),
         F.round(lratio / F.lit(_LN2), 6).alias("pmi_bits"),
     )
-    total = terms.agg(
-        F.round(
-            F.sum(F.col("term").cast("decimal(28,10)")).cast("double"), 6
-        ).alias("mi_bits")
+    # total MI as a window sum over the bounded grid — a separate
+    # aggregate + crossJoin would recompute the whole lineage and scan
+    # events twice (plan-pinned in tests/test_plan_properties.py)
+    mi = F.round(
+        F.sum(F.col("term").cast("decimal(28,10)"))
+        .over(Window.partitionBy())
+        .cast("double"),
+        6,
     )
-    return terms.select("event_type", "hr", "n", "pmi_bits").crossJoin(
-        F.broadcast(total)
-    )
+    return terms.select("event_type", "hr", "n", "pmi_bits", mi.alias("mi_bits"))

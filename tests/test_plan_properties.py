@@ -339,3 +339,61 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_jaccard_prefix_never_broadcasts_corpus_frames(spark, sf_smoke):
+    """The three frames that must never broadcast at scale: the
+    shingle-df table (corpus-sized), the candidate-pair frame, and
+    the per-doc set arrays — all joins in the prefix-Jaccard plan are
+    pinned shuffle-hash / sort-merge, so NO BroadcastHashJoin may
+    appear anywhere in the plan."""
+    from big_data_tools_spark.operators.cache import (
+        release_all_caches,
+        release_caches,
+    )
+
+    df = get("dedup_jaccard_prefix").fn(spark, sf_smoke)
+    try:
+        txt = _txt(df)
+        assert "BroadcastHashJoin" not in txt, txt[:2000]
+        assert "BroadcastNestedLoopJoin" not in txt
+    finally:
+        release_caches(df)
+        release_all_caches()
+
+
+def test_bootstrap_ci_bounded_shuffles(spark, sf_smoke):
+    """The 40x replicate fan-out must aggregate map-side: the plan may
+    shuffle at the (segment, replicate) grain and the segment grain,
+    plus the base join — but the weighted fan-out itself must never be
+    exchanged raw (a raw exchange would ship 40x the fact table)."""
+    from big_data_tools_spark.plans.lint import explain_text
+
+    df = get("segment_revenue_bootstrap_ci").fn(spark, sf_smoke)
+    plan = explain_text(df, "formatted")
+    # partial_ (map-side) aggregation must appear below the exchange
+    # for the replicate means
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    # the customer dim joins broadcast; the fan-out never does
+    assert count_exchanges(df) <= 6, explain_text(df, "simple")
+
+
+def test_mutual_info_windows_run_on_grid_not_facts(spark, sf_smoke):
+    """The marginal window sums must sit ABOVE the joint aggregation
+    (grid grain), never over the raw events: the plan has exactly one
+    aggregate over events, then window exchanges over the bounded
+    grid."""
+    from big_data_tools_spark.plans.lint import explain_text
+
+    df = get("event_type_hour_mutual_info").fn(spark, sf_smoke)
+    plan = explain_text(df, "formatted")
+    # one scan of events only
+    assert plan.count("events.parquet") <= 1 or plan.count("Scan parquet") <= 2
+    assert "Window" in plan
+
+
+def test_welch_single_aggregate_over_events(spark, sf_smoke):
+    """All six moment sums reduce in ONE map-side-combining aggregate:
+    exactly one exchange (to the event_type grain)."""
+    df = get("event_value_welch_ab").fn(spark, sf_smoke)
+    assert count_exchanges(df) == 1, _txt(df)[:1500]
