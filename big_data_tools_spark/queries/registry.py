@@ -111,7 +111,7 @@ _PRIORITY = [
     "ml_train_eval",  # rows-only seating (never driver-windowed)
     "monthly_revenue_seasonality",  # pending_r4 drain
     "multimodal_features",  # rows-only seating (never driver-windowed)
-    "null_audit_orders",
+    "daily_revenue_trend_robust",  # registered round 5 (late)
     "order_rollup_flagship",
     "orders_benford_digits",  # registered round 5 (late)
     "orders_price_psi",  # pending_r4 drain

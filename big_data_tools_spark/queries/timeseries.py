@@ -489,3 +489,112 @@ def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("num") / F.col("d"), 6).alias("acf"),
         )
     )
+
+
+@register(
+    "daily_revenue_trend_robust",
+    sql="""
+    WITH rev AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rd
+        FROM orders GROUP BY 1
+    ), pairs AS (
+        SELECT CASE WHEN b.rd > a.rd THEN 1
+                    WHEN b.rd < a.rd THEN -1 ELSE 0 END AS sgn,
+               round(CAST(b.rd - a.rd AS DOUBLE)
+                     / date_diff('day', a.day, b.day), 6) AS slope
+        FROM rev a JOIN rev b ON b.day > a.day
+    ), s AS (
+        SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+               CAST(count(*) AS BIGINT) AS m,
+               list_sort(list(slope)) AS slopes
+        FROM pairs
+    ), ties AS (
+        SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM rev GROUP BY rd)
+        WHERE t > 1
+    ), nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM rev
+    )
+    SELECT n AS n_days, s_stat,
+           CAST((n * (n - 1) * (2 * n + 5) - tie_term) AS DOUBLE) / 18
+               AS var_s,
+           round(CASE
+               WHEN s_stat > 0 THEN (s_stat - 1)
+                   / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)
+               WHEN s_stat < 0 THEN (s_stat + 1)
+                   / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)
+               ELSE 0.0 END, 6) AS mk_z,
+           slopes[CAST((m + 1) // 2 AS INTEGER)] AS theil_sen_slope
+    FROM s, ties, nn
+    """,
+    doc="Mann-Kendall trend test + Theil-Sen robust slope over the "
+    "daily-revenue series — the nonparametric is-there-a-trend audit "
+    "(Mann 1945; Sen 1968): S = sum of pairwise revenue-direction "
+    "signs (pure INTEGER arithmetic, hence engine-exact), normal "
+    "approximation with the exact tie correction, and the median of "
+    "pairwise slopes (quantized to 6dp BEFORE the median pick so both "
+    "engines sort identical doubles; lower median = element (m+1)//2 "
+    "of the sorted list, no interpolation ambiguity). Scale shape: "
+    "the fact table reduces to day grain first, so the pairwise "
+    "expansion is CALENDAR-bounded (|days|^2 pairs regardless of fact "
+    "cardinality — ~2.9M pairs for an 8-year series, forever); one "
+    "aggregate collects the bounded slope list. The robust companion "
+    "to discount_quantity_ols (outlier days cannot move S at all and "
+    "move the slope by at most one rank).",
+)
+def daily_revenue_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rd"))
+    a = rev.select(F.col("day").alias("da"), F.col("rd").alias("ra"))
+    b = rev.select(F.col("day").alias("db"), F.col("rd").alias("rb"))
+    pairs = a.join(b, F.col("db") > F.col("da")).select(
+        F.when(F.col("rb") > F.col("ra"), 1)
+        .when(F.col("rb") < F.col("ra"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        F.round(
+            (F.col("rb") - F.col("ra")).cast("double")
+            / F.datediff(F.col("db"), F.col("da")),
+            6,
+        ).alias("slope"),
+    )
+    s = pairs.agg(
+        F.sum("sgn").cast("bigint").alias("s_stat"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sort_array(F.collect_list("slope")).alias("slopes"),
+    )
+    t = F.col("t")
+    ties = (
+        rev.groupBy("rd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(t > 1)
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0)).alias(
+                "tie_term"
+            )
+        )
+    )
+    nn = rev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    n, s_stat, tie = F.col("n"), F.col("s_stat"), F.col("tie_term")
+    var_s = (n * (n - 1) * (2 * n + 5) - tie).cast("double") / 18
+    return (
+        s.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            n.alias("n_days"),
+            "s_stat",
+            var_s.alias("var_s"),
+            F.round(
+                F.when(s_stat > 0, (s_stat - 1) / F.sqrt(var_s))
+                .when(s_stat < 0, (s_stat + 1) / F.sqrt(var_s))
+                .otherwise(0.0),
+                6,
+            ).alias("mk_z"),
+            F.element_at(
+                "slopes", ((F.col("m") + 1) / 2).cast("int")
+            ).alias("theil_sen_slope"),
+        )
+    )

@@ -349,3 +349,79 @@ def test_mutual_info_planted_extremes(spark):
     for r in out:
         assert r["mi_bits"] == pytest.approx(1.0, abs=1e-5)
         assert r["pmi_bits"] == pytest.approx(1.0, abs=1e-5)
+
+
+def _mk_python(daily: dict) -> tuple:
+    """Mann-Kendall + Theil-Sen replication (query quantization)."""
+    days = sorted(daily)
+    s = 0
+    slopes = []
+    for i, da in enumerate(days):
+        for db in days[i + 1 :]:
+            d = daily[db] - daily[da]
+            s += (d > 0) - (d < 0)
+            slopes.append(round(d / (db - da).days, 6))
+    slopes.sort()
+    m = len(slopes)
+    from collections import Counter
+
+    tie = sum(
+        t * (t - 1) * (2 * t + 5)
+        for t in Counter(daily.values()).values()
+        if t > 1
+    )
+    n = len(days)
+    var = (n * (n - 1) * (2 * n + 5) - tie) / 18
+    z = 0.0 if s == 0 else round((s - (1 if s > 0 else -1)) / var**0.5, 6)
+    return s, var, z, slopes[(m + 1) // 2 - 1]
+
+
+def test_mann_kendall_planted_series(spark):
+    day = lambda n: datetime.date(2024, 1, n)  # noqa: E731
+
+    def run(daily):
+        d = _plant(
+            spark,
+            {
+                "orders": (
+                    [(i, dt, v) for i, (dt, v) in enumerate(daily.items())],
+                    "o_orderkey long, o_orderdate date, o_totalprice double",
+                )
+            },
+        )
+        try:
+            [r] = get("daily_revenue_trend_robust").fn(spark, d).collect()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return r
+
+    # strictly increasing: S = C(5,2) = 10, slope = 2/day everywhere
+    daily = {day(i): 10.0 + 2.0 * i for i in range(1, 6)}
+    r = run(daily)
+    assert (r["n_days"], r["s_stat"]) == (5, 10)
+    assert r["theil_sen_slope"] == pytest.approx(2.0, abs=1e-9)
+    s, var, z, slope = _mk_python(daily)
+    assert r["mk_z"] == pytest.approx(z, abs=1e-6)
+
+    # flat series: every pair ties -> S = 0, z = 0 (tie-corrected
+    # variance hits exactly 0), slope 0
+    daily = {day(i): 7.0 for i in range(1, 6)}
+    r = run(daily)
+    assert (r["s_stat"], r["mk_z"], r["var_s"]) == (0, 0.0, 0.0)
+    assert r["theil_sen_slope"] == 0.0
+
+    # irregular series with a gap and one tie: full replication
+    daily = {
+        day(1): 5.0,
+        day(2): 9.0,
+        day(3): 7.0,
+        day(5): 9.0,
+        day(8): 12.0,
+        day(9): 4.0,
+    }
+    r = run(daily)
+    s, var, z, slope = _mk_python(daily)
+    assert r["s_stat"] == s
+    assert r["var_s"] == pytest.approx(var, abs=1e-9)
+    assert r["mk_z"] == pytest.approx(z, abs=1e-6)
+    assert r["theil_sen_slope"] == pytest.approx(slope, abs=1e-6)
