@@ -1147,3 +1147,141 @@ def event_type_hour_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return terms.select("event_type", "hr", "n", "pmi_bits", mi.alias("mi_bits"))
+
+
+@register(
+    "monthly_forecast_accuracy",
+    sql=f"""
+    WITH RECURSIVE m AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS y
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT month, y, row_number() OVER (ORDER BY month) AS rn FROM m
+    ), nn AS (SELECT max(rn) AS mx FROM s),
+    rec AS (
+        SELECT 1 AS rn,
+               CAST(round((SELECT y FROM s WHERE rn = 1) * 1000000)
+                    AS BIGINT) AS l_u,
+               CAST(round(((SELECT y FROM s WHERE rn = 2)
+                           - (SELECT y FROM s WHERE rn = 1)) * 1000000)
+                    AS BIGINT) AS b_u,
+               CAST(0 AS BIGINT) AS se_u, CAST(0 AS BIGINT) AS sn_u,
+               CAST(0 AS BIGINT) AS ss_u,
+               (SELECT y FROM s WHERE rn = 1) AS py
+        UNION ALL
+        SELECT r.rn + 1,
+               CAST(round((CAST({_HOLT_ALPHA!r} AS DOUBLE) * sy.y
+                           + CAST({1 - _HOLT_ALPHA!r} AS DOUBLE)
+                             * ((r.l_u + r.b_u) / 1000000.0)) * 1000000)
+                    AS BIGINT),
+               CAST(round((CAST({_HOLT_BETA!r} AS DOUBLE)
+                           * ((CAST(round((CAST({_HOLT_ALPHA!r} AS DOUBLE) * sy.y
+                                + CAST({1 - _HOLT_ALPHA!r} AS DOUBLE)
+                                  * ((r.l_u + r.b_u) / 1000000.0)) * 1000000)
+                               AS BIGINT) - r.l_u) / 1000000.0)
+                           + CAST({1 - _HOLT_BETA!r} AS DOUBLE)
+                             * (r.b_u / 1000000.0)) * 1000000)
+                    AS BIGINT),
+               r.se_u + CAST(round(abs(sy.y - (r.l_u + r.b_u) / 1000000.0)
+                                   * 1000000) AS BIGINT),
+               r.sn_u + CAST(round(abs(sy.y - r.py) * 1000000) AS BIGINT),
+               r.ss_u + CASE WHEN abs(sy.y)
+                                  + abs((r.l_u + r.b_u) / 1000000.0) = 0
+                     THEN 0 ELSE CAST(round(
+                          2 * abs(sy.y - (r.l_u + r.b_u) / 1000000.0)
+                          / (abs(sy.y) + abs((r.l_u + r.b_u) / 1000000.0))
+                          * 100000000) AS BIGINT) END,
+               sy.y
+        FROM rec r JOIN s sy ON sy.rn = r.rn + 1
+    )
+    SELECT CAST(nn.mx - 1 AS BIGINT) AS n_steps,
+           rec.se_u / 1000000.0 / (nn.mx - 1) AS mae,
+           rec.sn_u / 1000000.0 / (nn.mx - 1) AS naive_mae,
+           rec.se_u * 1.0 / rec.sn_u AS mase,
+           rec.ss_u / 100000000.0 / (nn.mx - 1) AS smape
+    FROM rec, nn WHERE rec.rn = nn.mx AND nn.mx >= 2
+    """,
+    doc="In-sample one-step-ahead accuracy audit of the Holt forecast "
+    "(same alpha/beta and trend init as monthly_revenue_forecast): "
+    "MAE, the naive last-value baseline MAE, MASE = MAE/naive-MAE "
+    "(Hyndman & Koehler 2006 — MASE < 1 means the model beats the "
+    "naive forecast), and sMAPE. Float policy learned the hard way: "
+    "the ENTIRE recurrence runs in integer micro-units (level/trend "
+    "as 1e-6 bigints, error sums as 1e-6/1e-8 bigints) because "
+    "scale-6 decimal rounds diverge by one ulp between engines at "
+    "decimal boundaries (Spark rounds the exact binary expansion, "
+    "DuckDB rounds the x*10^6 product), while SCALE-0 rounds of the "
+    "same double are engine-consistent; outputs are raw quotients of "
+    "exact integers (IEEE division is correctly rounded), so the "
+    "twin is bit-identical with no terminal rounding at all. Scale "
+    "shape identical to the forecast: one distributed shuffle to "
+    "month grain, then a single-row F.aggregate fold. Note e_2 = 0 "
+    "by construction (the trend initializes to y2 - y1).",
+)
+def monthly_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("month")
+    ).agg(money_sum(F.col("o_totalprice")).cast("double").alias("y"))
+    agged = m.agg(
+        F.array_sort(F.collect_list(F.struct("month", "y"))).alias("s")
+    ).filter(F.size("s") >= 2)
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    first = F.element_at(F.col("s"), 1)["y"]
+    second = F.element_at(F.col("s"), 2)["y"]
+    M = F.lit(1_000_000.0)
+    init = F.struct(
+        F.round(first * M).cast("long").alias("l_u"),
+        F.round((second - first) * M).cast("long").alias("b_u"),
+        F.lit(0).cast("long").alias("se_u"),
+        F.lit(0).cast("long").alias("sn_u"),
+        F.lit(0).cast("long").alias("ss_u"),
+        first.alias("py"),
+    )
+    rest = F.slice(F.col("s"), 2, F.greatest(F.size("s") - 1, F.lit(0)))
+
+    def _step(acc, x):
+        pred = (acc["l_u"] + acc["b_u"]) / M
+        e_u = F.round(F.abs(x["y"] - pred) * M).cast("long")
+        naive_u = F.round(F.abs(x["y"] - acc["py"]) * M).cast("long")
+        den = F.abs(x["y"]) + F.abs(pred)
+        sm_u = F.when(den == 0, F.lit(0).cast("long")).otherwise(
+            F.round(
+                F.lit(2.0) * F.abs(x["y"] - pred) / den * F.lit(100_000_000.0)
+            ).cast("long")
+        )
+        new_l_u = (
+            F.round((F.lit(a) * x["y"] + F.lit(1 - a) * pred) * M).cast("long")
+        )
+        new_b_u = F.round(
+            (
+                F.lit(b) * ((new_l_u - acc["l_u"]) / M)
+                + F.lit(1 - b) * (acc["b_u"] / M)
+            )
+            * M
+        ).cast("long")
+        return F.struct(
+            new_l_u.alias("l_u"),
+            new_b_u.alias("b_u"),
+            (acc["se_u"] + e_u).alias("se_u"),
+            (acc["sn_u"] + naive_u).alias("sn_u"),
+            (acc["ss_u"] + sm_u).alias("ss_u"),
+            x["y"].alias("py"),
+        )
+
+    folded = agged.select(
+        F.aggregate(rest, init, _step).alias("st"),
+        (F.size("s") - 1).cast("bigint").alias("n_steps"),
+    )
+    st, k = F.col("st"), F.col("n_steps")
+    return folded.select(
+        "n_steps",
+        (st["se_u"] / M / k).alias("mae"),
+        (st["sn_u"] / M / k).alias("naive_mae"),
+        (st["se_u"] / st["sn_u"]).alias("mase"),
+        (st["ss_u"] / F.lit(100_000_000.0) / k).alias("smape"),
+    )

@@ -109,6 +109,7 @@ _PRIORITY = [
     "lang_id_confusion",
     "leakage_safe_corpus_split",  # pending_r4 drain
     "ml_train_eval",  # rows-only seating (never driver-windowed)
+    "monthly_forecast_accuracy",  # registered round 5 (late)
     "monthly_revenue_seasonality",  # pending_r4 drain
     "multimodal_features",  # rows-only seating (never driver-windowed)
     "daily_revenue_trend_robust",  # registered round 5 (late)
@@ -116,7 +117,6 @@ _PRIORITY = [
     "orders_benford_digits",  # registered round 5 (late)
     "orders_price_psi",  # pending_r4 drain
     "part_copurchase_pagerank",  # pending_r4 drain
-    "part_like_filter",
     "pretraining_corpus_pipeline",
     "purchase_click_window",
     "purchase_last_click_asof",

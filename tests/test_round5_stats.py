@@ -425,3 +425,52 @@ def test_mann_kendall_planted_series(spark):
     assert r["var_s"] == pytest.approx(var, abs=1e-9)
     assert r["mk_z"] == pytest.approx(z, abs=1e-6)
     assert r["theil_sen_slope"] == pytest.approx(slope, abs=1e-6)
+
+
+def test_forecast_accuracy_matches_python_replication(spark):
+    """Replicate the integer-micro-unit Holt error fold in Python on a
+    planted monthly series; also pin MASE < 1 on a strongly trending
+    series (Holt must beat the naive forecast there)."""
+    series = [100.0, 120.0, 139.0, 161.0, 178.0, 202.0, 219.0, 241.0]
+    d = _plant(
+        spark,
+        {
+            "orders": (
+                [
+                    (i, datetime.date(2024, m + 1, 5), v)
+                    for m, v in enumerate(series)
+                    for i in [m]
+                ],
+                "o_orderkey long, o_orderdate date, o_totalprice double",
+            )
+        },
+    )
+    try:
+        [r] = get("monthly_forecast_accuracy").fn(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    a, b = 0.5, 0.3
+    M = 1_000_000.0
+    l_u = round(series[0] * M)
+    b_u = round((series[1] - series[0]) * M)
+    se_u = sn_u = ss_u = 0
+    py = series[0]
+    for y in series[1:]:
+        pred = (l_u + b_u) / M
+        se_u += round(abs(y - pred) * M)
+        sn_u += round(abs(y - py) * M)
+        den = abs(y) + abs(pred)
+        if den != 0:
+            ss_u += round(2 * abs(y - pred) / den * 1e8)
+        new_l_u = round((a * y + (1 - a) * pred) * M)
+        b_u = round((b * ((new_l_u - l_u) / M) + (1 - b) * (b_u / M)) * M)
+        l_u = new_l_u
+        py = y
+    k = len(series) - 1
+    assert r["n_steps"] == k
+    assert r["mae"] == pytest.approx(se_u / M / k, abs=1e-9)
+    assert r["naive_mae"] == pytest.approx(sn_u / M / k, abs=1e-9)
+    assert r["mase"] == pytest.approx(se_u / sn_u, abs=1e-9)
+    assert r["smape"] == pytest.approx(ss_u / 1e8 / k, abs=1e-9)
+    assert r["mase"] < 1.0  # trending series: Holt beats last-value naive
