@@ -391,3 +391,126 @@ def discount_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_pct")
         .agg(F.count(F.lit(1)).alias("n_items"), dsum(F.col("rev")).alias("revenue"))
     )
+
+
+@register(
+    "discount_quantity_spearman",
+    sql="""
+    WITH cells AS (
+        SELECT l_returnflag AS g, l_discount AS x, l_quantity AS y,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2, 3
+    ), xv AS (
+        SELECT g, x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY g, x
+    ), yv AS (
+        SELECT g, y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY g, y
+    ), xr AS (
+        SELECT g, x,
+               2 * (sum(cx) OVER (PARTITION BY g ORDER BY x
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - cx) + cx + 1 AS r2x
+        FROM xv
+    ), yr AS (
+        SELECT g, y,
+               2 * (sum(cy) OVER (PARTITION BY g ORDER BY y
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - cy) + cy + 1 AS r2y
+        FROM yv
+    ), m AS (
+        SELECT c.g,
+               CAST(sum(c.c) AS DOUBLE) AS n,
+               CAST(sum(CAST(c.c AS HUGEINT) * xr.r2x) AS DOUBLE) AS sx,
+               CAST(sum(CAST(c.c AS HUGEINT) * yr.r2y) AS DOUBLE) AS sy,
+               CAST(sum(CAST(c.c AS HUGEINT) * xr.r2x * xr.r2x) AS DOUBLE)
+                   AS sxx,
+               CAST(sum(CAST(c.c AS HUGEINT) * yr.r2y * yr.r2y) AS DOUBLE)
+                   AS syy,
+               CAST(sum(CAST(c.c AS HUGEINT) * xr.r2x * yr.r2y) AS DOUBLE)
+                   AS sxy
+        FROM cells c
+        JOIN xr ON c.g = xr.g AND c.x = xr.x
+        JOIN yr ON c.g = yr.g AND c.y = yr.y
+        GROUP BY c.g
+    )
+    SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_lines,
+           (n * sxy - sx * sy)
+               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+               AS spearman_rho
+    FROM m
+    """,
+    doc="Grouped Spearman rank correlation (discount vs quantity per "
+    "return flag) — the outlier-robust companion to "
+    "discount_quantity_ols and returnflag_price_corr. NO global rank "
+    "window over the fact table: tie-aware average ranks come from a "
+    "cumulative-count window over the DISTINCT-VALUE grain (the "
+    "doc_quality_auc / segment_revenue_gini trick), held in integer "
+    "HALF-units (2*rank = 2*cum_before + count + 1) so every rank is "
+    "exact; rho is Pearson over (joint-cell count x half-rank) "
+    "moments, scale-invariant so the half-units cancel. Moment terms "
+    "reach ~4n^3 (> int64 at sf1), so they accumulate as int128/"
+    "DECIMAL(38) exact integers on both engines before ONE terminal "
+    "cast to double; rho itself is raw IEEE arithmetic on those "
+    "identical doubles — no terminal decimal rounding (the "
+    "monthly_forecast_accuracy lemma). Scale shape: one fact shuffle "
+    "to the joint-value grain; everything after runs on "
+    "|distinct x| x |distinct y| cells per group.",
+)
+def discount_quantity_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_discount").alias("x"),
+        F.col("l_quantity").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    xv = cells.groupBy("g", "x").agg(F.sum("c").cast("bigint").alias("cx"))
+    yv = cells.groupBy("g", "y").agg(F.sum("c").cast("bigint").alias("cy"))
+    wx = (
+        Window.partitionBy("g")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wy = (
+        Window.partitionBy("g")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    xr = xv.select(
+        "g",
+        "x",
+        (2 * (F.sum("cx").over(wx) - F.col("cx")) + F.col("cx") + 1).alias(
+            "r2x"
+        ),
+    )
+    yr = yv.select(
+        "g",
+        "y",
+        (2 * (F.sum("cy").over(wy) - F.col("cy")) + F.col("cy") + 1).alias(
+            "r2y"
+        ),
+    )
+    dec = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    joined = cells.join(xr, ["g", "x"]).join(yr, ["g", "y"])
+    m = joined.groupBy("g").agg(
+        F.sum("c").cast("double").alias("n"),
+        F.sum(dec(F.col("c")) * dec(F.col("r2x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("c")) * dec(F.col("r2y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("c")) * dec(F.col("r2x")) * dec(F.col("r2x")))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(dec(F.col("c")) * dec(F.col("r2y")) * dec(F.col("r2y")))
+        .cast("double")
+        .alias("syy"),
+        F.sum(dec(F.col("c")) * dec(F.col("r2x")) * dec(F.col("r2y")))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        F.col("g").alias("l_returnflag"),
+        n.cast("bigint").alias("n_lines"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("spearman_rho"),
+    )

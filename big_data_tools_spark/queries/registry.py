@@ -96,8 +96,8 @@ _PRIORITY = [
     "dedup_jaccard_prefix",  # registered round 5 (late)
     "dedup_winnow_pairs",
     "discount_quantity_ols",  # registered round 5 (late)
+    "discount_quantity_spearman",  # registered round 5 (late)
     "doc_chunk_windows",
-    "doc_quality_by_source",
     "doc_repetition_by_source",
     "embedding_label_stats",
     "event_funnel",

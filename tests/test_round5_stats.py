@@ -474,3 +474,52 @@ def test_forecast_accuracy_matches_python_replication(spark):
     assert r["mase"] == pytest.approx(se_u / sn_u, abs=1e-9)
     assert r["smape"] == pytest.approx(ss_u / 1e8 / k, abs=1e-9)
     assert r["mase"] < 1.0  # trending series: Holt beats last-value naive
+
+
+def test_spearman_planted_extremes(spark):
+    """Monotone relation (any shape) -> rho = 1 exactly; reversed ->
+    -1; a hand-tied dataset replicates scipy's tie-aware definition
+    (computed by hand: average ranks, Pearson over ranks)."""
+
+    def run(rows):
+        d = _plant(
+            spark,
+            {
+                "lineitem": (
+                    rows,
+                    "l_returnflag string, l_discount double, l_quantity double",
+                )
+            },
+        )
+        try:
+            return {
+                r["l_returnflag"]: (r["n_lines"], r["spearman_rho"])
+                for r in get("discount_quantity_spearman").fn(spark, d).collect()
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    # monotone nonlinear (rho=1) and reversed (rho=-1)
+    up = [("U", 0.01 * i, float(i * i)) for i in range(1, 6)]
+    dn = [("D", 0.01 * i, float(36 - i * i)) for i in range(1, 6)]
+    got = run(up + dn)
+    assert got["U"] == (5, pytest.approx(1.0, abs=1e-12))
+    assert got["D"] == (5, pytest.approx(-1.0, abs=1e-12))
+
+    # ties on both sides: x = [1,1,2,2], y = [3,4,4,5] (paired in
+    # order). Average ranks: rx = [1.5,1.5,3.5,3.5],
+    # ry = [1,2.5,2.5,4]. Pearson over those = 0.8944271909999159
+    # (hand: cov = 1.25, sx = sqrt(1.25... ) -> rho = 2.5/2.795084...)
+    tied = [("T", 0.01, 3.0), ("T", 0.01, 4.0), ("T", 0.02, 4.0), ("T", 0.02, 5.0)]
+    got = run(tied)
+    rx = [1.5, 1.5, 3.5, 3.5]
+    ry = [1.0, 2.5, 2.5, 4.0]
+    n = 4.0
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    want = (n * sxy - sx * sy) / (
+        (n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5
+    )
+    assert got["T"] == (4, pytest.approx(want, abs=1e-12))
