@@ -128,6 +128,10 @@ HEADLINE = [
     "daily_revenue_acf",
     "segment_revenue_gini",
     "dedup_jaccard_prefix",
+    # round-5c: calendar-bounded pairwise trend stats and the
+    # distinct-value-grain rank correlation
+    "daily_revenue_trend_robust",
+    "discount_quantity_spearman",
 ]
 
 
