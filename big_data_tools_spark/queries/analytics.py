@@ -1285,3 +1285,139 @@ def monthly_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (st["se_u"] / st["sn_u"]).alias("mase"),
         (st["ss_u"] / F.lit(100_000_000.0) / k).alias("smape"),
     )
+
+
+@register(
+    "customer_reorder_survival",
+    sql="""
+    WITH RECURSIVE firsts AS (
+        SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS d1
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+    ), seconds AS (
+        SELECT o.o_custkey, min(CAST(o.o_orderdate AS DATE)) AS d2
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+        WHERE CAST(o.o_orderdate AS DATE) > f.d1
+        GROUP BY o.o_custkey
+    ), horizon AS (
+        SELECT max(CAST(o_orderdate AS DATE)) AS hmax FROM orders
+    ), subjects AS (
+        SELECT CASE WHEN s.d2 IS NOT NULL
+                    THEN date_diff('day', f.d1, s.d2)
+                    ELSE date_diff('day', f.d1, h.hmax) END AS t,
+               CASE WHEN s.d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM firsts f LEFT JOIN seconds s ON f.o_custkey = s.o_custkey,
+             horizon h
+    ), steps AS (
+        SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+               CAST(count(*) - sum(ev) AS BIGINT) AS c,
+               row_number() OVER (ORDER BY t) AS rn
+        FROM subjects GROUP BY t
+    ), total AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0 FROM subjects
+    ), rec AS (
+        SELECT s.rn, s.t, s.d, s.c, tt.n0 AS n_risk,
+               CAST(round(1000000000.0 * (tt.n0 - s.d) / tt.n0) AS BIGINT)
+                   AS s_u,
+               tt.n0 - s.d - s.c AS n_rem
+        FROM steps s, total tt WHERE s.rn = 1
+        UNION ALL
+        SELECT s.rn, s.t, s.d, s.c, r.n_rem AS n_risk,
+               CAST(round(r.s_u * (r.n_rem - s.d) * 1.0 / r.n_rem) AS BIGINT),
+               r.n_rem - s.d - s.c
+        FROM rec r JOIN steps s ON s.rn = r.rn + 1
+    )
+    SELECT CAST(t AS BIGINT) AS duration_days,
+           n_risk AS n_at_risk, d AS n_events, c AS n_censored,
+           s_u / 1000000000.0 AS survival
+    FROM rec
+    """,
+    doc="Kaplan-Meier survival curve for time-to-second-order with "
+    "right-censoring at the data horizon (Kaplan & Meier 1958) — the "
+    "customer-lifecycle repurchase curve, correctly handling "
+    "customers who have not reordered YET (censored at max order "
+    "date) instead of dropping or mislabeling them (the classic "
+    "retention-analysis bug). The product-limit estimator is "
+    "inherently sequential, but the STEP TABLE is duration-grain "
+    "(bounded by the calendar), so: facts reduce distributedly to "
+    "per-customer first/second dates, then to (duration, deaths, "
+    "censored) steps, and the cumulative product folds inside one "
+    "row via F.aggregate in integer nano-units — survival_u = "
+    "round(prev_u * (n_at_risk - d) / n_at_risk) where every product "
+    "stays an exact integer in a double (< 2^53) and IEEE division "
+    "is correctly rounded, so the DuckDB recursive-CTE twin is "
+    "bit-identical with no terminal rounding (the "
+    "monthly_forecast_accuracy float lemma).",
+)
+def customer_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    firsts = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.min(od).alias("d1"))
+    )
+    seconds = (
+        orders.join(firsts, "o_custkey")
+        .filter(od > F.col("d1"))
+        .groupBy("o_custkey")
+        .agg(F.min(od).alias("d2"))
+    )
+    horizon = orders.agg(F.max(od).alias("hmax"))
+    subjects = (
+        firsts.join(seconds, "o_custkey", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1"))
+            )
+            .otherwise(F.datediff(F.col("hmax"), F.col("d1")))
+            .alias("t"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    steps = subjects.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("bigint").alias("c"),
+    )
+    agged = steps.agg(
+        F.array_sort(F.collect_list(F.struct("t", "d", "c"))).alias("s"),
+        F.sum(F.col("d") + F.col("c")).cast("bigint").alias("n0"),
+    ).filter(F.size("s") >= 1)
+
+    # fold carries (n_rem, s_u, trace[]) — integer nano-unit survival
+    init = F.struct(
+        F.col("n0").alias("n_rem"),
+        F.lit(1_000_000_000).cast("long").alias("s_u"),
+        F.array().cast(
+            "array<struct<t:bigint,n_risk:bigint,d:bigint,c:bigint,s_u:bigint>>"
+        ).alias("trace"),
+    )
+
+    def _step(acc, x):
+        n_risk = acc["n_rem"]
+        new_su = F.round(
+            acc["s_u"] * (n_risk - x["d"]) / n_risk
+        ).cast("long")
+        row = F.struct(
+            x["t"].cast("bigint").alias("t"),
+            n_risk.cast("bigint").alias("n_risk"),
+            x["d"].cast("bigint").alias("d"),
+            x["c"].cast("bigint").alias("c"),
+            new_su.alias("s_u"),
+        )
+        return F.struct(
+            (n_risk - x["d"] - x["c"]).alias("n_rem"),
+            new_su.alias("s_u"),
+            F.concat(acc["trace"], F.array(row)).alias("trace"),
+        )
+
+    folded = agged.select(
+        F.explode(F.aggregate(F.col("s"), init, _step)["trace"]).alias("r")
+    )
+    return folded.select(
+        F.col("r.t").alias("duration_days"),
+        F.col("r.n_risk").alias("n_at_risk"),
+        F.col("r.d").alias("n_events"),
+        F.col("r.c").alias("n_censored"),
+        (F.col("r.s_u") / F.lit(1_000_000_000.0)).alias("survival"),
+    )

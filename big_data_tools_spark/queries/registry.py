@@ -86,6 +86,7 @@ _PRIORITY = [
     "copurchase_triangles",  # pending_r4 drain
     "corpus_ngram_novelty",  # pending_r4 drain
     "customer_revenue_pareto",  # pending_r4 drain
+    "customer_reorder_survival",  # registered round 5 (late)
     "customer_scd2_merge",
     "daily_revenue_acf",  # registered round 5 (late)
     "dedup_components",
@@ -106,7 +107,6 @@ _PRIORITY = [
     "event_value_welch_ab",  # registered round 5 (late)
     "events_multires_rollup",
     "knn_cosine_brute",
-    "lang_id_confusion",
     "leakage_safe_corpus_split",  # pending_r4 drain
     "ml_train_eval",  # rows-only seating (never driver-windowed)
     "monthly_forecast_accuracy",  # registered round 5 (late)

@@ -523,3 +523,48 @@ def test_spearman_planted_extremes(spark):
         (n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5
     )
     assert got["T"] == (4, pytest.approx(want, abs=1e-12))
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    """Durations [1e, 2c, 3e, 4c, 5e] (e=reorder event, c=censored):
+    S = 0.8 at t=1, unchanged at the censoring times, 0.8*(2/3) at
+    t=3, and 0 at t=5 (last at-risk subject dies). Censored subjects
+    are customers with a single order, cut at the global max order
+    date (2024-01-06)."""
+    day = lambda n: datetime.date(2024, 1, n)  # noqa: E731
+    rows = [
+        # events: first order day 1, reorder at day 1+t
+        (1, 10, day(1)), (2, 10, day(2)),       # t=1 event
+        (3, 30, day(1)), (4, 30, day(4)),       # t=3 event
+        (5, 50, day(1)), (6, 50, day(6)),       # t=5 event (sets horizon)
+        # censored: single order, duration = horizon - first
+        (7, 20, day(4)),                        # t=2 censored
+        (8, 40, day(2)),                        # t=4 censored
+    ]
+    d = _plant(
+        spark,
+        {
+            "orders": (
+                rows,
+                "o_orderkey long, o_custkey long, o_orderdate date",
+            )
+        },
+    )
+    try:
+        got = {
+            r["duration_days"]: (
+                r["n_at_risk"],
+                r["n_events"],
+                r["n_censored"],
+                r["survival"],
+            )
+            for r in get("customer_reorder_survival").fn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got[1] == (5, 1, 0, pytest.approx(0.8, abs=1e-9))
+    assert got[2] == (4, 0, 1, pytest.approx(0.8, abs=1e-9))
+    assert got[3] == (3, 1, 0, pytest.approx(0.533333333, abs=1e-9))
+    assert got[4] == (2, 0, 1, pytest.approx(0.533333333, abs=1e-9))
+    assert got[5] == (1, 1, 0, 0.0)
+    assert len(got) == 5
