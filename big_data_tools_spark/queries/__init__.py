@@ -28,6 +28,7 @@ from . import selection  # noqa: E402,F401
 from . import diagnostics  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
+from . import markov  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import governance  # noqa: E402,F401
 from . import graph  # noqa: E402,F401

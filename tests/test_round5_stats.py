@@ -568,3 +568,49 @@ def test_kaplan_meier_textbook_curve(spark):
     assert got[4] == (2, 0, 1, pytest.approx(0.533333333, abs=1e-9))
     assert got[5] == (1, 1, 0, 0.0)
     assert len(got) == 5
+
+
+def test_markov_attribution_hand_chain(spark):
+    """Five journeys: click->purchase, click->view(end), view->purchase,
+    view(end), click->purchase. Exact chain: P(conv) = 0.6; removing
+    click loses 0.7778 of it, removing view 0.3333 -> shares 0.7/0.3."""
+    t0 = datetime.datetime(2024, 1, 1, 0, 0)
+    mins = lambda m: t0 + datetime.timedelta(minutes=m)  # noqa: E731
+    journeys = {
+        1: ["click", "purchase"],
+        2: ["click", "view"],
+        3: ["view", "purchase"],
+        4: ["view"],
+        5: ["click", "purchase"],
+    }
+    rows = [
+        (uid * 100 + i, mins(uid * 100 + i), uid, et)
+        for uid, seq in journeys.items()
+        for i, et in enumerate(seq)
+    ]
+    d = _plant(
+        spark,
+        {
+            "events": (
+                rows,
+                "event_id long, ts timestamp, user_id long, event_type string",
+            )
+        },
+    )
+    try:
+        got = {
+            r["channel"]: r.asDict()
+            for r in get("purchase_markov_attribution").fn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert set(got) == {"click", "view"}
+    for r in got.values():
+        assert r["p_conv_base"] == pytest.approx(0.6, abs=2e-3)
+    assert got["click"]["removal_effect"] == pytest.approx(7 / 9, abs=2e-3)
+    assert got["view"]["removal_effect"] == pytest.approx(1 / 3, abs=2e-3)
+    assert got["click"]["attribution_share"] == pytest.approx(0.7, abs=2e-3)
+    assert got["view"]["attribution_share"] == pytest.approx(0.3, abs=2e-3)
+    # removing a channel can only lose conversion probability
+    for r in got.values():
+        assert r["p_conv_removed"] <= r["p_conv_base"] + 1e-9
