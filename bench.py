@@ -128,10 +128,14 @@ HEADLINE = [
     "daily_revenue_acf",
     "segment_revenue_gini",
     "dedup_jaccard_prefix",
-    # round-5c: calendar-bounded pairwise trend stats and the
-    # distinct-value-grain rank correlation
+    # round-5c: calendar-bounded pairwise trend stats, the
+    # distinct-value-grain rank correlation, the Kaplan-Meier fold,
+    # and the Markov-attribution nested-HOF fold (codegen canaries
+    # for lambda-function expression trees)
     "daily_revenue_trend_robust",
     "discount_quantity_spearman",
+    "customer_reorder_survival",
+    "purchase_markov_attribution",
 ]
 
 
