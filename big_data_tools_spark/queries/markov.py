@@ -277,3 +277,176 @@ def purchase_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("re_u") / F.col("base_u")).alias("removal_effect"),
         (F.col("re_u") / tot).alias("attribution_share"),
     )
+
+
+_SH_MAXCH = 12  # 2^n coalition enumeration guard
+
+
+@register(
+    "purchase_shapley_attribution",
+    sql=f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = '{_CONV}' THEN ts END)
+                   OVER (PARTITION BY user_id) AS conv_ts
+        FROM events
+    ), cut AS (
+        SELECT user_id, event_type,
+               CASE WHEN conv_ts IS NOT NULL THEN 1 ELSE 0 END AS conv
+        FROM seq
+        WHERE event_type != '{_CONV}'
+              AND (conv_ts IS NULL OR ts <= conv_ts)
+    ), chans AS (
+        SELECT event_type AS ch,
+               row_number() OVER (ORDER BY event_type) - 1 AS bit
+        FROM (SELECT DISTINCT event_type FROM cut)
+    ), nch AS (SELECT CAST(count(*) AS INTEGER) AS n FROM chans),
+    journeys AS (
+        SELECT c.user_id,
+               CAST(sum(DISTINCT (1 << ch.bit)) AS BIGINT) AS mask,
+               max(c.conv) AS conv
+        FROM cut c JOIN chans ch ON c.event_type = ch.ch
+        GROUP BY c.user_id
+    ), mcounts AS (
+        SELECT mask, CAST(sum(conv) AS BIGINT) AS n_conv
+        FROM journeys GROUP BY mask
+    ), subsets AS (
+        SELECT CAST(unnest(range(1 << (SELECT n FROM nch))) AS BIGINT) AS s
+    ), v AS (
+        SELECT s.s,
+               CAST(coalesce(sum(m.n_conv), 0) AS BIGINT) AS v_s
+        FROM subsets s LEFT JOIN mcounts m ON (m.mask & s.s) = m.mask
+        GROUP BY s.s
+    ), fact(i, f) AS (
+        SELECT 0, CAST(1 AS BIGINT)
+        UNION ALL SELECT i + 1, f * (i + 1) FROM fact WHERE i < 20
+    ), phi AS (
+        SELECT ch.ch AS channel,
+               CAST(sum(fs.f * fns.f * (va.v_s - vb.v_s)) AS BIGINT) AS phi_u
+        FROM chans ch, nch
+        JOIN v vb ON (vb.s & (1 << ch.bit)) = 0
+        JOIN v va ON va.s = vb.s + (1 << ch.bit)
+        JOIN fact fs ON fs.i = bit_count(vb.s)
+        JOIN fact fns ON fns.i = nch.n - bit_count(vb.s) - 1
+        GROUP BY ch.ch
+    ), tot AS (SELECT sum(phi_u) AS t FROM phi),
+    nfact AS (SELECT f FROM fact, nch WHERE i = nch.n)
+    SELECT channel,
+           phi_u * 1.0 / (SELECT f FROM nfact) AS shapley_conversions,
+           phi_u * 1.0 / (SELECT t FROM tot) AS attribution_share
+    FROM phi
+    """,
+    doc="Exact Shapley-value attribution over channel coalitions — the "
+    "game-theoretic member of the attribution family (heuristic "
+    "last-click / time-decay, probabilistic Markov removal-effect, "
+    "and now Shapley 1953 as applied by Zhao et al. 2018): each "
+    "journey reduces to the SET of channels touched before first "
+    "conversion, the coalition value v(S) counts conversions whose "
+    "channel set fits inside S, and each channel's credit is its "
+    "exact Shapley value (factorial-weighted marginal contributions, "
+    "all integer arithmetic scaled by n! until the terminal "
+    "division). Sum of Shapley values = total attributable "
+    "conversions (efficiency axiom — pinned in tests). Scale shape: "
+    "one fact shuffle to user grain, one to the channel-set-mask "
+    "grain; the 2^n coalition enumeration is bounded by the CHANNEL "
+    "vocabulary (guarded at {_SH_MAXCH}), never by data volume.",
+)
+def purchase_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    seq = events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(F.when(F.col("event_type") == _CONV, F.col("ts"))).over(wu).alias(
+            "conv_ts"
+        ),
+    )
+    cut = seq.filter(
+        (F.col("event_type") != _CONV)
+        & (F.col("conv_ts").isNull() | (F.col("ts") <= F.col("conv_ts")))
+    ).select(
+        "user_id",
+        "event_type",
+        F.when(F.col("conv_ts").isNotNull(), 1).otherwise(0).alias("conv"),
+    )
+    chan_rows = [
+        r["event_type"]
+        for r in cut.select("event_type").distinct().orderBy("event_type").collect()
+    ]  # bounded channel vocabulary (one small driver-side list, like
+    # pivot value lists); guarded:
+    if len(chan_rows) > _SH_MAXCH:
+        raise ValueError(
+            f"{len(chan_rows)} channels exceeds the 2^n enumeration guard "
+            f"({_SH_MAXCH}); aggregate channels first"
+        )
+    n = len(chan_rows)
+    bit = {c: i for i, c in enumerate(chan_rows)}
+    bit_expr = F.create_map(
+        *[x for c, i in bit.items() for x in (F.lit(c), F.lit(1 << i))]
+    )
+    journeys = (
+        cut.select(
+            "user_id",
+            bit_expr[F.col("event_type")].alias("b"),
+            "conv",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_set("b")).alias("bits"),
+            F.max("conv").alias("conv"),
+        )
+        .select(
+            F.aggregate(
+                "bits", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("mask"),
+            "conv",
+        )
+    )
+    mcounts = journeys.groupBy("mask").agg(
+        F.sum("conv").cast("bigint").alias("n_conv")
+    )
+    subsets = spark.range(1 << n).select(F.col("id").cast("long").alias("s"))
+    v = (
+        subsets.join(
+            mcounts, (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("bigint").alias("v_s"))
+    )
+    import math
+
+    fact = {i: math.factorial(i) for i in range(n + 1)}
+    fs = F.create_map(
+        *[x for i, f in fact.items() for x in (F.lit(i), F.lit(f))]
+    )
+    va = v.select(F.col("s").alias("sa"), F.col("v_s").alias("v_a"))
+    phi = None
+    rows = []
+    for c in chan_rows:
+        cb = 1 << bit[c]
+        pairs = (
+            v.filter(F.col("s").bitwiseAND(F.lit(cb)) == 0)
+            .join(va, F.col("sa") == F.col("s") + F.lit(cb))
+            .select(
+                F.lit(c).alias("channel"),
+                (
+                    fs[F.bit_count(F.col("s"))]
+                    * fs[F.lit(n) - F.bit_count(F.col("s")) - 1]
+                    * (F.col("v_a") - F.col("v_s"))
+                ).alias("term"),
+            )
+        )
+        rows.append(pairs)
+    terms = rows[0]
+    for r in rows[1:]:
+        terms = terms.unionByName(r)
+    phi = terms.groupBy("channel").agg(
+        F.sum("term").cast("bigint").alias("phi_u")
+    )
+    tot = F.sum("phi_u").over(Window.partitionBy())
+    return phi.select(
+        "channel",
+        (F.col("phi_u") / F.lit(float(fact[n]))).alias("shapley_conversions"),
+        (F.col("phi_u") / tot).alias("attribution_share"),
+    )

@@ -99,7 +99,6 @@ _PRIORITY = [
     "discount_quantity_ols",  # registered round 5 (late)
     "discount_quantity_spearman",  # registered round 5 (late)
     "doc_chunk_windows",
-    "doc_repetition_by_source",
     "embedding_label_stats",
     "event_sessions_builtin",
     "event_type_hour_mutual_info",  # registered round 5 (late)
@@ -120,6 +119,7 @@ _PRIORITY = [
     "purchase_click_window",
     "purchase_last_click_asof",
     "purchase_markov_attribution",  # registered round 5 (late)
+    "purchase_shapley_attribution",  # registered round 5 (late)
     "referential_integrity_audit",  # pending_r4 drain
     "salted_status_rollup",
     "segment_revenue_bootstrap_ci",  # registered round 5 (late)

@@ -614,3 +614,57 @@ def test_markov_attribution_hand_chain(spark):
     # removing a channel can only lose conversion probability
     for r in got.values():
         assert r["p_conv_removed"] <= r["p_conv_base"] + 1e-9
+
+
+def test_shapley_attribution_efficiency_axiom(spark):
+    """Journeys {c}+conv, {v}+conv, {c,v}+conv, {c} no-conv, {v}
+    no-conv: v({c})=1, v({v})=1, v({c,v})=3 -> phi = (1.5, 1.5),
+    sum = total conversions (efficiency). Dropping the {v}-only
+    conversion makes it asymmetric: phi = (1.5, 0.5) -> shares
+    0.75/0.25."""
+    t0 = datetime.datetime(2024, 1, 1)
+    m = lambda k: t0 + datetime.timedelta(minutes=k)  # noqa: E731
+
+    def run(journeys):
+        rows = [
+            (u * 100 + i, m(u * 100 + i), u, et)
+            for u, seq in journeys.items()
+            for i, et in enumerate(seq)
+        ]
+        d = _plant(
+            spark,
+            {
+                "events": (
+                    rows,
+                    "event_id long, ts timestamp, user_id long, event_type string",
+                )
+            },
+        )
+        try:
+            return {
+                r["channel"]: (r["shapley_conversions"], r["attribution_share"])
+                for r in get("purchase_shapley_attribution").fn(spark, d).collect()
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    sym = {
+        1: ["click", "purchase"],
+        2: ["view", "purchase"],
+        3: ["click", "view", "purchase"],
+        4: ["click"],
+        5: ["view"],
+    }
+    got = run(sym)
+    assert got["click"][0] == pytest.approx(1.5, abs=1e-12)
+    assert got["view"][0] == pytest.approx(1.5, abs=1e-12)
+    # efficiency: Shapley values sum to total attributable conversions
+    assert sum(v for v, _ in got.values()) == pytest.approx(3.0, abs=1e-12)
+    assert got["click"][1] == pytest.approx(0.5, abs=1e-12)
+
+    asym = {k: v for k, v in sym.items() if k != 2}
+    got = run(asym)
+    assert got["click"][0] == pytest.approx(1.5, abs=1e-12)
+    assert got["view"][0] == pytest.approx(0.5, abs=1e-12)
+    assert got["click"][1] == pytest.approx(0.75, abs=1e-12)
+    assert sum(v for v, _ in got.values()) == pytest.approx(2.0, abs=1e-12)
