@@ -1,9 +1,14 @@
-"""Round-5 statistical-audit additions: segment Gini, grouped OLS,
-Benford first-digit audit, calendar-lag ACF — hand-computed fixture
-values pinned (the registry-level DuckDB twins run in
+"""Round-5 statistical-audit family: segment Gini, grouped OLS,
+Benford first-digit audit, calendar-lag ACF, Welch A/B t-test,
+Poisson-bootstrap CI, type-by-hour mutual information, Mann-Kendall
+trend + Theil-Sen slope, Holt MASE/sMAPE accuracy, Spearman rank
+correlation, Kaplan-Meier reorder survival, and Markov/Shapley
+attribution — hand-computed fixture values or full Python
+replications pinned (the registry-level DuckDB twins run in
 test_oracle_parity; these tests prove the FORMULAS on planted data,
-including the tie-closed-form and calendar-gap semantics the parity
-sweep cannot distinguish from plausible-but-wrong variants)."""
+including tie closed-forms, calendar-gap semantics, censoring, and
+the efficiency axiom — properties the parity sweep cannot
+distinguish from plausible-but-wrong variants)."""
 
 from __future__ import annotations
 
