@@ -957,7 +957,9 @@ def event_value_welch_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BOOT_B = 40  # replicates; nearest-rank 2.5%/97.5% -> sorted idx 1 and 39
+_BOOT_B = 40  # replicates; nearest-rank indices derive from the
+# SURVIVING count n_reps (ceil(n/40), ceil(39n/40)) since zero-weight
+# replicates are excluded — idx 1/39 only when all 40 survive
 _BOOT_SALT = "boot0"
 
 
@@ -996,8 +998,11 @@ def _boot_sql() -> str:
     )
     SELECT s.seg AS c_mktsegment, s.n_orders, c.n_reps,
            round(s.mean_rev, 6) AS mean_revenue,
-           round(c.ms[1], 6) AS ci_lo,
-           round(c.ms[{_BOOT_B - 1}], 6) AS ci_hi
+           -- nearest-rank indices from the SURVIVING replicate count
+           -- (zero-total-weight replicates were excluded above), in
+           -- exact integer arithmetic: ceil(n/40) and ceil(39n/40)
+           round(c.ms[(c.n_reps + 39) // 40], 6) AS ci_lo,
+           round(c.ms[(c.n_reps * 39 + 39) // 40], 6) AS ci_hi
     FROM stats s JOIN cis c ON s.seg = c.seg
     """
 
@@ -1015,11 +1020,13 @@ def _boot_sql() -> str:
     "replicate) grain. Weights and uniforms use shared double "
     "literals, so DuckDB reproduces every replicate mean "
     "bit-identically before the terminal rounding. Nearest-rank "
-    "2.5%/97.5% over the 40 sorted replicate means (a bounded array "
-    "per segment, never a global sort); replicates with zero total "
-    "weight (probability e^-n per segment) are excluded by both "
-    "engines. Scale shape: shuffle volume is |segments| x B rows "
-    "regardless of fact cardinality.",
+    "2.5%/97.5% over the sorted SURVIVING replicate means (a bounded "
+    "array per segment, never a global sort) with indices computed "
+    "from n_reps in exact integer arithmetic, because replicates "
+    "with zero total weight (probability e^-n per segment) are "
+    "excluded by both engines and a tiny segment can lose some. "
+    "Scale shape: shuffle volume is |segments| x B rows regardless "
+    "of fact cardinality.",
 )
 def segment_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import md5_uniform, poisson1_weight
@@ -1067,13 +1074,19 @@ def segment_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("m")).alias("ms"),
         F.count(F.lit(1)).cast("bigint").alias("n_reps"),
     )
+    # nearest-rank indices from the SURVIVING replicate count (small
+    # segments can lose zero-total-weight replicates, P = e^-n each):
+    # ceil(0.025 n) = (n+39)//40 and ceil(0.975 n) = (39n+39)//40 in
+    # exact integer arithmetic, mirrored in the oracle SQL
+    lo_idx = F.floor((F.col("n_reps") + 39) / 40).cast("int")
+    hi_idx = F.floor((F.col("n_reps") * 39 + 39) / 40).cast("int")
     return stats.join(cis, "seg").select(
         F.col("seg").alias("c_mktsegment"),
         "n_orders",
         "n_reps",
         F.round("mean_rev", 6).alias("mean_revenue"),
-        F.round(F.element_at("ms", 1), 6).alias("ci_lo"),
-        F.round(F.element_at("ms", _BOOT_B - 1), 6).alias("ci_hi"),
+        F.round(F.element_at("ms", lo_idx), 6).alias("ci_lo"),
+        F.round(F.element_at("ms", hi_idx), 6).alias("ci_hi"),
     )
 
 

@@ -58,18 +58,23 @@ def _markov_sql() -> str:
     unrolled = ",\n    ".join(its)
     return f"""
     WITH seq AS (
-        SELECT user_id, ts, event_id, event_type,
+        SELECT user_id,
                CASE WHEN event_type = '{_CONV}' THEN '(conv)'
                     ELSE event_type END AS state,
-               min(CASE WHEN event_type = '{_CONV}' THEN ts END)
-                   OVER (PARTITION BY user_id) AS conv_ts
-        FROM events
-    ), cut AS (
-        SELECT user_id, ts, event_id, state,
                row_number() OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS rn,
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), marked AS (
+        SELECT user_id, state, rn,
+               min(CASE WHEN state = '(conv)' THEN rn END)
+                   OVER (PARTITION BY user_id) AS conv_rn
+        FROM seq
+    ), cut AS (
+        -- rn <= conv_rn keeps a PREFIX of the (ts, event_id) order, so
+        -- the original rn stays contiguous; no re-numbering window.
+        SELECT user_id, state, rn,
                count(*) OVER (PARTITION BY user_id) AS n_ev
-        FROM seq WHERE conv_ts IS NULL OR ts <= conv_ts
+        FROM marked WHERE conv_rn IS NULL OR rn <= conv_rn
     ), trans_raw AS (
         SELECT user_id,
                coalesce(lag(state) OVER (PARTITION BY user_id
@@ -88,7 +93,11 @@ def _markov_sql() -> str:
                           / sum(n) OVER (PARTITION BY src)) AS BIGINT) AS p_u
         FROM counts
     ), channels AS (
-        SELECT DISTINCT src AS ch FROM edges WHERE src != '(start)'
+        -- row-order truncation means '(conv)' can never be a src, but
+        -- exclude the absorbing states defensively so a regression
+        -- could never seat them as mass-holding removal variants
+        SELECT DISTINCT src AS ch FROM edges
+        WHERE src NOT IN ('(start)', '(conv)', '(null)')
     ), variants AS (
         SELECT '(base)' AS ch UNION ALL SELECT ch FROM channels
     ), it0 AS (
@@ -141,27 +150,35 @@ def _markov_sql() -> str:
 def purchase_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     state = F.when(F.col("event_type") == _CONV, "(conv)").otherwise(
         F.col("event_type")
     )
+    # Truncate by ROW ORDER (rn <= rn of the first purchase under the
+    # (ts, event_id) total order), not by ts <= conv_ts: a non-purchase
+    # event TIED with the first purchase timestamp must not survive the
+    # cut, or '(conv)' leaks into the transition srcs and holds mass.
     seq = events.select(
         "user_id",
-        "ts",
-        "event_id",
         state.alias("state"),
-        F.min(F.when(F.col("event_type") == _CONV, F.col("ts"))).over(wu).alias(
-            "conv_ts"
-        ),
-    )
-    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cut = seq.filter(
-        F.col("conv_ts").isNull() | (F.col("ts") <= F.col("conv_ts"))
+        F.row_number().over(wo).alias("rn"),
     ).select(
         "user_id",
         "state",
-        F.row_number().over(wo).alias("rn"),
+        "rn",
+        F.min(F.when(F.col("state") == "(conv)", F.col("rn")))
+        .over(wu)
+        .alias("conv_rn"),
+    )
+    won = Window.partitionBy("user_id").orderBy("rn")
+    cut = seq.filter(
+        F.col("conv_rn").isNull() | (F.col("rn") <= F.col("conv_rn"))
+    ).select(
+        "user_id",
+        "state",
+        "rn",
         F.count(F.lit(1)).over(wu).alias("n_ev"),
-        F.lag("state").over(wo).alias("prev"),
+        F.lag("state").over(won).alias("prev"),
     )
     trans = cut.select(
         F.coalesce(F.col("prev"), F.lit("(start)")).alias("src"),
@@ -189,7 +206,12 @@ def purchase_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(
             F.array_distinct(
                 F.collect_list(
-                    F.when(F.col("src") != "(start)", F.col("src"))
+                    # mirror the SQL twin's defensive exclusion: the
+                    # absorbing states must never hold mass in the fold
+                    F.when(
+                        ~F.col("src").isin("(start)", "(conv)", "(null)"),
+                        F.col("src"),
+                    )
                 )
             )
         ).alias("channels"),
@@ -286,21 +308,38 @@ _SH_MAXCH = 12  # 2^n coalition enumeration guard
     "purchase_shapley_attribution",
     sql=f"""
     WITH RECURSIVE seq AS (
-        SELECT user_id, ts, event_type,
-               min(CASE WHEN event_type = '{_CONV}' THEN ts END)
-                   OVER (PARTITION BY user_id) AS conv_ts
-        FROM events
-    ), cut AS (
         SELECT user_id, event_type,
-               CASE WHEN conv_ts IS NOT NULL THEN 1 ELSE 0 END AS conv
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), marked AS (
+        SELECT user_id, event_type, rn,
+               min(CASE WHEN event_type = '{_CONV}' THEN rn END)
+                   OVER (PARTITION BY user_id) AS conv_rn
         FROM seq
+    ), cut AS (
+        -- strictly BEFORE the first purchase row (rn < conv_rn): a
+        -- non-purchase event tied on ts with the conversion does not
+        -- count as touched-before-conversion unless it sorts earlier
+        -- under the (ts, event_id) total order
+        SELECT user_id, event_type,
+               CASE WHEN conv_rn IS NOT NULL THEN 1 ELSE 0 END AS conv
+        FROM marked
         WHERE event_type != '{_CONV}'
-              AND (conv_ts IS NULL OR ts <= conv_ts)
+              AND (conv_rn IS NULL OR rn < conv_rn)
     ), chans AS (
         SELECT event_type AS ch,
                row_number() OVER (ORDER BY event_type) - 1 AS bit
         FROM (SELECT DISTINCT event_type FROM cut)
-    ), nch AS (SELECT CAST(count(*) AS INTEGER) AS n FROM chans),
+    ), nch AS (
+        -- mirror the Spark-side 2^n enumeration guard: the oracle must
+        -- refuse, not silently enumerate 2^n subsets
+        SELECT CASE WHEN count(*) > {_SH_MAXCH}
+                    THEN CAST(error('channel count exceeds the 2^n '
+                                    'Shapley enumeration guard') AS INTEGER)
+                    ELSE CAST(count(*) AS INTEGER) END AS n
+        FROM chans
+    ),
     journeys AS (
         SELECT c.user_id,
                CAST(sum(DISTINCT (1 << ch.bit)) AS BIGINT) AS mask,
@@ -354,21 +393,28 @@ _SH_MAXCH = 12  # 2^n coalition enumeration guard
 def purchase_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # strictly before the first purchase ROW under (ts, event_id) —
+    # see the SQL twin's cut CTE for the tie semantics
     seq = events.select(
         "user_id",
-        "ts",
         "event_type",
-        F.min(F.when(F.col("event_type") == _CONV, F.col("ts"))).over(wu).alias(
-            "conv_ts"
-        ),
-    )
-    cut = seq.filter(
-        (F.col("event_type") != _CONV)
-        & (F.col("conv_ts").isNull() | (F.col("ts") <= F.col("conv_ts")))
+        F.row_number().over(wo).alias("rn"),
     ).select(
         "user_id",
         "event_type",
-        F.when(F.col("conv_ts").isNotNull(), 1).otherwise(0).alias("conv"),
+        "rn",
+        F.min(F.when(F.col("event_type") == _CONV, F.col("rn")))
+        .over(wu)
+        .alias("conv_rn"),
+    )
+    cut = seq.filter(
+        (F.col("event_type") != _CONV)
+        & (F.col("conv_rn").isNull() | (F.col("rn") < F.col("conv_rn")))
+    ).select(
+        "user_id",
+        "event_type",
+        F.when(F.col("conv_rn").isNotNull(), 1).otherwise(0).alias("conv"),
     )
     chan_rows = [
         r["event_type"]

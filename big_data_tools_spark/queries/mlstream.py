@@ -18,7 +18,10 @@ from .registry import register
 def _orders_basetable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer feature basetable from orders; label = has at least
     one URGENT order. Shared by the ML registry entries so train_eval
-    and feature_importance fit on identical features/split."""
+    and feature_importance fit on identical features/split. Every
+    aggregate is deterministic (min, not first, for the categorical)
+    so the basetable is hash-level checkable — ml_features_split
+    below is its DuckDB twin."""
     o = load_table(spark, sf_dir, "orders")
     feats = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("double").alias("n_orders"),
@@ -27,9 +30,74 @@ def _orders_basetable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(
             F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
         ).alias("label"),
-        F.first("o_orderstatus").alias("status"),
+        F.min("o_orderstatus").alias("status"),
     )
     return feats.withColumnRenamed("o_custkey", "business_id")
+
+
+_MLSPLIT_SALT = "mlsplit0"
+
+
+def _ml_features_split_sql() -> str:
+    from ..operators.sampling import sql_md5_uniform
+
+    u = sql_md5_uniform("CAST(o_custkey AS VARCHAR)", _MLSPLIT_SALT)
+    return f"""
+    WITH feats AS (
+        SELECT o_custkey AS business_id,
+               CAST(count(*) AS DOUBLE) AS n_orders,
+               CAST(round(CAST(sum(o_totalprice) AS DOUBLE), 2)
+                    AS DECIMAL(18,2)) AS sum_price,
+               max(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS label,
+               min(o_orderstatus) AS status,
+               {u} AS u
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT business_id, n_orders, sum_price,
+           -- divide the ROUNDED sum so both engines divide identical
+           -- doubles (raw double sums differ by engine add order)
+           round(CAST(sum_price AS DOUBLE) / n_orders, 6) AS avg_price,
+           CAST(label AS BIGINT) AS label, status,
+           CASE WHEN u <= 0.7 THEN 'train' ELSE 'test' END AS split
+    FROM feats
+    """
+
+
+@register(
+    "ml_features_split",
+    sql=_ml_features_split_sql(),
+    doc="Hash-level evidence for the ML surface's featurization/split "
+    "path — the largest rows-only island (10 model entries whose "
+    "metrics cannot be SQL-checked). This twin pins the PRE-MODEL "
+    "pipeline exactly: the per-customer feature basetable every model "
+    "entry trains on (deterministic aggregates; identical code path "
+    "via _orders_basetable) plus a content-keyed 70/30 train/test "
+    "assignment from the portable md5 uniform on the customer key — "
+    "the same leakage-safe split discipline as "
+    "leakage_safe_corpus_split (assignment is a pure function of the "
+    "entity key: no train/test straddle, stable under reruns and "
+    "repartitioning, unlike positional randomSplit). The model "
+    "entries keep Spark's seeded randomSplit for the M4 parity with "
+    "the reference; this twin is the oracle-checkable counterpart. "
+    "Scale shape: one map-side-combining aggregate to customer grain; "
+    "the split adds zero shuffles (a hash of the group key).",
+)
+def ml_features_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import md5_uniform
+
+    base = _orders_basetable(spark, sf_dir)
+    u = md5_uniform(F.col("business_id").cast("string"), _MLSPLIT_SALT)
+    sum2 = F.round(F.col("sum_price"), 2).cast("decimal(18,2)")
+    return base.select(
+        "business_id",
+        "n_orders",
+        sum2.alias("sum_price"),
+        F.round(sum2.cast("double") / F.col("n_orders"), 6).alias("avg_price"),
+        F.col("label").cast("bigint").alias("label"),
+        "status",
+        F.when(u <= 0.7, "train").otherwise("test").alias("split"),
+    )
 
 
 @register(

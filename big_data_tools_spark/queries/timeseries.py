@@ -499,15 +499,20 @@ def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rd
         FROM orders GROUP BY 1
     ), pairs AS (
+        -- slopes carried as exact integer micro-units (the repo float
+        -- policy): a scale-6 double round can differ by one ulp
+        -- between engines at decimal boundaries, so sort and pick the
+        -- median over bigints and divide once at the end
         SELECT CASE WHEN b.rd > a.rd THEN 1
                     WHEN b.rd < a.rd THEN -1 ELSE 0 END AS sgn,
-               round(CAST(b.rd - a.rd AS DOUBLE)
-                     / date_diff('day', a.day, b.day), 6) AS slope
+               CAST(round(CAST(b.rd - a.rd AS DOUBLE) * 1000000.0
+                          / date_diff('day', a.day, b.day)) AS BIGINT)
+                   AS slope_u
         FROM rev a JOIN rev b ON b.day > a.day
     ), s AS (
         SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
                CAST(count(*) AS BIGINT) AS m,
-               list_sort(list(slope)) AS slopes
+               list_sort(list(slope_u)) AS slopes
         FROM pairs
     ), ties AS (
         SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
@@ -525,7 +530,8 @@ def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN s_stat < 0 THEN (s_stat + 1)
                    / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)
                ELSE 0.0 END, 6) AS mk_z,
-           slopes[CAST((m + 1) // 2 AS INTEGER)] AS theil_sen_slope
+           slopes[CAST((m + 1) // 2 AS INTEGER)] / 1000000.0
+               AS theil_sen_slope
     FROM s, ties, nn
     """,
     doc="Mann-Kendall trend test + Theil-Sen robust slope over the "
@@ -533,9 +539,10 @@ def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(Mann 1945; Sen 1968): S = sum of pairwise revenue-direction "
     "signs (pure INTEGER arithmetic, hence engine-exact), normal "
     "approximation with the exact tie correction, and the median of "
-    "pairwise slopes (quantized to 6dp BEFORE the median pick so both "
-    "engines sort identical doubles; lower median = element (m+1)//2 "
-    "of the sorted list, no interpolation ambiguity). Scale shape: "
+    "pairwise slopes (carried as round(slope*1e6) BIGINT micro-units "
+    "per the repo float policy — both engines sort and pick over "
+    "identical integers, then divide once at the end; lower median = "
+    "element (m+1)//2 of the sorted list, no interpolation ambiguity). Scale shape: "
     "the fact table reduces to day grain first, so the pairwise "
     "expansion is CALENDAR-bounded (|days|^2 pairs regardless of fact "
     "cardinality — ~2.9M pairs for an 8-year series, forever); one "
@@ -555,16 +562,19 @@ def daily_revenue_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("rb") < F.col("ra"), -1)
         .otherwise(0)
         .alias("sgn"),
+        # integer micro-unit slopes — see the SQL twin's pairs CTE
         F.round(
             (F.col("rb") - F.col("ra")).cast("double")
-            / F.datediff(F.col("db"), F.col("da")),
-            6,
-        ).alias("slope"),
+            * F.lit(1_000_000.0)
+            / F.datediff(F.col("db"), F.col("da"))
+        )
+        .cast("bigint")
+        .alias("slope_u"),
     )
     s = pairs.agg(
         F.sum("sgn").cast("bigint").alias("s_stat"),
         F.count(F.lit(1)).cast("bigint").alias("m"),
-        F.sort_array(F.collect_list("slope")).alias("slopes"),
+        F.sort_array(F.collect_list("slope_u")).alias("slopes"),
     )
     t = F.col("t")
     ties = (
@@ -593,8 +603,9 @@ def daily_revenue_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(0.0),
                 6,
             ).alias("mk_z"),
-            F.element_at(
-                "slopes", ((F.col("m") + 1) / 2).cast("int")
+            (
+                F.element_at("slopes", ((F.col("m") + 1) / 2).cast("int"))
+                / F.lit(1_000_000.0)
             ).alias("theil_sen_slope"),
         )
     )
