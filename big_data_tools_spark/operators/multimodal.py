@@ -38,8 +38,8 @@ from pyspark.sql import types as T
 
 from .imagecodec import (
     decode_mp4_duration,
-    decode_mp4_video,
     decode_png,
+    decode_video_samples,
     decode_wav,
     encode_mp4_video,
     encode_png,
@@ -195,7 +195,7 @@ def _video_feature(data: bytes, n_bytes: int, dim: int) -> tuple[float, list[flo
     plus first/middle/last decoded-frame pixel means and the
     across-frame mean/std of per-frame means (temporal variation)."""
     duration = decode_mp4_duration(data)
-    samples = decode_mp4_video(data)
+    samples = decode_video_samples(data)
     frame_means = []
     for _, payload in samples:
         w, h, ch, px = decode_png(payload)
@@ -358,7 +358,8 @@ def sample_video_frames(
     """Sample frames from video rows via Arrow-batched mapInPandas:
     1 row in -> N frame rows out (the flatMap batch shape frame
     extraction needs), with REAL payloads as of round 5: the container
-    codec (imagecodec.decode_mp4_video) walks the genuine
+    codec (imagecodec.decode_video_samples: PyAV for real
+    H.264/H.265/VP9 when installed, else the stdlib path) walks the genuine
     stts/stsz/mdat sample table, picks the latest sample at or before
     each sampling instant, and decodes its PNG payload — ``frame`` is
     the encoded sample, ``width``/``height``/``px_mean`` come from the
@@ -381,7 +382,7 @@ def sample_video_frames(
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 raw = bytes(content)
                 try:
-                    samples = decode_mp4_video(raw)
+                    samples = decode_video_samples(raw)
                 except ValueError:
                     if not allow_stub:
                         raise

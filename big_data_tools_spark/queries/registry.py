@@ -55,84 +55,124 @@ def get(name: str) -> QuerySpec:
 
 # The driver's correctness gate checks the FIRST 50 entries of
 # ``queries()``. The window ROTATES each round (tests/test_rotation.py
-# enforces it against checked_rounds.json): round 5 drains the ten
-# pending_r4 flagship twins (PageRank, triangles, bucketed join,
-# leakage-safe split, incremental-ingest dedup, novelty, seasonality,
-# Pareto, PSI, referential integrity) and re-rows the 40 twins whose
-# last window was the lost-artifact r3 round. Everything past the
-# window was driver-rowed in r1/r2/r4 and still runs against the same
-# DuckDB oracle in tests/test_oracle_parity.py at every round.
+# enforces the 4-round union invariant against checked_rounds.json):
+# round 6 seats the 32 cadence-mandatory twins (the 15 pending_r5 late
+# registrations plus the re-row cohort, via
+# `tools/update_checked_rounds.py --plan`), 13 of the lost-r3 twins
+# that still lack ANY surviving committed driver row (r7 takes the
+# rest so every twin regains one inside r04..r07), the new
+# ml_features_split twin, and 4 never-driver-run rows-only seats
+# (knn_ivf_ann, knn_pq_ann, ml_cv_select, streaming_rolling_dau).
+# Everything past the window keeps its committed driver rows and is
+# still oracle-checked locally by tests/test_oracle_parity.py.
 _PRIORITY = [
-    # -- round-5 window: the pending_r4 drain plus re-rows of the
-    # twins whose only other driver rows predate the lost r3 artifact.
-    # (tools/update_checked_rounds.py --plan computed the original
-    # set under the 3-round cadence; after the mid-round move to
-    # cadence 4, four slots whose occupants carry BOTH r1 and r2
-    # surviving driver rows — custkey_overlap_setops,
-    # customers_without_orders, fillna_policy, hours_parse — were
-    # re-used for the four twins registered late in round 5, which
-    # would otherwise overflow the pending queue — as were two more
-    # (map_literal_parse, string_date_parse) for the prefix-Jaccard
-    # and Welch twins registered in the same continuation. The
-    # evicted six become cadence-mandatory again in r6; test_rotation
-    # enforces the 4-round union invariant. Three further doubly-evidenced
-    # slots — regional_revenue, segment_pivot, status_recode_operator
-    # — were re-used to seat the first never-driver-windowed
-    # rows-only representatives (r4 VERDICT ask #4):
-    # streaming_corpus_ingest, ml_train_eval, multimodal_features.)
+    # -- round-6 window: 32 cadence-mandatory re-rows/pending drains
+    "copurchase_adamic_adar",  # pending_r5 drain
+    "copurchase_assortativity",  # pending_r5 drain
+    "copurchase_kcore_peel",  # pending_r5 drain
+    "corpus_heaps_fit",  # pending_r5 drain
+    "corpus_zipf_fit",  # pending_r5 drain
+    "custkey_overlap_setops",
+    "customers_without_orders",
+    "daily_revenue_cusum",  # pending_r5 drain
+    "doc_bigram_backoff_nll",  # pending_r5 drain
+    "doc_quality_auc",  # pending_r5 drain
+    "doc_quality_by_source",
+    "doc_repetition_by_source",
+    "documents_stratified_portable",  # pending_r5 drain
+    "event_entropy_rate",  # pending_r5 drain
+    "event_funnel",
+    "events_props_extract",
+    "events_stickiness",  # pending_r5 drain
+    "fillna_policy",
+    "hours_parse",
+    "lang_id_confusion",
+    "lineitem_metric_unpivot",
+    "lpa_convergence_trace",  # pending_r5 drain
+    "map_literal_parse",
+    "monthly_revenue_forecast",  # pending_r5 drain
+    "null_audit_orders",
+    "orders_incremental_quantile",  # pending_r5 drain
+    "pagerank_convergence_trace",  # pending_r5 drain
+    "part_like_filter",
+    "regional_revenue",
+    "segment_pivot",
+    "status_recode_operator",
+    "string_date_parse",
+    # -- 13 lost-r3 twins with no surviving committed driver row yet
+    "bm25_topk_docs",
+    "dedup_minhash_portable",
+    "dedup_segments_reassembled",
+    "dedup_simhash_portable",
+    "dedup_span_coverage",
+    "doc_perplexity_by_source",
+    "doc_winnow_stats",
+    "dsir_target_selection",
+    "events_user_heavy_hitters",
+    "hybrid_rrf_topk",
+    "orders_pit_segment_revenue",
+    "user_current_state_cdc",
+    "yelp_basetable_mini",
+    # -- registered round 6: hash-level evidence for the ML basetable
+    "ml_features_split",
+    # -- rows-only seating (never driver-run before this round)
+    "knn_ivf_ann",
+    "knn_pq_ann",
+    "ml_cv_select",
+    "streaming_rolling_dau",
+    # ---- window boundary (50) ----
+    # past-window: driver-rowed in r1/r2/r4/r5, still oracle-checked
+    # locally by tests/test_oracle_parity.py every round.
     "benchmark_contamination",
     "boilerplate_ngrams",
-    "bucketed_revenue_join",  # pending_r4 drain
-    "copurchase_triangles",  # pending_r4 drain
-    "corpus_ngram_novelty",  # pending_r4 drain
-    "customer_revenue_pareto",  # pending_r4 drain
-    "customer_reorder_survival",  # registered round 5 (late)
+    "bucketed_revenue_join",
+    "copurchase_triangles",
+    "corpus_ngram_novelty",
+    "customer_revenue_pareto",
+    "customer_reorder_survival",
     "customer_scd2_merge",
-    "daily_revenue_acf",  # registered round 5 (late)
+    "daily_revenue_acf",
     "dedup_components",
     "dedup_embedding_cosine",
     "dedup_exact_docs",
-    "dedup_incremental_ingest",  # pending_r4 drain
+    "dedup_incremental_ingest",
     "dedup_jaccard_pairs",
-    "dedup_jaccard_prefix",  # registered round 5 (late)
+    "dedup_jaccard_prefix",
     "dedup_winnow_pairs",
-    "discount_quantity_ols",  # registered round 5 (late)
-    "discount_quantity_spearman",  # registered round 5 (late)
+    "discount_quantity_ols",
+    "discount_quantity_spearman",
     "doc_chunk_windows",
     "embedding_label_stats",
     "event_sessions_builtin",
-    "event_type_hour_mutual_info",  # registered round 5 (late)
-    "event_value_welch_ab",  # registered round 5 (late)
+    "event_type_hour_mutual_info",
+    "event_value_welch_ab",
     "events_multires_rollup",
     "knn_cosine_brute",
-    "leakage_safe_corpus_split",  # pending_r4 drain
-    "ml_train_eval",  # rows-only seating (never driver-windowed)
-    "monthly_forecast_accuracy",  # registered round 5 (late)
-    "monthly_revenue_seasonality",  # pending_r4 drain
-    "multimodal_features",  # rows-only seating (never driver-windowed)
-    "daily_revenue_trend_robust",  # registered round 5 (late)
+    "leakage_safe_corpus_split",
+    "ml_train_eval",
+    "monthly_forecast_accuracy",
+    "monthly_revenue_seasonality",
+    "multimodal_features",
+    "daily_revenue_trend_robust",
     "order_rollup_flagship",
-    "orders_benford_digits",  # registered round 5 (late)
-    "orders_price_psi",  # pending_r4 drain
-    "part_copurchase_pagerank",  # pending_r4 drain
+    "orders_benford_digits",
+    "orders_price_psi",
+    "part_copurchase_pagerank",
     "pretraining_corpus_pipeline",
     "purchase_click_window",
     "purchase_last_click_asof",
-    "purchase_markov_attribution",  # registered round 5 (late)
-    "purchase_shapley_attribution",  # registered round 5 (late)
-    "referential_integrity_audit",  # pending_r4 drain
+    "purchase_markov_attribution",
+    "purchase_shapley_attribution",
+    "referential_integrity_audit",
     "salted_status_rollup",
-    "segment_revenue_bootstrap_ci",  # registered round 5 (late)
-    "segment_revenue_gini",  # registered round 5 (late)
+    "segment_revenue_bootstrap_ci",
+    "segment_revenue_gini",
     "source_mixture_plan",
-    "streaming_corpus_ingest",  # rows-only seating (never driver-windowed)
+    "streaming_corpus_ingest",
     "tfidf_top_terms",
     "token_shard_packing",
     "user_value_hourly_ffill",
     "waiting_supplier_lines",
-    # ---- window boundary (50) ----
-    # past-window: driver-rowed in r1/r2/r4, still oracle-checked
-    # locally by tests/test_oracle_parity.py every round.
     "customer_rfm_segments",
     "documents_temperature_mixture",
     "event_transition_matrix",
@@ -200,16 +240,9 @@ _PRIORITY = [
     "embedding_hard_negatives",
     "orders_quality_gate",
     "events_props_variant",
-    "doc_winnow_stats",
     "documents_balanced_per_lang",
     "streaming_upsert_rollup",
     "streaming_dedup",
-    "multimodal_features",
-    "yelp_basetable_mini",
-    "bm25_topk_docs",
-    "doc_perplexity_by_source",
-    "dedup_segments_reassembled",
-    "dsir_target_selection",
     "orders_profile",
     "corpus_shuffle_shards",
     "regional_min_price_suppliers",
@@ -222,23 +255,15 @@ _PRIORITY = [
     "promo_revenue_share",
     "part_attr_supplier_counts",
     "dominant_part_suppliers",
-    "hybrid_rrf_topk",
-    "user_current_state_cdc",
-    "dedup_span_coverage",
     "orders_custkey_skew",
-    "events_user_heavy_hitters",
     "customer_kanonymity",
-    "dedup_minhash_portable",
     "orders_snapshot_diff",
-    "dedup_simhash_portable",
-    "orders_pit_segment_revenue",
     "documents_weighted_sample",
     "streaming_segment_revenue",
     "doc_length_quantiles_approx",
     "dedup_minhash_pairs",
     "dedup_semantic_groups",
     "knn_lsh_ann",
-    "ml_train_eval",
     "ml_feature_importance",
     "streaming_hourly_counts",
     "streaming_sessions",

@@ -163,3 +163,63 @@ def test_mp4_video_decode_rejects_metadata_only():
 
     with pytest.raises(ValueError, match="sample table"):
         decode_mp4_video(encode_mp4_header(4.0))
+
+
+def test_video_dispatch_stdlib_fallback():
+    """decode_video_samples must agree byte-for-byte with the stdlib
+    sample-table path whenever PyAV is not installed (or cannot parse
+    the PNG-in-BMFF fixture layout, which carries no ffmpeg codec)."""
+    from big_data_tools_spark.operators.imagecodec import (
+        decode_mp4_video,
+        decode_video_samples,
+        encode_mp4_video,
+        encode_png,
+        video_backend,
+    )
+
+    assert video_backend() in ("av", "stdlib")
+    frames = [
+        encode_png(2, 2, bytes((i * 31 + k) % 256 for k in range(12)), 3)
+        for i in range(4)
+    ]
+    data = encode_mp4_video(frames, fps=2.0)
+    assert decode_video_samples(data) == decode_mp4_video(data)
+
+
+def test_video_dispatch_av_real_codec():
+    """Pin the PyAV branch against a real H.264 stream when the lib is
+    present (environment-gated: skipped in containers without av)."""
+    import pytest
+
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    from big_data_tools_spark.operators.imagecodec import (
+        decode_png,
+        decode_video_samples,
+        video_backend,
+    )
+
+    assert video_backend() == "av"
+    buf = io.BytesIO()
+    with av.open(buf, mode="w", format="mp4") as container:
+        stream = container.add_stream("h264", rate=2)
+        stream.width, stream.height = 16, 16
+        stream.pix_fmt = "yuv420p"
+        for i in range(4):
+            arr = np.full((16, 16, 3), i * 60, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    samples = decode_video_samples(buf.getvalue())
+    assert len(samples) == 4
+    for i, (_, payload) in enumerate(samples):
+        w, h, ch, px = decode_png(payload)
+        assert (w, h, ch) == (16, 16, 3)
+        # yuv420p round-trip is lossy; pin the mean within a tolerance
+        mean = sum(px) / len(px)
+        assert abs(mean - i * 60) < 12
