@@ -116,6 +116,25 @@ def semantic_dedup_groups(
         corpus, id_col, vec_col, n_clusters, max_iter=8, init_mode="random",
         fit_sample_cap=fit_sample_cap,
     )
+    return semantic_dedup_groups_from_index(
+        index, id_col=id_col, threshold=threshold,
+        max_cluster_size=max_cluster_size,
+    )
+
+
+def semantic_dedup_groups_from_index(
+    index: IvfIndex,
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    max_cluster_size: int | None = 100_000,
+) -> DataFrame:
+    """The amortized path: dedup over a PRE-FITTED (typically
+    :meth:`IvfIndex.load`-ed) index. The per-run KMeans fit dominates
+    ``semantic_dedup_groups`` wall time (SCALING.md measured x6.4 at
+    sf1); a nightly embedding pipeline fits + saves once and every
+    incremental dedup run loads the index and pays only the clustered
+    self-join + components fixpoint. Same output as the one-shot form
+    when given the index it would have fitted."""
     # the components fixpoint consumes the pair set once per round
     # (union both directions + every iteration's join) — persist it so
     # the clustered self-join runs once, not 2+rounds times

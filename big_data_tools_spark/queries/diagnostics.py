@@ -374,6 +374,127 @@ def orders_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return track_cache(out, counts)
 
 
+_LN2 = 0.6931471805599453  # shared literal: keep both engines on one constant
+
+
+@register(
+    "orders_price_jsd",
+    sql=f"""
+    WITH base AS (
+        SELECT o_totalprice AS x,
+               CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_PSI_CUTOFF}'
+                    THEN 0 ELSE 1 END AS era
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), bounds AS (
+        SELECT min(x) AS lo, max(x) AS hi FROM base
+    ), binned AS (
+        SELECT era,
+               CAST(least(floor((x - b.lo) / ((b.hi - b.lo) / {_PSI_BINS})),
+                          {_PSI_BINS - 1}) AS BIGINT) AS bin
+        FROM base CROSS JOIN bounds b
+    ), counts AS (
+        SELECT bin,
+               CAST(count(*) FILTER (WHERE era = 0) AS BIGINT) AS n_before,
+               CAST(count(*) FILTER (WHERE era = 1) AS BIGINT) AS n_after
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT CAST(sum(n_before) AS BIGINT) AS tb,
+               CAST(sum(n_after) AS BIGINT) AS ta
+        FROM counts
+    ), shares AS (
+        SELECT bin, n_before, n_after,
+               (CAST(n_before AS DOUBLE) + 0.5) / (tb + {0.5 * _PSI_BINS}) AS p,
+               (CAST(n_after AS DOUBLE) + 0.5) / (ta + {0.5 * _PSI_BINS}) AS q
+        FROM counts CROSS JOIN tot
+    ), terms AS (
+        SELECT bin, n_before, n_after,
+               round(p, 6) AS p_before, round(q, 6) AS q_after,
+               round((0.5 * p * round(ln(p / ((p + q) / 2)), 6)
+                      + 0.5 * q * round(ln(q / ((p + q) / 2)), 6))
+                     / {_LN2!r}, 8) AS jsd_term
+        FROM shares
+    )
+    SELECT bin, n_before, n_after, p_before, q_after, jsd_term,
+           round(CAST((SELECT sum(CAST(t2.jsd_term AS DECIMAL(28,10)))
+                       FROM terms t2) AS DOUBLE), 6) AS jsd_bits
+    FROM terms
+    """,
+    doc="Jensen-Shannon divergence drift report over the order-value "
+    f"distribution, {_PSI_CUTOFF} splitting 'reference' from "
+    "'current' — the BOUNDED companion of orders_price_psi: PSI is "
+    "unbounded and blows up on near-empty bins, while JSD lives in "
+    "[0, 1] bits (sqrt(JSD) is a metric), so one alert threshold "
+    "works across features with different bin occupancies. Same 10 "
+    "equal-width bins from broadcast global bounds and "
+    "Laplace-smoothed shares; per-bin terms 0.5*p*log2(p/m) + "
+    "0.5*q*log2(q/m) with m the mixture, using the entropy-rate "
+    "quantization policy (ln to 6dp, terms to 8dp, decimal-summed "
+    "total) so DuckDB hash-matches bit-for-bit. One scan + one "
+    "bin-sized aggregate; the total rides a window over the bounded "
+    "bin grid, never the fact table.",
+)
+def orders_price_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track_cache
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_totalprice").isNotNull()).select(
+        F.col("o_totalprice").alias("x"),
+        F.when(
+            F.col("o_orderdate").cast("date") < F.lit(_PSI_CUTOFF).cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("era"),
+    )
+    bounds = base.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(_PSI_BINS)
+    binned = base.crossJoin(F.broadcast(bounds)).select(
+        "era",
+        F.least(
+            F.floor((F.col("x") - F.col("lo")) / width),
+            F.lit(_PSI_BINS - 1),
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("era") == 0, 1).otherwise(0)).alias("n_before"),
+        F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).alias("n_after"),
+    ).persist()
+    tot = counts.agg(
+        F.sum("n_before").alias("tb"), F.sum("n_after").alias("ta")
+    )
+    smooth = float(0.5 * _PSI_BINS)
+    p = (F.col("n_before").cast("double") + 0.5) / (F.col("tb") + F.lit(smooth))
+    q = (F.col("n_after").cast("double") + 0.5) / (F.col("ta") + F.lit(smooth))
+    m = (p + q) / 2
+    term = F.round(
+        (
+            F.lit(0.5) * p * F.round(F.log(p / m), 6)
+            + F.lit(0.5) * q * F.round(F.log(q / m), 6)
+        )
+        / F.lit(_LN2),
+        8,
+    )
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_before",
+        "n_after",
+        F.round(p, 6).alias("p_before"),
+        F.round(q, 6).alias("q_after"),
+        term.alias("jsd_term"),
+    )
+    from pyspark.sql import Window
+
+    total = F.round(
+        F.sum(F.col("jsd_term").cast("decimal(28,10)"))
+        .over(Window.partitionBy())
+        .cast("double"),
+        6,
+    )
+    out = terms.select("*", total.alias("jsd_bits"))
+    return track_cache(out, counts)
+
+
 _FK_RELATIONS = [
     # (child table, fk col, parent table, pk col)
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -488,3 +609,119 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(expected, 2).alias("expected_n"),
         F.round(F.pow(F.col("n") - expected, 2) / expected, 6).alias("chi2_term"),
     )
+
+
+@register(
+    "priority_status_cramers_v",
+    sql="""
+    WITH obs AS (
+        SELECT o_orderpriority AS priority, o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1, 2
+    ), rt AS (
+        SELECT priority, sum(o) AS row_tot FROM obs GROUP BY priority
+    ), ct AS (
+        SELECT status, sum(o) AS col_tot FROM obs GROUP BY status
+    ), tot AS (SELECT sum(o) AS n FROM obs),
+    dims AS (
+        SELECT (SELECT count(*) FROM rt) AS r, (SELECT count(*) FROM ct) AS c
+    ), cells AS (
+        -- full r x c grid, NOT just observed combinations: a zero
+        -- cell contributes its whole expected count to chi2 (the
+        -- strongest association signal) and must emit a residual row
+        SELECT rt.priority, ct.status, coalesce(o.o, 0) AS o,
+               rt.row_tot * ct.col_tot * 1.0 / t.n AS e
+        FROM rt CROSS JOIN ct
+        LEFT JOIN obs o ON o.priority = rt.priority
+                       AND o.status = ct.status
+        CROSS JOIN tot t
+    ), stat AS (
+        SELECT round(CAST(sum(CAST(round((o - e) * (o - e) / e, 6)
+                                 AS DECIMAL(28,8))) AS DOUBLE), 4) AS chi2
+        FROM cells
+    )
+    SELECT c.priority, c.status, c.o AS observed,
+           round(c.e, 6) AS expected,
+           round((c.o - c.e) / sqrt(c.e), 6) AS std_residual,
+           s.chi2,
+           round(sqrt(s.chi2 / ((SELECT n FROM tot)
+                                * (least(d.r, d.c) - 1))), 6) AS cramers_v
+    FROM cells c CROSS JOIN stat s CROSS JOIN dims d
+    """,
+    doc="Cramer's V association strength + standardized-residual "
+    "matrix for the (order priority, order status) contingency table "
+    "— the EFFECT-SIZE companion of lang_source_chi2: chi2 grows with "
+    "n, so at warehouse scale everything is 'significant'; V = "
+    "sqrt(chi2 / (n * (min(r,c) - 1))) lives in [0, 1] and answers "
+    "whether the association is material, while each cell's "
+    "standardized residual (o - e)/sqrt(e) localizes WHICH "
+    "priority-status combinations drive it (|resid| > 2 is the "
+    "classic callout). One fact shuffle to the bounded r x c grid; "
+    "marginals, total, and the decimal-summed chi2 all branch off "
+    "that grid broadcast-side. Expected counts are integer-product / "
+    "integer divisions (identical doubles in both engines); the chi2 "
+    "sums quantized-decimal contributions, so the single terminal "
+    "sqrt runs on identical inputs and V hash-matches.",
+)
+def priority_status_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track_cache
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .persist()
+    )
+    rt = obs.groupBy("priority").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("status").agg(F.sum("o").alias("col_tot"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    dims = (
+        rt.agg(F.count(F.lit(1)).alias("r"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("c")))
+    )
+    # full r x c grid so zero-observed cells contribute (see twin)
+    cells = (
+        rt.crossJoin(ct)
+        .join(F.broadcast(obs), ["priority", "status"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "priority",
+            "status",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (
+                F.col("row_tot") * F.col("col_tot") * F.lit(1.0) / F.col("n")
+            ).alias("e"),
+            "n",
+        )
+    )
+    contrib = F.round(
+        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 6
+    ).cast("decimal(28,8)")
+    stat = cells.agg(
+        F.round(F.sum(contrib).cast("double"), 4).alias("chi2")
+    )
+    out = (
+        cells.crossJoin(F.broadcast(stat))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "priority",
+            "status",
+            F.col("o").alias("observed"),
+            F.round(F.col("e"), 6).alias("expected"),
+            F.round(
+                (F.col("o") - F.col("e")) / F.sqrt(F.col("e")), 6
+            ).alias("std_residual"),
+            "chi2",
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * (F.least(F.col("r"), F.col("c")) - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+    return track_cache(out, obs)

@@ -18,6 +18,7 @@ from ..io.sources import load_table
 from ..operators.cache import track_cache
 from ..operators.communities import lpa_trace_sql
 from ..operators.kcore import kcore_trace_sql
+from ..operators.hits import hits_sql
 from ..operators.pagerank import (
     pagerank,
     pagerank_iteration_sql,
@@ -530,3 +531,74 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("assortativity"),
     )
     return track_cache(out, und)
+
+
+_HITS_ITERS = 4
+_HITS_TOPK = 15
+
+_HITS_EDGES_CTE = """edges AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )"""
+
+
+@register(
+    "purchase_hits_scores",
+    sql=hits_sql(_HITS_EDGES_CTE, _HITS_ITERS)
+    + f"""
+    SELECT * FROM (
+        SELECT 'authority' AS role, node, auth AS score
+        FROM auth{_HITS_ITERS} ORDER BY auth DESC, node LIMIT {_HITS_TOPK}
+    )
+    UNION ALL
+    SELECT * FROM (
+        SELECT 'hub' AS role, node, hub AS score
+        FROM hub{_HITS_ITERS} ORDER BY hub DESC, node LIMIT {_HITS_TOPK}
+    )
+    """,
+    doc=f"HITS hubs & authorities ({_HITS_ITERS} iterations, Kleinberg "
+    "1999) on the DIRECTED customer->part purchase graph — the "
+    "mutual-reinforcement pair PageRank's single score cannot "
+    "express: authority(part) = bought by strong hub customers, "
+    "hub(customer) = basket concentrates on authoritative parts. "
+    f"Top {_HITS_TOPK} per role. Each half-step quantizes incoming "
+    "scores to floor(score*1e6) BIGINTs (exact any-order int64 sums) "
+    "and max-normalizes via an integer/integer division both engines "
+    "perform on identical inputs, so the DuckDB twin's unrolled "
+    "half-step CTEs hash-match bit-for-bit with NO terminal rounding "
+    "(operators/hits.py). Scale shape: the distinct purchase-edge "
+    "list builds once (one shuffle), persists hash-partitioned, and "
+    "each iteration is two join+aggregate shuffles plus two singleton "
+    "maxes broadcast back — a static 4-iteration plan with no driver "
+    "synchronization.",
+)
+def purchase_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hits import hits
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(
+            lineitem, lineitem.l_orderkey == orders.o_orderkey
+        )
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+        )
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    hubs, auths = hits(edges, _HITS_ITERS)
+    top_auth = (
+        auths.select(F.lit("authority").alias("role"), "node",
+                     F.col("auth").alias("score"))
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(_HITS_TOPK)
+    )
+    top_hub = (
+        hubs.select(F.lit("hub").alias("role"), "node",
+                    F.col("hub").alias("score"))
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(_HITS_TOPK)
+    )
+    return track_cache(top_auth.unionByName(top_hub), edges)

@@ -277,3 +277,96 @@ def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_topk(emb, queries, k=5, m=16, k_codes=16, refine=50)
+
+
+_OUTLIER_TOPN = 10
+
+
+@register(
+    "embedding_outlier_audit",
+    sql=f"""
+    WITH flat AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings
+    ), cent_long AS (
+        SELECT label, pos, {sql_dmean('v', 6)} AS cv
+        FROM flat GROUP BY label, pos
+    ), cent AS (
+        SELECT label, list(cv ORDER BY pos) AS c
+        FROM cent_long GROUP BY label
+    ), scored AS (
+        SELECT e.label, e.vec_id,
+               round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(c.c, c.c))), 4)
+                   AS cos_centroid
+        FROM embeddings e JOIN cent c ON e.label = c.label
+    )
+    SELECT label, vec_id, cos_centroid,
+           CAST(rn AS BIGINT) AS atypicality_rank
+    FROM (
+        SELECT label, vec_id, cos_centroid,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY cos_centroid ASC, vec_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= {_OUTLIER_TOPN}
+    """,
+    doc="Per-label embedding outlier audit — the prototypicality "
+    "metric of Sorscher et al. 2022 ('Beyond neural scaling laws: "
+    "beating power law scaling via data pruning'): cosine of every "
+    f"vector to its label centroid, {_OUTLIER_TOPN} least prototypical "
+    "examples per label. The curation dial SemDeDup doesn't cover: "
+    "near-dups are the TOP of the similarity spectrum, these are the "
+    "bottom (mislabeled points, encoder failures, garbage inputs — "
+    "what a corpus pipeline quarantines before training). Centroid "
+    "components are decimal-quantized means (engine-exact); the "
+    "cosine folds dims in ascending index order in both engines "
+    "(the knn_cosine_brute recipe), so ranks hash-match. Scale "
+    "shape: one explode-shuffle to (label, pos) grain for centroids "
+    "(|labels| x dim rows), centroids broadcast back, one scan to "
+    "score, and the rank window partitions by label over "
+    "quantized scores — no global sort, no pairwise expansion.",
+)
+def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    cent_long = flat.groupBy("label", "pos").agg(dmean(F.col("v"), 6).alias("cv"))
+    cent = (
+        cent_long.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("c")
+        )
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("c")), 4).alias("cos_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.asc("cos_centroid"), F.asc("vec_id")
+    )
+    return (
+        scored.select(
+            "label", "vec_id", "cos_centroid", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= _OUTLIER_TOPN)
+        .select(
+            "label",
+            "vec_id",
+            "cos_centroid",
+            F.col("rn").cast("bigint").alias("atypicality_rank"),
+        )
+    )

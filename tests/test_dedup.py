@@ -388,3 +388,47 @@ def test_lsh_banding_plan_properties_random_sweep():
                 assert p["fn_rate_at_threshold"] <= 0.05, (num_hashes, t, p)
             probs = list(p["curve"].values())
             assert probs == sorted(probs)
+
+
+def test_semantic_dedup_from_loaded_index_matches_one_shot(spark, sf_oracle):
+    """The amortized path (IvfIndex.save -> load ->
+    semantic_dedup_groups_from_index) must produce the exact group
+    assignment of the one-shot form given the same fitted index — the
+    fit is the only stochastic stage, so sharing it makes the rest
+    bit-deterministic."""
+    import shutil
+    import tempfile
+
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.semdedup import (
+        semantic_dedup_groups_from_index,
+    )
+    from big_data_tools_spark.operators.similarity import IvfIndex
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    index = IvfIndex.fit(
+        emb, "vec_id", "embedding", 8, max_iter=8, init_mode="random",
+        fit_sample_cap=100_000,
+    )
+    direct = {
+        (r["vec_id"], r["keep_id"])
+        for r in semantic_dedup_groups_from_index(
+            index, "vec_id", threshold=0.45
+        ).collect()
+    }
+    d = tempfile.mkdtemp(prefix="bdt_ivf_idx_")
+    try:
+        index.save(d)
+        index.unpersist()
+        loaded = IvfIndex.load(spark, d)
+        via_disk = {
+            (r["vec_id"], r["keep_id"])
+            for r in semantic_dedup_groups_from_index(
+                loaded, "vec_id", threshold=0.45
+            ).collect()
+        }
+        loaded._assigned.unpersist()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert direct == via_disk
+    assert direct  # non-vacuous: sf0.01 embeddings do contain groups

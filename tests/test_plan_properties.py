@@ -397,3 +397,37 @@ def test_welch_single_aggregate_over_events(spark, sf_smoke):
     exactly one exchange (to the event_type grain)."""
     df = get("event_value_welch_ab").fn(spark, sf_smoke)
     assert count_exchanges(df) == 1, _txt(df)[:1500]
+
+
+def test_hits_score_joins_are_shuffle_hash_not_broadcast(spark, sf_smoke):
+    """The HITS score frames are |V|-sized: the edge-side joins must
+    honor the shuffle_hash pin (the r5 sf1 sweep proved AQE broadcast-
+    promotes exactly this frame shape — a driver OOM at 100 TB). The
+    production path localCheckpoints each half-step (hiding earlier
+    joins from the final plan), so inspect one uncheckpointed
+    iteration: both half-step joins must plan as ShuffledHashJoin."""
+    from pyspark.sql import functions as F
+
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.hits import hits
+
+    orders = load_table(spark, sf_smoke, "orders")
+    lineitem = load_table(spark, sf_smoke, "lineitem")
+    edges = (
+        orders.join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .distinct()
+    )
+    hubs, auths = hits(edges, 1, checkpoint=False)
+    for df in (hubs, auths):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # every join against a score frame (its key is the aliased
+        # `node` column) must be shuffle-hash; the edge-construction
+        # broadcast (orders x lineitem, a genuinely dim-sized side) is fine
+        score_joins = [
+            ln for ln in plan.splitlines()
+            if "Join" in ln and "[node#" in ln
+        ]
+        assert score_joins, plan[:1500]
+        for ln in score_joins:
+            assert "ShuffledHashJoin" in ln, ln

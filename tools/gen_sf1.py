@@ -24,6 +24,12 @@ shuffle-hash pin in operators/components.py.
 
 Writes /root/repo/testdata_sf1/*.parquet (gitignored). Idempotent:
 skips tables that already exist unless --force.
+
+Round-6 extension (VERDICT r5 ask #6): ``--copies N`` and ``--dest
+DIR`` generate other decades with the same construction (e.g.
+``--copies 30 --dest testdata_sf3 --tables documents,embeddings`` for
+the sf3 confirmation step of the dedup Sigma-df^2 linearity curve);
+``--tables`` limits generation to the tables a measurement needs.
 """
 
 from __future__ import annotations
@@ -37,6 +43,12 @@ SRC = "/root/testdata/sf0.1"
 DEST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     "testdata_sf1")
 COPIES = 10
+
+
+def _arg(flag: str, default):
+    if flag in sys.argv:
+        return sys.argv[sys.argv.index(flag) + 1]
+    return default
 
 # table -> {column: stride_source_table}; a column shifts by
 # k * (max(key of its source table) + 1) in copy k
@@ -70,7 +82,15 @@ KEY_OF = {
 
 
 def main() -> None:
+    global COPIES, DEST
     force = "--force" in sys.argv
+    COPIES = int(_arg("--copies", COPIES))
+    DEST = _arg("--dest", DEST)
+    if not os.path.isabs(DEST):
+        DEST = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), DEST)
+    only = _arg("--tables", None)
+    only = set(only.split(",")) if only else None
     os.makedirs(DEST, exist_ok=True)
     con = duckdb.connect()
     strides: dict[str, int] = {}
@@ -82,6 +102,8 @@ def main() -> None:
             ).fetchone()[0]
         )
     for table, remap in REMAP.items():
+        if only is not None and table not in only:
+            continue
         out = f"{DEST}/{table}.parquet"
         if os.path.exists(out) and not force:
             print(f"skip {table} (exists)")
