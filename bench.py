@@ -145,6 +145,14 @@ HEADLINE = [
     "discount_quantity_spearman",
     "customer_reorder_survival",
     "purchase_markov_attribution",
+    # round-6: HITS (the localCheckpoint-barrier iterative shape —
+    # per-half-step materialization cost is what this canaries),
+    # the embedding outlier audit (centroid broadcast + array-fold
+    # cosine over the full corpus), and the CUSUM-argmax changepoint
+    # (day-grain prefix-sum window + TakeOrdered)
+    "purchase_hits_scores",
+    "embedding_outlier_audit",
+    "daily_revenue_changepoint",
 ]
 
 
