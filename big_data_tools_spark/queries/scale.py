@@ -430,3 +430,128 @@ def documents_stratified_portable(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+_KMV_K = 128
+_KMV_SALT = "kmv0"
+
+
+def _kmv_sql() -> str:
+    u = sql_md5_uniform("CAST(user_id AS VARCHAR)", _KMV_SALT)
+    k = _KMV_K
+    return f"""
+    WITH users AS (
+        SELECT DISTINCT user_id FROM events
+    ), hashed AS (
+        SELECT user_id, {u} AS u FROM users
+    ), kmin AS (
+        SELECT u FROM hashed ORDER BY u ASC LIMIT {k}
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_eff, max(u) AS kth FROM hashed
+        WHERE u <= (SELECT max(u) FROM kmin)
+    ), ex AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM users
+    ), tu AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), per_type AS (
+        SELECT event_type, user_id,
+               {sql_md5_uniform("CAST(user_id AS VARCHAR)", _KMV_SALT)} AS u,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY {sql_md5_uniform("CAST(user_id AS VARCHAR)", _KMV_SALT)} ASC,
+                            user_id ASC
+               ) AS rn
+        FROM tu
+    ), merged AS (
+        SELECT DISTINCT u FROM per_type WHERE rn <= {k}
+    ), mk AS (
+        SELECT max(u) AS kth_merged
+        FROM (SELECT u FROM merged ORDER BY u ASC LIMIT {k})
+    )
+    SELECT s.k_eff, s.kth AS kth_min,
+           CASE WHEN s.k_eff < {k} THEN CAST(ex.exact_distinct AS DOUBLE)
+                ELSE (s.k_eff - 1) / s.kth END AS est_distinct,
+           ex.exact_distinct,
+           CASE WHEN s.k_eff < {k} THEN 0.0
+                ELSE (s.k_eff - 1) / s.kth / ex.exact_distinct - 1.0
+           END AS rel_error,
+           (mk.kth_merged = s.kth) AS merge_identity_ok
+    FROM s CROSS JOIN ex CROSS JOIN mk
+    """
+
+
+@register(
+    "events_user_kmv_distinct",
+    sql=_kmv_sql(),
+    doc=f"KMV (k-minimum-values) distinct-count sketch for event "
+    f"users, k={_KMV_K} (Bar-Yossef et al. 2002; the Theta-sketch "
+    "core): estimate = (k-1)/u_(k) over the k smallest portable-md5 "
+    "uniforms. The rare thing here is the ORACLE TWIN — HLL sketches "
+    "differ engine-to-engine by design (approx_distinct_sketch is "
+    "rows-only for exactly that reason), but KMV over the repo's "
+    "portable md5 uniform is a pure deterministic function of the "
+    "key set, so DuckDB reproduces the sketch, the estimate, and the "
+    "relative error bit-for-bit. The query also PROVES the sketch's "
+    "mergeability on real data: per-event-type partial sketches "
+    "(bounded rank windows) union-merge to the identical global "
+    "k-min (`merge_identity_ok`) — the property that lets partial "
+    "sketches roll up map-side at 100 TB instead of re-scanning raw "
+    "keys. Scale shape: one distinct shuffle, a TakeOrdered for the "
+    "k-min (no global sort), and |event_types| bounded rank windows "
+    "at the (type, user) grain; when the true cardinality is below "
+    "k the sketch IS exact and both engines report rel_error 0.",
+)
+def events_user_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.sampling import md5_uniform
+
+    k = _KMV_K
+    events = load_table(spark, sf_dir, "events")
+    u_of = lambda: md5_uniform(F.col("user_id").cast("string"), _KMV_SALT)  # noqa: E731
+    hashed = (
+        events.select("user_id").distinct().select("user_id", u_of().alias("u"))
+        .persist()
+    )
+    kth_frame = (
+        hashed.orderBy(F.asc("u")).limit(k).agg(F.max("u").alias("kth_cut"))
+    )
+    # k_eff recounted against the cutoff (ties on u are the same user
+    # hash, so both engines keep the identical set)
+    s = hashed.crossJoin(F.broadcast(kth_frame)).filter(
+        F.col("u") <= F.col("kth_cut")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_eff"),
+        F.max("u").alias("kth"),
+    )
+    ex = hashed.agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    tu = events.select("event_type", "user_id").distinct()
+    w = Window.partitionBy("event_type").orderBy(F.asc("u"), F.asc("user_id"))
+    per_type = tu.select("event_type", "user_id", u_of().alias("u")).select(
+        "u", F.row_number().over(w).alias("rn")
+    )
+    merged = per_type.filter(F.col("rn") <= k).select("u").distinct()
+    mk = (
+        merged.orderBy(F.asc("u")).limit(k).agg(F.max("u").alias("kth_merged"))
+    )
+    est = F.when(
+        F.col("k_eff") < k, F.col("exact_distinct").cast("double")
+    ).otherwise((F.col("k_eff") - 1) / F.col("kth"))
+    rel = F.when(F.col("k_eff") < k, F.lit(0.0)).otherwise(
+        (F.col("k_eff") - 1) / F.col("kth") / F.col("exact_distinct") - 1.0
+    )
+    from ..operators.cache import track_cache
+
+    out = (
+        s.crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(mk))
+        .select(
+            "k_eff",
+            F.col("kth").alias("kth_min"),
+            est.alias("est_distinct"),
+            "exact_distinct",
+            rel.alias("rel_error"),
+            (F.col("kth_merged") == F.col("kth")).alias("merge_identity_ok"),
+        )
+    )
+    return track_cache(out, hashed)

@@ -14,7 +14,13 @@ import pytest
 
 from big_data_tools_spark.queries import get
 
-from .test_round6_fixes import _assert_engine_parity, _plant, shutil
+from .test_round6_fixes import (
+    _EV_SCHEMA,
+    _assert_engine_parity,
+    _plant,
+    _ts,
+    shutil,
+)
 
 
 _ORD = "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate string"
@@ -190,3 +196,38 @@ def test_embedding_outlier_audit_ranks_least_prototypical(spark):
     assert rows[3]["cos_centroid"] == pytest.approx(0.4472, abs=1e-4)
     assert rows[1]["cos_centroid"] == pytest.approx(0.8944, abs=1e-4)
     assert rows[1]["atypicality_rank"] in (2, 3)
+
+
+def test_kmv_sketch_matches_python_replication(spark):
+    """500 planted users across 3 event types: the KMV estimate must
+    equal a hashlib replication of (k-1)/u_(k) over the 128 smallest
+    md5 uniforms, and the per-type partial sketches must union-merge
+    to the identical global k-min."""
+    import hashlib
+
+    rows = [
+        (i, _ts(i % 600), i % 500, ["click", "view", "purchase"][i % 3])
+        for i in range(1500)
+    ]
+    d = _plant(spark, {"events": (rows, _EV_SCHEMA)})
+    try:
+        got = _assert_engine_parity(
+            spark, "events_user_kmv_distinct", d, ["events"]
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    row = next(iter(got.values()))
+
+    def u_of(uid: int) -> float:
+        h = hashlib.md5(f"{uid}|kmv0".encode()).hexdigest()[:13]
+        return (int(h, 16) + 1.0) / float((1 << 52) + 1)
+
+    us = sorted(u_of(uid) for uid in range(500))
+    kth = us[127]
+    assert row["exact_distinct"] == 500
+    assert row["k_eff"] == 128
+    assert row["kth_min"] == kth
+    assert row["est_distinct"] == 127 / kth
+    assert row["merge_identity_ok"] is True
+    # KMV error bound: |est/n - 1| within ~3/sqrt(k) w.h.p.
+    assert abs(row["rel_error"]) < 3 / (128 ** 0.5)
