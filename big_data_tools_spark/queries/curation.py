@@ -430,3 +430,186 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("novelty_rate"),
     )
     return track_cache(out, sh)
+
+
+_ESS_TAU = 2.0  # temperature; 1/tau = 0.5 so the weight is sqrt(p) —
+# sqrt is IEEE-correctly-rounded in BOTH engines, unlike pow()
+
+
+@register(
+    "source_mixture_ess",
+    sql="""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+        FROM documents GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n FROM counts),
+    wt AS (
+        -- temperature weight u = p^(1/tau) carried as integer
+        -- nano-units: sqrt of an identical double is identical, and
+        -- the normalizer sum is then exact int64 in any order
+        SELECT source, n_rows, t.n,
+               CAST(round(sqrt(n_rows * 1.0 / t.n) * 1000000000.0)
+                    AS BIGINT) AS u_u
+        FROM counts CROSS JOIN tot t
+    ), norm AS (
+        SELECT source, n_rows, n, u_u,
+               CAST(sum(u_u) OVER () AS BIGINT) AS su
+        FROM wt
+    ), shaped AS (
+        SELECT source, n_rows, n,
+               n_rows * 1.0 / n AS p,
+               u_u * 1.0 / su AS q,
+               (u_u * 1.0 / su) / (n_rows * 1.0 / n) AS r
+        FROM norm
+    ), ess AS (
+        SELECT CAST(sum(CAST(round(n_rows * r, 6) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS s1,
+               CAST(sum(CAST(round(n_rows * r * r, 6) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS s2
+        FROM shaped
+    )
+    SELECT s.source, s.n_rows,
+           round(s.p, 6) AS natural_share,
+           round(s.q, 6) AS temp_weight,
+           round(s.r, 6) AS doc_upweight,
+           round(e.s1 * e.s1 / e.s2, 2) AS ess,
+           round(e.s1 * e.s1 / e.s2 / s.n, 6) AS ess_ratio
+    FROM shaped s CROSS JOIN ess e
+    """,
+    doc="Effective-sample-size diagnostics for temperature-based "
+    "source mixing (tau=2, the multilingual-pretraining standard; "
+    "Kish 1965 ESS = (Sigma w)^2 / Sigma w^2): per-source natural "
+    "share, temperature weight q ~ p^(1/tau), per-doc relative "
+    "upweight r = q/p, and the corpus-level ESS of the implied "
+    "per-document weights — the number that says how much statistical "
+    "power the reweighting costs (ESS ratio 1.0 = uniform; low means "
+    "a few upweighted sources dominate the gradient). Since every doc "
+    "in a source shares one weight, the doc-grain sums collapse to "
+    "closed forms over the SOURCE grid: Sigma w = Sigma n_s r_s, "
+    "Sigma w^2 = Sigma n_s r_s^2 — one grouped count, everything else "
+    "on the bounded grid. Temperature weights ride integer nano-units "
+    "(sqrt is correctly-rounded IEEE in both engines; pow is not) and "
+    "ESS moments are decimal-quantized, so the twin hash-matches. "
+    "Complements source_mixture_plan (which rebalances by dropping) "
+    "with the reweight-in-place diagnostic.",
+)
+def source_mixture_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    tot = counts.agg(F.sum("n_rows").cast("bigint").alias("n"))
+    wt = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_rows",
+        "n",
+        F.round(F.sqrt(F.col("n_rows") * 1.0 / F.col("n")) * 1_000_000_000.0)
+        .cast("bigint")
+        .alias("u_u"),
+    )
+    norm = wt.select(
+        "*", F.sum("u_u").over(Window.partitionBy()).cast("bigint").alias("su")
+    )
+    p = F.col("n_rows") * 1.0 / F.col("n")
+    q = F.col("u_u") * 1.0 / F.col("su")
+    shaped = norm.select(
+        "source", "n_rows", "n", p.alias("p"), q.alias("q"), (q / p).alias("r")
+    )
+    ess = shaped.agg(
+        F.sum(F.round(F.col("n_rows") * F.col("r"), 6).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(
+            F.round(F.col("n_rows") * F.col("r") * F.col("r"), 6).cast(
+                "decimal(28,8)"
+            )
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    return shaped.crossJoin(F.broadcast(ess)).select(
+        "source",
+        "n_rows",
+        F.round("p", 6).alias("natural_share"),
+        F.round("q", 6).alias("temp_weight"),
+        F.round("r", 6).alias("doc_upweight"),
+        F.round(F.col("s1") * F.col("s1") / F.col("s2"), 2).alias("ess"),
+        F.round(F.col("s1") * F.col("s1") / F.col("s2") / F.col("n"), 6).alias(
+            "ess_ratio"
+        ),
+    )
+
+
+@register(
+    "dedup_impact_by_source",
+    sql="""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ), marked AS (
+        SELECT source, n_tok,
+               CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp)
+                    THEN 0 ELSE 1 END AS removed
+        FROM fp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(removed) AS BIGINT) AS n_removed,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN removed = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+               AS tokens_removed,
+           round(sum(removed) * 1.0 / count(*), 6) AS doc_removal_frac,
+           round(sum(CASE WHEN removed = 1 THEN n_tok ELSE 0 END) * 1.0
+                 / sum(n_tok), 6) AS token_removal_frac
+    FROM marked GROUP BY source
+    """,
+    doc="Per-source exact-dedup impact report — the before/after "
+    "accounting a curation pipeline publishes with every corpus "
+    "release (which sources are duplicate-heavy, how many tokens "
+    "does canonicalization reclaim): min-id survivors per normalized "
+    "content fingerprint (the dedup_exact_docs policy), losses "
+    "attributed to the REMOVED doc's source so cross-source "
+    "duplicate groups charge the copy, not the original. One "
+    "fingerprint window shuffle + one source-grain aggregate; "
+    "fractions are int/int divisions of identical values. The "
+    "report-side companion of dedup_exact_docs / "
+    "source_overlap_matrix.",
+)
+def dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        fingerprint(F.col("text")).alias("fp"),
+        token_count(F.col("text")).alias("n_tok"),
+    )
+    marked = fp.select(
+        "source",
+        "n_tok",
+        F.when(
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp")), 0
+        )
+        .otherwise(1)
+        .alias("removed"),
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("removed").cast("bigint").alias("n_removed"),
+        F.sum("n_tok").cast("bigint").alias("tokens_total"),
+        F.sum(F.when(F.col("removed") == 1, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_removed"),
+        F.round(F.sum("removed") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "doc_removal_frac"
+        ),
+        F.round(
+            F.sum(F.when(F.col("removed") == 1, F.col("n_tok")).otherwise(0))
+            * 1.0
+            / F.sum("n_tok"),
+            6,
+        ).alias("token_removal_frac"),
+    )

@@ -231,3 +231,53 @@ def test_kmv_sketch_matches_python_replication(spark):
     assert row["merge_identity_ok"] is True
     # KMV error bound: |est/n - 1| within ~3/sqrt(k) w.h.p.
     assert abs(row["rel_error"]) < 3 / (128 ** 0.5)
+
+
+def test_mixture_ess_hand_values(spark):
+    """Sources with 1 and 4 docs at tau=2: q = (1/3, 2/3), upweights
+    r = (5/3, 5/6), ESS = 25/(50/9) = 4.5, ratio 0.9 — all closed
+    form."""
+    docs = [(1, "s1", "a b c")] + [(i, "s4", "d e f") for i in range(2, 6)]
+    d = _plant(
+        spark,
+        {"documents": (docs, "doc_id long, source string, text string")},
+    )
+    try:
+        got = _assert_engine_parity(
+            spark, "source_mixture_ess", d, ["documents"]
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got["s1"]["temp_weight"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got["s4"]["temp_weight"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got["s1"]["doc_upweight"] == pytest.approx(5 / 3, abs=1e-6)
+    assert got["s4"]["doc_upweight"] == pytest.approx(5 / 6, abs=1e-6)
+    for r in got.values():
+        assert r["ess"] == pytest.approx(4.5, abs=0.01)
+        assert r["ess_ratio"] == pytest.approx(0.9, abs=1e-4)
+
+
+def test_dedup_impact_charges_the_copy_not_the_original(spark):
+    """A duplicate group spanning sources must charge the REMOVED
+    copy's source: doc 1 (source A) survives, doc 2 (source B, same
+    normalized text) is removed — B loses the tokens, A loses none."""
+    docs = [
+        (1, "A", "hello    world foo"),
+        (2, "B", "  HELLO world foo "),  # same after normalization
+        (3, "B", "completely different text here"),
+    ]
+    d = _plant(
+        spark,
+        {"documents": (docs, "doc_id long, source string, text string")},
+    )
+    try:
+        got = _assert_engine_parity(
+            spark, "dedup_impact_by_source", d, ["documents"]
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got["A"]["n_removed"] == 0
+    assert got["A"]["token_removal_frac"] == 0.0
+    assert got["B"]["n_removed"] == 1
+    assert got["B"]["n_docs"] == 2
+    assert got["B"]["doc_removal_frac"] == 0.5
