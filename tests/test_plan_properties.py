@@ -431,3 +431,40 @@ def test_hits_score_joins_are_shuffle_hash_not_broadcast(spark, sf_smoke):
         assert score_joins, plan[:1500]
         for ln in score_joins:
             assert "ShuffledHashJoin" in ln, ln
+
+
+def test_jsd_bins_ride_one_fact_scan_and_broadcasts(spark, sf_smoke):
+    """orders_price_jsd: bounds and totals must ride broadcast 1-row
+    frames (BroadcastNestedLoopJoin cross), with the only hash
+    shuffle being the bin aggregate — the fact table is scanned for
+    bounds and for binning, never shuffled at fact grain."""
+    df = get("orders_price_jsd").fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    from big_data_tools_spark.operators.cache import release_all_caches
+    release_all_caches()
+
+
+def test_cramers_v_marginals_broadcast_over_grid(spark, sf_smoke):
+    """priority_status_cramers_v: the r x c grid build must join
+    broadcast marginals (obs/rt/ct are all bounded), never shuffle
+    the contingency cells."""
+    df = get("priority_status_cramers_v").fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    from big_data_tools_spark.operators.cache import release_all_caches
+    release_all_caches()
+
+
+def test_kmv_kmin_is_take_ordered_not_global_sort(spark, sf_smoke):
+    """events_user_kmv_distinct: the k smallest hashes must come from
+    TakeOrderedAndProject, never a full Sort of the distinct-user
+    frame (a global sort is the classic sketch-implementation
+    scale-killer)."""
+    df = get("events_user_kmv_distinct").fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    from big_data_tools_spark.operators.cache import release_all_caches
+    release_all_caches()
