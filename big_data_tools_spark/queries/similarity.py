@@ -370,3 +370,59 @@ def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("atypicality_rank"),
         )
     )
+
+
+@register(
+    "ann_recall_report",
+    sql=None,  # LSH hyperplanes and the KMeans fit are Spark-seeded
+    doc="Recall@5 audit of the approximate similarity tiers against "
+    "the exact brute-force oracle, as a queryable surface (the "
+    "check tests/test_similarity.py runs, promoted to a product "
+    "report a pipeline can alert on): for the 10-query evaluation "
+    "set, per-tier (lsh, ivf) mean recall of the exact top-5 "
+    "neighbor sets plus the per-query minimum — the operational "
+    "question (did any query's candidates collapse?) next to the "
+    "average. Distributed shape: the exact and approximate top-k "
+    "frames are all tiny (queries x k rows); the joins that compare "
+    "them never touch the corpus. Rows-only driver check; recall "
+    "floors pinned in tests/test_similarity.py.",
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk, ivf_topk, lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    tiers = {
+        "lsh": lsh_ann_topk(emb, queries, k=5).select("query_id", "neighbor_id"),
+        "ivf": ivf_topk(emb, queries, k=5).select("query_id", "neighbor_id"),
+    }
+    out = None
+    for name, approx in tiers.items():
+        hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        per_q = (
+            exact.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+            .join(
+                hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+                "query_id",
+                "left",
+            )
+            .select(
+                "query_id",
+                (
+                    F.coalesce(F.col("n_hit"), F.lit(0))
+                    / F.col("n_exact")
+                ).alias("recall"),
+            )
+        )
+        row = per_q.agg(
+            F.lit(name).alias("tier"),
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.round(F.avg("recall"), 4).alias("mean_recall_at_5"),
+            F.round(F.min("recall"), 4).alias("min_recall_at_5"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -164,3 +164,20 @@ def test_ivf_index_save_load_roundtrip(spark, tmp_path):
     got = sorted(map(tuple, loaded.search(queries, k=5, n_probe=3).collect()))
     loaded.unpersist()
     assert got == want
+
+
+def test_ann_recall_report_surface(spark, sf_oracle):
+    """The registered recall-report surface must carry both tiers with
+    sane floors (same 0.5 floor as the direct recall tests) and a
+    full 10-query evaluation set."""
+    from big_data_tools_spark.queries import get
+
+    rows = {
+        r["tier"]: r.asDict()
+        for r in get("ann_recall_report").fn(spark, sf_oracle).collect()
+    }
+    assert set(rows) == {"lsh", "ivf"}
+    for tier, r in rows.items():
+        assert r["n_queries"] == 10
+        assert r["mean_recall_at_5"] >= 0.5, (tier, r)
+        assert 0.0 <= r["min_recall_at_5"] <= r["mean_recall_at_5"] <= 1.0
