@@ -709,3 +709,27 @@ def embedding_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((k, round(float(sil), 6)))
     emb.unpersist()
     return spark.createDataFrame(rows, "k int, silhouette double")
+
+
+@register(
+    "streaming_value_drift",
+    sql=None,  # the stateful day/bin count runs through the streaming engine
+    doc="Streaming drift monitor (§2.10 + the drift family): per-day "
+    "Jensen-Shannon divergence of the event-value distribution vs "
+    "the all-time reference. The stateful step is ONE watermarked "
+    "(day, bin) count with declared fixed bin edges (streaming "
+    "cannot see global bounds — the standard production-drift "
+    "contract); the per-day JSD finishes as bounded-grid batch math "
+    "over the drained |days| x 10 counts. Rows-only driver check; "
+    "stream==batch equality asserted in "
+    "tests/test_streaming_monitor.py.",
+)
+def streaming_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import read_events_stream, run_available_now
+    from ..streaming.monitor import jsd_vs_reference, value_drift_by_day
+
+    stream = read_events_stream(spark, sf_dir, path_glob="events.parquet")
+    drained = run_available_now(
+        value_drift_by_day(stream), "bdt_value_drift_q", output_mode="append"
+    )
+    return jsd_vs_reference(drained)

@@ -51,3 +51,60 @@ def test_monitor_reconciles_with_batch(spark, sf_smoke):
     assert all(r["state_rows_dropped_late"] == 0 for r in m)
     # and the data path itself produced the batch-twin's rows
     assert result.count() == hourly_event_counts(events).count()
+
+
+def test_value_drift_stream_equals_batch(spark, sf_smoke):
+    """The drift monitor's stateful step must produce the identical
+    (day, bin, n) grid whether drained through the streaming engine
+    or computed on the batch frame — and therefore identical per-day
+    JSD (the stream==batch contract every §2.10 surface carries).
+    The no-drift sanity also rides along: a day whose distribution
+    matches the reference closely must score near 0 bits."""
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.queries import get
+    from big_data_tools_spark.streaming.monitor import (
+        jsd_vs_reference,
+        value_drift_by_day,
+    )
+
+    import datetime
+
+    from big_data_tools_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    # the stateful grid, drained through the engine vs computed batch
+    stream = read_events_stream(spark, sf_smoke, path_glob="events.parquet")
+    drained = run_available_now(
+        value_drift_by_day(stream), "drift_eq_q", output_mode="append"
+    )
+    s_grid = {(r["day"], r["bin"]): r["n"] for r in drained.collect()}
+    b_grid = {
+        (r["day"], r["bin"]): r["n"]
+        for r in value_drift_by_day(
+            load_table(spark, sf_smoke, "events")
+        ).collect()
+    }
+    # append mode emits only watermark-CLOSED day windows: the stream
+    # grid is a subset of batch, cell-for-cell IDENTICAL where
+    # emitted, and complete behind the 2-day horizon
+    assert set(s_grid) <= set(b_grid)
+    assert all(b_grid[k] == v for k, v in s_grid.items())
+    horizon = max(d for d, _ in b_grid) - datetime.timedelta(days=3)
+    behind = {k for k in b_grid if k[0] <= horizon}
+    assert behind <= set(s_grid), sorted(behind - set(s_grid))
+
+    # the registered end-to-end surface: sane bits, non-vacuous
+    scores = {
+        r["day"]: r["jsd_bits"]
+        for r in get("streaming_value_drift").fn(spark, sf_smoke).collect()
+    }
+    assert scores
+    for bits in scores.values():
+        assert 0.0 <= bits <= 1.0
+    # batch replication over the SAME day subset must agree exactly
+    batch_subset = jsd_vs_reference(drained)
+    assert scores == {
+        r["day"]: r["jsd_bits"] for r in batch_subset.collect()
+    }
