@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 from ..functions.agg import dmean, sql_dmean
 from ..io.sources import load_table
 from ..operators.partitioning import fan_out
+from ..operators.portablemath import pln_sql
 from ..operators.text import (
     PII_PATTERNS,
     STOPWORDS_EN,
@@ -418,8 +419,8 @@ _ZIPF_TOP = 500  # head ranks used for the log-log fit
         SELECT freq, row_number() OVER (ORDER BY freq DESC, w ASC) AS rnk
         FROM counts ORDER BY freq DESC, w ASC LIMIT {_ZIPF_TOP}
     ), pts AS (
-        SELECT round(ln(CAST(rnk AS DOUBLE)), 6) AS x,
-               round(ln(CAST(freq AS DOUBLE)), 6) AS y
+        SELECT round({pln_sql("rnk")}, 6) AS x,
+               round({pln_sql("freq")}, 6) AS y
         FROM head
     ), sums AS (
         SELECT CAST(count(*) AS DOUBLE) AS n,
@@ -449,7 +450,12 @@ _ZIPF_TOP = 500  # head ranks used for the log-log fit
     "total order, engine-identical at the cut), and the closed-form "
     "OLS runs over 500 quantized log-points via the exact "
     "decimal-sum policy (functions/agg.py) so both engines compute "
-    "identical sums, identical slope bits, identical rounding.",
+    "identical sums, identical slope bits, identical rounding. r7: "
+    "the log-points use the engine-portable ln "
+    "(operators/portablemath.py) — libm ln differs by 1 ulp between "
+    "engine builds, which can flip the 6dp quantization at a rounding "
+    "boundary (the r6 corpus_heaps_fit driver FAIL); pln feeds "
+    "bit-identical inputs to the rounding by construction.",
 )
 def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -462,8 +468,10 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = counts.orderBy(F.desc("freq"), F.asc("w")).limit(_ZIPF_TOP)
     w = Window.orderBy(F.desc("freq"), F.asc("w"))
     pts = head.select(
-        F.round(F.log(F.row_number().over(w).cast("double")), 6).alias("x"),
-        F.round(F.log(F.col("freq").cast("double")), 6).alias("y"),
+        F.row_number().over(w).alias("rnk"), "freq"
+    ).select(
+        F.round(F.expr(pln_sql("rnk")), 6).alias("x"),
+        F.round(F.expr(pln_sql("freq")), 6).alias("y"),
     )
     sums = pts.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -497,10 +505,9 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HEAPS_POINTS = 10  # doc_id-fraction checkpoints for the growth curve
 
-
-@register(
-    "corpus_heaps_fit",
-    sql=f"""
+# Shared CTE prefix: the integer vocabulary-growth curve. Everything in
+# it is BIGINT arithmetic — bit-exact in any engine by construction.
+_HEAPS_CURVE_CTES = f"""
     WITH mx AS (
         SELECT max(doc_id) AS m FROM documents
     ), cp AS (
@@ -524,43 +531,44 @@ _HEAPS_POINTS = 10  # doc_id-fraction checkpoints for the growth curve
                (SELECT CAST(count(*) AS BIGINT) FROM firstocc
                 WHERE first_doc <= cp.c) AS vocab
         FROM cp
-    ), pts AS (
-        SELECT round(ln(CAST(n_tokens AS DOUBLE)), 6) AS x,
-               round(ln(CAST(vocab AS DOUBLE)), 6) AS y
-        FROM curve WHERE n_tokens > 0 AND vocab > 0
-    ), sums AS (
-        SELECT CAST(count(*) AS DOUBLE) AS n,
-               CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
-               CAST(sum(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
-               CAST(sum(CAST(round(x * y, 8) AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
-               CAST(sum(CAST(round(x * x, 8) AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(round(y * y, 8) AS DECIMAL(28,10))) AS DOUBLE) AS syy
-        FROM pts
-    )
-    SELECT CAST(n AS BIGINT) AS n_points,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta,
-           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-               AS heaps_lnk,
-           CASE WHEN n * syy - sy * sy = 0 THEN 0.0
-                ELSE round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-           END AS r2
-    FROM sums
+    )"""
+
+
+@register(
+    "corpus_heaps_fit",
+    sql=_HEAPS_CURVE_CTES
+    + """
+    SELECT c AS checkpoint, n_tokens, vocab
+    FROM curve WHERE n_tokens > 0 AND vocab > 0
     """,
-    doc="Heaps'-law fit over corpus vocabulary growth: V(N) ~ K*N^beta "
-    "with beta in [0.4, 0.6] for natural language (Heaps 1978) — the "
-    "companion diagnostic to corpus_zipf_fit, and the number that "
-    "answers 'how big will the vocab/tokenizer table get at 100 TB'. "
-    "The growth curve is sampled at 10 doc_id-fraction checkpoints "
-    "WITHOUT any global ordering window: N(c) aggregates per-doc "
-    "token counts with doc_id <= c, V(c) counts words whose "
-    "first-occurrence doc (a plain min per word) is <= c — two "
-    "grouped aggregates plus a broadcast range join against the "
-    "10-row checkpoint frame, all shuffle-light at any scale. OLS of "
-    "ln V on ln N uses the corpus_zipf_fit quantized decimal-sum "
-    "recipe, so the DuckDB twin hash-matches bit-for-bit.",
+    doc="Heaps'-law vocabulary-growth CURVE: V(N) sampled at 10 "
+    "doc_id-fraction checkpoints — the number that answers 'how big "
+    "will the vocab/tokenizer table get at 100 TB'. r7 redesign after "
+    "the r6 driver hash FAIL: the twinned surface is now the raw "
+    "INTEGER curve (checkpoint, n_tokens, vocab) — bit-exact in any "
+    "engine by construction — because the old round(ln(x),6) inputs "
+    "were libm-dependent (1-ulp ln differences flipped the 6dp "
+    "rounding between engine builds; it passed locally by boundary "
+    "luck). The ln-OLS fit lives in corpus_heaps_beta via the "
+    "portable no-libm ln (operators/portablemath.py) and is pinned at "
+    "two partition counts in tests/test_round7_fixes.py. Scale shape "
+    "unchanged: N(c) aggregates per-doc token counts with doc_id <= "
+    "c, V(c) counts words whose first-occurrence doc (a plain min per "
+    "word) is <= c — two grouped aggregates plus a broadcast range "
+    "join against the 10-row checkpoint frame, shuffle-light at any "
+    "scale.",
 )
 def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    curve = _heaps_curve(spark, sf_dir)
+    return curve.filter(
+        (F.col("n_tokens") > 0) & (F.col("vocab") > 0)
+    ).select(F.col("c").alias("checkpoint"), "n_tokens", "vocab")
+
+
+def _heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c, n_tokens, vocab) integer growth curve shared by
+    corpus_heaps_fit (twin = the curve itself) and corpus_heaps_beta
+    (portable-ln OLS on top)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("w")
@@ -590,12 +598,53 @@ def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c")
         .agg(F.count(F.lit(1)).alias("vocab"))
     )
-    curve = n_curve.join(v_curve, "c")
+    return n_curve.join(v_curve, "c")
+
+
+@register(
+    "corpus_heaps_beta",
+    sql=_HEAPS_CURVE_CTES
+    + f"""
+    , pts AS (
+        SELECT round({pln_sql("n_tokens")}, 6) AS x,
+               round({pln_sql("vocab")}, 6) AS y
+        FROM curve WHERE n_tokens > 0 AND vocab > 0
+    ), sums AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(round(x * y, 8) AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(round(x * x, 8) AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(round(y * y, 8) AS DECIMAL(28,10))) AS DOUBLE) AS syy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+               AS heaps_lnk,
+           CASE WHEN n * syy - sy * sy = 0 THEN 0.0E0
+                ELSE round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS r2
+    FROM sums
+    """,
+    doc="Heaps'-law OLS fit V(N) ~ K*N^beta (beta in [0.4, 0.6] for "
+    "natural language, Heaps 1978) over the corpus_heaps_fit integer "
+    "curve. r7: the log-log points come from the engine-portable ln "
+    "(operators/portablemath.py — pure IEEE +-*/ arithmetic, no "
+    "libm), so the 6dp rounding receives BIT-IDENTICAL inputs in "
+    "Spark and DuckDB and the fit twin is environment-robust by "
+    "construction — the property whose absence made the r6 "
+    "corpus_heaps_fit twin fail the driver hash. OLS sums use the "
+    "quantized decimal-sum recipe (order-independent).",
+)
+def corpus_heaps_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    curve = _heaps_curve(spark, sf_dir)
     pts = curve.filter(
         (F.col("n_tokens") > 0) & (F.col("vocab") > 0)
     ).select(
-        F.round(F.log(F.col("n_tokens").cast("double")), 6).alias("x"),
-        F.round(F.log(F.col("vocab").cast("double")), 6).alias("y"),
+        F.round(F.expr(pln_sql("n_tokens")), 6).alias("x"),
+        F.round(F.expr(pln_sql("vocab")), 6).alias("y"),
     )
     sums = pts.agg(
         F.count(F.lit(1)).cast("double").alias("n"),

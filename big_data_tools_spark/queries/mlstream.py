@@ -45,20 +45,27 @@ def _ml_features_split_sql() -> str:
     return f"""
     WITH feats AS (
         SELECT o_custkey AS business_id,
-               CAST(count(*) AS DOUBLE) AS n_orders,
-               CAST(round(CAST(sum(o_totalprice) AS DOUBLE), 2)
-                    AS DECIMAL(18,2)) AS sum_price,
-               max(CASE WHEN o_orderpriority = '1-URGENT'
-                        THEN 1 ELSE 0 END) AS label,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               -- r7 float-policy fix (CORRECTNESS_r06 hash FAIL):
+               -- quantize to integer cents PER ROW, then sum BIGINTs —
+               -- exact and add-order independent, unlike the old
+               -- round-after-raw-double-sum which flipped at rounding
+               -- boundaries between engines/partitionings
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS sum_price_cents,
+               CAST(max(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS label,
                min(o_orderstatus) AS status,
                {u} AS u
         FROM orders GROUP BY o_custkey
     )
-    SELECT business_id, n_orders, sum_price,
-           -- divide the ROUNDED sum so both engines divide identical
-           -- doubles (raw double sums differ by engine add order)
-           round(CAST(sum_price AS DOUBLE) / n_orders, 6) AS avg_price,
-           CAST(label AS BIGINT) AS label, status,
+    SELECT business_id, n_orders, sum_price_cents,
+           -- integer floor-mean: numerator made divisible first, so
+           -- the double division is exact (quotient < 2^53) — no
+           -- engine-specific integer-division syntax needed
+           CAST((sum_price_cents - (sum_price_cents % n_orders))
+                / n_orders AS BIGINT) AS avg_price_cents,
+           label, status,
            CASE WHEN u <= 0.7 THEN 'train' ELSE 'test' END AS split
     FROM feats
     """
@@ -80,21 +87,34 @@ def _ml_features_split_sql() -> str:
     "repartitioning, unlike positional randomSplit). The model "
     "entries keep Spark's seeded randomSplit for the M4 parity with "
     "the reference; this twin is the oracle-checkable counterpart. "
-    "Scale shape: one map-side-combining aggregate to customer grain; "
-    "the split adds zero shuffles (a hash of the group key).",
+    "r7: money aggregates carried as integer CENTS (per-row decimal "
+    "quantization, then exact BIGINT sums) after the r6 driver hash "
+    "FAIL showed round-after-raw-double-sum is add-order fragile; the "
+    "mean is an exact integer floor-division. Scale shape: one "
+    "map-side-combining aggregate to customer grain; the split adds "
+    "zero shuffles (a hash of the group key).",
 )
 def ml_features_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import md5_uniform
 
-    base = _orders_basetable(spark, sf_dir)
-    u = md5_uniform(F.col("business_id").cast("string"), _MLSPLIT_SALT)
-    sum2 = F.round(F.col("sum_price"), 2).cast("decimal(18,2)")
-    return base.select(
-        "business_id",
-        "n_orders",
-        sum2.alias("sum_price"),
-        F.round(sum2.cast("double") / F.col("n_orders"), 6).alias("avg_price"),
-        F.col("label").cast("bigint").alias("label"),
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    feats = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("sum_price_cents"),
+        F.max(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+        .cast("long")
+        .alias("label"),
+        F.min("o_orderstatus").alias("status"),
+    )
+    u = md5_uniform(F.col("o_custkey").cast("string"), _MLSPLIT_SALT)
+    a, n = F.col("sum_price_cents"), F.col("n_orders")
+    return feats.select(
+        F.col("o_custkey").alias("business_id"),
+        n.alias("n_orders"),
+        a.alias("sum_price_cents"),
+        ((a - a % n) / n).cast("long").alias("avg_price_cents"),
+        "label",
         "status",
         F.when(u <= 0.7, "train").otherwise("test").alias("split"),
     )

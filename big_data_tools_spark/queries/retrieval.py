@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.agg import dmean, sql_dmean
+from ..operators.portablemath import pln_sql
 from ..operators.sampling import sql_md5_uniform
 from ..io.sources import load_table
 from ..operators.text import token_count, tokens
@@ -40,6 +41,13 @@ _BM25_B = 0.75
 _BM25_TOPK = 20
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+# Portable-ln idf pieces (r7 float policy): ln((N - df + 0.5)/(df + 0.5)
+# + 1) simplifies algebraically to ln(2*(N+1)) - ln(2*df + 1), both
+# integer-argument — evaluated via operators/portablemath.pln_sql so the
+# bits match across engines (libm ln differs in the last ulp).
+PLN_2N1 = pln_sql("2 * (s.n_docs + 1)")
+PLN_2DF1 = pln_sql("2 * d.df + 1")
 
 # Shared CTE chain: per-document BM25 for the literal term set. Used by
 # both the lexical top-k oracle and the hybrid-fusion oracle so the two
@@ -59,11 +67,15 @@ _BM25_CTES = f"""
     ), tf AS (
         SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
         FROM toks WHERE w IN ({_TERMS_SQL}) GROUP BY doc_id, w
+    ), df_t AS (
+        SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY w
     ), idf AS (
+        -- ln((N - df + 0.5)/(df + 0.5) + 1) = ln(2*(N+1)) - ln(2*df+1):
+        -- integer-argument portable ln (no libm, bit-identical engines)
         SELECT w,
-               ln((s.n_docs - count(DISTINCT t.doc_id) + 0.5)
-                  / (count(DISTINCT t.doc_id) + 0.5) + 1) AS idf
-        FROM tf t CROSS JOIN stats s GROUP BY w, s.n_docs
+               ({PLN_2N1} - {PLN_2DF1}) AS idf
+        FROM df_t d CROSS JOIN stats s
     ), scored AS (
         SELECT t.doc_id,
                i.idf * t.tf * ({_BM25_K1} + 1)
@@ -115,8 +127,11 @@ def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats.select("n_docs")))
         .select(
             "w",
-            F.log(
-                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+            # same algebraic form as the oracle CTE: ln(2*(N+1)) -
+            # ln(2*df+1) via the portable no-libm ln
+            (
+                F.expr(pln_sql("2 * (n_docs + 1)"))
+                - F.expr(pln_sql("2 * df + 1"))
             ).alias("idf"),
         )
     )
@@ -178,13 +193,19 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), filtered AS (
         SELECT * FROM toks WHERE w <> ''
     ), model AS (
-        SELECT w, count(*) * 1.0 / (SELECT count(*) FROM filtered) AS p
+        SELECT w, CAST(count(*) AS BIGINT) AS tc
         FROM filtered GROUP BY w
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM filtered
     ), per_doc AS (
+        -- -ln(tc/total) = pln(total) - pln(tc): integer-argument
+        -- portable ln, bit-identical across engines (r7 float policy)
         SELECT doc_id, source,
-               round(CAST(sum(CAST(round(-ln(m.p), 6) AS DECIMAL(28,8)))
+               round(CAST(sum(CAST(round(
+                   {pln_sql("t.n_tokens")} - {pln_sql("m.tc")}, 6)
+                       AS DECIMAL(28,8)))
                           AS DOUBLE) / count(*), 6) AS nll
-        FROM filtered f JOIN model m USING (w)
+        FROM filtered f JOIN model m USING (w) CROSS JOIN tot t
         GROUP BY doc_id, source
     )
     SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -208,18 +229,16 @@ def doc_perplexity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
     )
     total = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
-    model = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("tc"))
-        .crossJoin(F.broadcast(total))
-        .select("w", (F.col("tc") * F.lit(1.0) / F.col("n_tokens")).alias("p"))
-    )
+    model = toks.groupBy("w").agg(F.count(F.lit(1)).alias("tc"))
+    # -ln(tc/total) = pln(total) - pln(tc): portable integer-ln twin
+    nll_t = F.expr(pln_sql("n_tokens")) - F.expr(pln_sql("tc"))
     per_doc = (
         toks.join(F.broadcast(model), "w")
+        .crossJoin(F.broadcast(total))
         .groupBy("doc_id", "source")
         .agg(
             F.round(
-                F.sum(F.round(-F.log("p"), 6).cast("decimal(28,8)")).cast("double")
+                F.sum(F.round(nll_t, 6).cast("decimal(28,8)")).cast("double")
                 / F.count(F.lit(1)),
                 6,
             ).alias("nll")
@@ -382,12 +401,16 @@ _SB_SALT = "lm"
                unnest(fl[2:len(fl)]) AS w2
         FROM fdocs WHERE u > {_SB_TRAIN_FRAC}
     ), scored AS (
+        -- per-token NLL computed directly in portable integer-ln form:
+        -- seen: -ln(c12/c1) = pln(c1) - pln(c12);
+        -- backoff: -ln(0.4*(c+1)/(n+v)) = pln(5*(n+v)) - pln(2*(c+1))
+        -- (0.4 = 2/5 folded into the integer arguments)
         SELECT s.doc_id, s.lang,
                CASE WHEN bi.c12 IS NOT NULL
-                    THEN CAST(bi.c12 AS DOUBLE) / u1.c1
-                    ELSE {_SB_ALPHA} * (CAST(coalesce(u2.c1, 0) + 1 AS DOUBLE)
-                                        / (stats.n + stats.v))
-               END AS p,
+                    THEN {pln_sql("u1.c1")} - {pln_sql("bi.c12")}
+                    ELSE {pln_sql("5 * (stats.n + stats.v)")}
+                         - {pln_sql("2 * (coalesce(u2.c1, 0) + 1)")}
+               END AS nll_t,
                CASE WHEN bi.c12 IS NULL THEN 1 ELSE 0 END AS backoff
         FROM score_bg s
         LEFT JOIN bi ON s.w1 = bi.w1 AND s.w2 = bi.w2
@@ -396,7 +419,7 @@ _SB_SALT = "lm"
         CROSS JOIN stats
     ), per_doc AS (
         SELECT doc_id, lang,
-               round(CAST(sum(CAST(round(-ln(p), 6) AS DECIMAL(28,8)))
+               round(CAST(sum(CAST(round(nll_t, 6) AS DECIMAL(28,8)))
                           AS DOUBLE) / count(*), 6) AS nll,
                CAST(count(*) AS BIGINT) AS nb,
                CAST(sum(backoff) AS BIGINT) AS nbo
@@ -466,22 +489,22 @@ def doc_bigram_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
+            # portable integer-ln form, mirroring the oracle CTE
             F.when(
                 F.col("c12").isNotNull(),
-                F.col("c12").cast("double") / F.col("c1_w1"),
+                F.expr(pln_sql("c1_w1")) - F.expr(pln_sql("c12")),
             )
             .otherwise(
-                F.lit(_SB_ALPHA)
-                * ((F.coalesce(F.col("c1_w2"), F.lit(0)) + 1).cast("double")
-                   / (F.col("n") + F.col("v")))
+                F.expr(pln_sql("5 * (n + v)"))
+                - F.expr(pln_sql("2 * (coalesce(c1_w2, 0) + 1)"))
             )
-            .alias("p"),
+            .alias("nll_t"),
             F.when(F.col("c12").isNull(), 1).otherwise(0).alias("backoff"),
         )
     )
     per_doc = scored.groupBy("doc_id", "lang").agg(
         F.round(
-            F.sum(F.round(-F.log("p"), 6).cast("decimal(28,8)")).cast("double")
+            F.sum(F.round("nll_t", 6).cast("decimal(28,8)")).cast("double")
             / F.count(F.lit(1)),
             6,
         ).alias("nll"),
