@@ -59,6 +59,28 @@ def ngram_features(text_col: Column) -> Column:
     return F.concat(toks, bigrams)
 
 
+def _portable_llr(alpha: float) -> Column:
+    """Per-feature importance log-ratio via the portable integer-arg
+    ln (r7 float policy — libm ln drifts a ulp between engines): with
+    alpha = p/q rational, ln((tc+a)/(t_tgt+a*v)) - ln((rc+a)/(t_raw+
+    a*v)) = [pln(q*tc+p) - pln(q*t_tgt+p*v)] - [pln(q*rc+p) -
+    pln(q*t_raw+p*v)] — every argument an exact integer."""
+    from fractions import Fraction
+
+    from .portablemath import pln_sql
+
+    frac = Fraction(str(alpha))
+    p, q = frac.numerator, frac.denominator
+    # association must match the SQL twin exactly: (a-b) - (c-d)
+    return (
+        F.expr(pln_sql(f"{q} * tc + {p}"))
+        - F.expr(pln_sql(f"{q} * t_tgt + {p} * v"))
+    ) - (
+        F.expr(pln_sql(f"{q} * rc + {p}"))
+        - F.expr(pln_sql(f"{q} * t_raw + {p} * v"))
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     text_col: str,
@@ -107,9 +129,7 @@ def dsir_weights(
         F.sum("tc").alias("t_tgt"),
         F.count(F.lit(1)).alias("v"),
     )
-    llr = F.log((F.col("tc") + alpha) / (F.col("t_tgt") + alpha * F.col("v"))) - F.log(
-        (F.col("rc") + alpha) / (F.col("t_raw") + alpha * F.col("v"))
-    )
+    llr = _portable_llr(alpha)
     scored_model = (
         model.crossJoin(F.broadcast(totals)).select("f", llr.alias("llr"))
     )

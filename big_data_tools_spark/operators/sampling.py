@@ -182,6 +182,30 @@ def sql_md5_uniform(key_expr: str, salt: str = "u0") -> str:
     )
 
 
+# The md5 draw as an exact 52-bit INTEGER h+1 in [1, 2^52] — the form
+# portable transcendental twins need (pln takes BIGINT args). Value
+# (not syntax) parity with the Spark conv() path: both integers are
+# < 2^53 so every intermediate is exact.
+MD5_DENOM = (1 << 52) + 1
+
+
+def md5_hp(key, salt: str = "u0"):
+    """Spark column: the md5 52-bit integer + 1 (so ln args are >= 1);
+    md5_uniform(key) == md5_hp(key) / (2^52 + 1) exactly."""
+    h = F.conv(F.substring(F.md5(F.concat_ws("|", key, F.lit(salt))), 1, 13), 16, 10)
+    return h.cast("bigint") + 1
+
+
+def sql_md5_hp(key_expr: str, salt: str = "u0") -> str:
+    """DuckDB twin of :func:`md5_hp`."""
+    return (
+        "CAST(list_sum(list_transform(range(13), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({key_expr} || '|{salt}'), "
+        "CAST(i + 1 AS INTEGER), 1)) - 1) * (16.0 ** (12 - i)))) + 1 "
+        "AS BIGINT)"
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame,
     weight_col: str,
@@ -203,10 +227,16 @@ def weighted_sample_topk(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    key = F.log(md5_uniform(F.col(id_col), salt)) / F.col(weight_col)
+    from .portablemath import pln_sql
+
+    # ln(u) = ln((h+1)/(2^52+1)) = pln(h+1) - pln(2^52+1): integer-arg
+    # portable ln (r7 float policy — libm ln drifts a ulp per engine)
+    ln_u = F.expr(pln_sql("__hp")) - F.expr(pln_sql(str(MD5_DENOM)))
     return (
         df.filter(F.col(weight_col) > 0)
-        .withColumn("sample_key", F.round(key, 10))
+        .withColumn("__hp", md5_hp(F.col(id_col), salt))
+        .withColumn("sample_key", F.round(ln_u / F.col(weight_col), 10))
+        .drop("__hp")
         .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -10,10 +10,13 @@ over an already-aggregated tiny frame).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io.sources import load_table
+from ..operators.portablemath import LN2_LITERAL, pln_sql
 from ..operators.skewstats import heavy_hitters, kanonymity_violations, skew_summary
 from .registry import register
 
@@ -294,9 +297,13 @@ _PSI_CUTOFF = "1997-01-01"
     ), bounds AS (
         SELECT min(x) AS lo, max(x) AS hi FROM base
     ), binned AS (
+        -- hi = lo (degenerate single-value column) => bin 0, not a
+        -- divide-by-zero whose NULL/inf handling differs per engine
         SELECT era,
-               CAST(least(floor((x - b.lo) / ((b.hi - b.lo) / {_PSI_BINS})),
-                          {_PSI_BINS - 1}) AS BIGINT) AS bin
+               CASE WHEN b.hi = b.lo THEN 0
+                    ELSE CAST(least(floor((x - b.lo)
+                                          / ((b.hi - b.lo) / {_PSI_BINS})),
+                          {_PSI_BINS - 1}) AS BIGINT) END AS bin
         FROM base CROSS JOIN bounds b
     ), counts AS (
         SELECT bin,
@@ -313,10 +320,14 @@ _PSI_CUTOFF = "1997-01-01"
                AS p_before,
            round((CAST(n_after AS DOUBLE) + 0.5) / (ta + {0.5 * _PSI_BINS}), 6)
                AS p_after,
+           -- ln(p_b/p_a) on Laplace-smoothed shares reduces to integer
+           -- args: p = (2n+1)/(2t+10) => portable no-libm ln (r7)
            round((((CAST(n_before AS DOUBLE) + 0.5) / (tb + {0.5 * _PSI_BINS}))
                   - ((CAST(n_after AS DOUBLE) + 0.5) / (ta + {0.5 * _PSI_BINS})))
-                 * ln(((CAST(n_before AS DOUBLE) + 0.5) / (tb + {0.5 * _PSI_BINS}))
-                      / ((CAST(n_after AS DOUBLE) + 0.5) / (ta + {0.5 * _PSI_BINS}))),
+                 * (({pln_sql("2 * n_before + 1")}
+                     - {pln_sql(f"2 * tb + {_PSI_BINS}")})
+                    - ({pln_sql("2 * n_after + 1")}
+                       - {pln_sql(f"2 * ta + {_PSI_BINS}")})),
                  6) AS psi_term
     FROM counts CROSS JOIN tot
     """,
@@ -344,11 +355,15 @@ def orders_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bounds = base.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / F.lit(_PSI_BINS)
+    # hi = lo (degenerate single-value column) => bin 0 (see twin)
     binned = base.crossJoin(F.broadcast(bounds)).select(
         "era",
-        F.least(
-            F.floor((F.col("x") - F.col("lo")) / width),
-            F.lit(_PSI_BINS - 1),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("x") - F.col("lo")) / width),
+                F.lit(_PSI_BINS - 1),
+            )
         )
         .cast("bigint")
         .alias("bin"),
@@ -363,13 +378,21 @@ def orders_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     smooth = float(0.5 * _PSI_BINS)
     p_b = (F.col("n_before").cast("double") + 0.5) / (F.col("tb") + F.lit(smooth))
     p_a = (F.col("n_after").cast("double") + 0.5) / (F.col("ta") + F.lit(smooth))
+    # ln(p_b/p_a) via the portable integer-arg ln (r7 float policy)
+    ln_ratio = (
+        F.expr(pln_sql("2 * n_before + 1"))
+        - F.expr(pln_sql(f"2 * tb + {_PSI_BINS}"))
+    ) - (
+        F.expr(pln_sql("2 * n_after + 1"))
+        - F.expr(pln_sql(f"2 * ta + {_PSI_BINS}"))
+    )
     out = counts.crossJoin(F.broadcast(tot)).select(
         "bin",
         "n_before",
         "n_after",
         F.round(p_b, 6).alias("p_before"),
         F.round(p_a, 6).alias("p_after"),
-        F.round((p_b - p_a) * F.log(p_b / p_a), 6).alias("psi_term"),
+        F.round((p_b - p_a) * ln_ratio, 6).alias("psi_term"),
     )
     return track_cache(out, counts)
 
@@ -388,9 +411,13 @@ _LN2 = 0.6931471805599453  # shared literal: keep both engines on one constant
     ), bounds AS (
         SELECT min(x) AS lo, max(x) AS hi FROM base
     ), binned AS (
+        -- hi = lo (degenerate single-value column) => bin 0, not a
+        -- divide-by-zero whose NULL/inf handling differs per engine
         SELECT era,
-               CAST(least(floor((x - b.lo) / ((b.hi - b.lo) / {_PSI_BINS})),
-                          {_PSI_BINS - 1}) AS BIGINT) AS bin
+               CASE WHEN b.hi = b.lo THEN 0
+                    ELSE CAST(least(floor((x - b.lo)
+                                          / ((b.hi - b.lo) / {_PSI_BINS})),
+                          {_PSI_BINS - 1}) AS BIGINT) END AS bin
         FROM base CROSS JOIN bounds b
     ), counts AS (
         SELECT bin,
@@ -402,15 +429,23 @@ _LN2 = 0.6931471805599453  # shared literal: keep both engines on one constant
                CAST(sum(n_after) AS BIGINT) AS ta
         FROM counts
     ), shares AS (
+        -- integer numerators/denominators ride along so the log-ratio
+        -- can use the portable integer-arg ln: p = pu/(2*tb+B),
+        -- q = qu/(2*ta+B); p/m = 2*U/(U+V), q/m = 2*V/(U+V) with
+        -- U = pu*(2*ta+B), V = qu*(2*tb+B)
         SELECT bin, n_before, n_after,
                (CAST(n_before AS DOUBLE) + 0.5) / (tb + {0.5 * _PSI_BINS}) AS p,
-               (CAST(n_after AS DOUBLE) + 0.5) / (ta + {0.5 * _PSI_BINS}) AS q
+               (CAST(n_after AS DOUBLE) + 0.5) / (ta + {0.5 * _PSI_BINS}) AS q,
+               (2 * n_before + 1) * (2 * ta + {_PSI_BINS}) AS u_int,
+               (2 * n_after + 1) * (2 * tb + {_PSI_BINS}) AS v_int
         FROM counts CROSS JOIN tot
     ), terms AS (
         SELECT bin, n_before, n_after,
                round(p, 6) AS p_before, round(q, 6) AS q_after,
-               round((0.5 * p * round(ln(p / ((p + q) / 2)), 6)
-                      + 0.5 * q * round(ln(q / ((p + q) / 2)), 6))
+               round((0.5 * p * round(({LN2_LITERAL} + {pln_sql("u_int")})
+                                      - {pln_sql("u_int + v_int")}, 6)
+                      + 0.5 * q * round(({LN2_LITERAL} + {pln_sql("v_int")})
+                                        - {pln_sql("u_int + v_int")}, 6))
                      / {_LN2!r}, 8) AS jsd_term
         FROM shares
     )
@@ -447,11 +482,15 @@ def orders_price_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bounds = base.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / F.lit(_PSI_BINS)
+    # hi = lo (degenerate single-value column) => bin 0 (see twin)
     binned = base.crossJoin(F.broadcast(bounds)).select(
         "era",
-        F.least(
-            F.floor((F.col("x") - F.col("lo")) / width),
-            F.lit(_PSI_BINS - 1),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("x") - F.col("lo")) / width),
+                F.lit(_PSI_BINS - 1),
+            )
         )
         .cast("bigint")
         .alias("bin"),
@@ -466,21 +505,37 @@ def orders_price_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     smooth = float(0.5 * _PSI_BINS)
     p = (F.col("n_before").cast("double") + 0.5) / (F.col("tb") + F.lit(smooth))
     q = (F.col("n_after").cast("double") + 0.5) / (F.col("ta") + F.lit(smooth))
-    m = (p + q) / 2
+    # portable integer-arg log ratios (see twin): ln(p/m), ln(q/m)
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_before",
+        "n_after",
+        p.alias("p"),
+        q.alias("q"),
+        ((2 * F.col("n_before") + 1) * (2 * F.col("ta") + _PSI_BINS)).alias(
+            "u_int"
+        ),
+        ((2 * F.col("n_after") + 1) * (2 * F.col("tb") + _PSI_BINS)).alias(
+            "v_int"
+        ),
+    )
+    ln2 = F.expr(LN2_LITERAL)
+    ln_p_m = (ln2 + F.expr(pln_sql("u_int"))) - F.expr(pln_sql("u_int + v_int"))
+    ln_q_m = (ln2 + F.expr(pln_sql("v_int"))) - F.expr(pln_sql("u_int + v_int"))
     term = F.round(
         (
-            F.lit(0.5) * p * F.round(F.log(p / m), 6)
-            + F.lit(0.5) * q * F.round(F.log(q / m), 6)
+            F.lit(0.5) * F.col("p") * F.round(ln_p_m, 6)
+            + F.lit(0.5) * F.col("q") * F.round(ln_q_m, 6)
         )
         / F.lit(_LN2),
         8,
     )
-    terms = counts.crossJoin(F.broadcast(tot)).select(
+    terms = shares.select(
         "bin",
         "n_before",
         "n_after",
-        F.round(p, 6).alias("p_before"),
-        F.round(q, 6).alias("q_after"),
+        F.round("p", 6).alias("p_before"),
+        F.round("q", 6).alias("q_after"),
         term.alias("jsd_term"),
     )
     from pyspark.sql import Window
@@ -558,6 +613,18 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Benford expectations log10(1 + 1/d) are nine CONSTANTS — precompute
+# them in Python and emit exponent-notation double literals, so neither
+# engine's libm log10/pow is in the twinned path (r7 float policy).
+_BENFORD_CASE = (
+    "(CASE digit "
+    + " ".join(
+        f"WHEN {d} THEN {math.log10(1.0 + 1.0 / d)!r}E0" for d in range(1, 10)
+    )
+    + " END)"
+)
+
+
 @register(
     "orders_benford_digits",
     sql="""
@@ -573,11 +640,11 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM obs
     )
     SELECT digit, n,
-           round(total * log10(1.0 + 1.0 / digit), 2) AS expected_n,
-           round(pow(n - total * log10(1.0 + 1.0 / digit), 2)
-                 / (total * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
+           round(total * __BENFORD__, 2) AS expected_n,
+           round((n - total * __BENFORD__) * (n - total * __BENFORD__)
+                 / (total * __BENFORD__), 6) AS chi2_term
     FROM tot
-    """,
+    """.replace("__BENFORD__", _BENFORD_CASE),
     doc="Benford's-law forensic audit of order totals: observed "
     "first-significant-digit counts vs the log10(1+1/d) expectation, "
     "with per-digit chi-square contributions — the classic synthetic/"
@@ -602,12 +669,14 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     total = obs.agg(F.sum("n").cast("double").alias("total"))
     tot = obs.crossJoin(F.broadcast(total))
-    expected = F.col("total") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    # same nine precomputed literal constants as the twin (no libm)
+    expected = F.col("total") * F.expr(_BENFORD_CASE)
+    dev = F.col("n") - expected
     return tot.select(
         "digit",
         "n",
         F.round(expected, 2).alias("expected_n"),
-        F.round(F.pow(F.col("n") - expected, 2) / expected, 6).alias("chi2_term"),
+        F.round(dev * dev / expected, 6).alias("chi2_term"),
     )
 
 
@@ -644,8 +713,12 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(c.e, 6) AS expected,
            round((c.o - c.e) / sqrt(c.e), 6) AS std_residual,
            s.chi2,
-           round(sqrt(s.chi2 / ((SELECT n FROM tot)
-                                * (least(d.r, d.c) - 1))), 6) AS cramers_v
+           -- degenerate 1xC / Rx1 table: V undefined => NULL on both
+           -- engines (not a 0-divide whose inf/NULL differs per engine)
+           CASE WHEN least(d.r, d.c) <= 1 THEN NULL
+                ELSE round(sqrt(s.chi2 / ((SELECT n FROM tot)
+                                * (least(d.r, d.c) - 1))), 6)
+           END AS cramers_v
     FROM cells c CROSS JOIN stat s CROSS JOIN dims d
     """,
     doc="Cramer's V association strength + standardized-residual "
@@ -715,13 +788,22 @@ def priority_status_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("o") - F.col("e")) / F.sqrt(F.col("e")), 6
             ).alias("std_residual"),
             "chi2",
-            F.round(
-                F.sqrt(
-                    F.col("chi2")
-                    / (F.col("n") * (F.least(F.col("r"), F.col("c")) - 1))
-                ),
-                6,
-            ).alias("cramers_v"),
+            # degenerate 1xC / Rx1 table: min(r,c)-1 = 0 would divide
+            # by zero (Spark NULL vs DuckDB inf/NaN — engine-parity
+            # divergence, ADVICE r6); V is undefined there => NULL
+            F.when(
+                F.least(F.col("r"), F.col("c")) <= 1, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.round(
+                    F.sqrt(
+                        F.col("chi2")
+                        / (F.col("n") * (F.least(F.col("r"), F.col("c")) - 1))
+                    ),
+                    6,
+                )
+            )
+            .alias("cramers_v"),
         )
     )
     return track_cache(out, obs)

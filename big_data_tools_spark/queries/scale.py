@@ -11,6 +11,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io.sources import load_table
+from ..operators.portablemath import pln_sql as _pln
+from ..operators.sampling import MD5_DENOM as _MD5_DENOM
+from ..operators.sampling import sql_md5_hp as _sql_md5_hp
 from ..operators.sampling import sql_md5_uniform
 from ..operators.skew import salted_aggregate
 from .registry import register
@@ -301,9 +304,12 @@ _TM_TAU = 3.0
 
 @register(
     "documents_weighted_sample",
+    # ln(u) = pln(h+1) - pln(2^52+1) on the exact md5 integer — the
+    # portable no-libm ln (r7 float policy)
     sql=f"""
     SELECT doc_id, n_chars,
-           round(ln({sql_md5_uniform("CAST(doc_id AS VARCHAR)", _WS_SALT)})
+           round(({_pln(_sql_md5_hp("CAST(doc_id AS VARCHAR)", _WS_SALT))}
+                  - {_pln(str(_MD5_DENOM))})
                  / n_chars, 10) AS sample_key
     FROM documents WHERE n_chars > 0
     ORDER BY sample_key DESC, doc_id ASC LIMIT {_WS_K}

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..io.sources import load_table
 from ..operators.dsir import dsir_weights
+from ..operators.portablemath import pln_sql as _pln
 from .registry import register
 
 _DSIR_TARGET_SOURCE = "src0"
@@ -44,9 +45,11 @@ _DSIR_TOPK = 100
     ), totals AS (
         SELECT sum(rc) AS t_raw, sum(tc) AS t_tgt, count(*) AS v FROM model
     ), scored AS (
+        -- alpha = 1/2 folded into integer args: portable no-libm ln,
+        -- same (a-b)-(c-d) association as operators/dsir._portable_llr
         SELECT f,
-               ln((tc + {_DSIR_ALPHA}) / (t_tgt + {_DSIR_ALPHA} * v))
-               - ln((rc + {_DSIR_ALPHA}) / (t_raw + {_DSIR_ALPHA} * v)) AS llr
+               ({_pln("2 * tc + 1")} - {_pln("2 * t_tgt + v")})
+               - ({_pln("2 * rc + 1")} - {_pln("2 * t_raw + v")}) AS llr
         FROM model CROSS JOIN totals
     )
     SELECT fe.doc_id, fe.source,

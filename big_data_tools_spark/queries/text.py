@@ -25,6 +25,7 @@ from ..operators.text import (
     token_count,
     tokens,
 )
+from ..operators.portablemath import pln_ratio_sql
 from .registry import register
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -227,9 +228,13 @@ def doc_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.df * 2 < n.n_docs
     )
     SELECT lang, CAST(rank AS INT) AS rank, term, cnt,
-           round(ln((n_docs + 1.0) / (df + 1.0)), 4) AS idf
+           round(__PLN_IDF__, 4) AS idf
     FROM r WHERE rank <= 5
-    """,
+    """.replace(
+        # smoothed idf = ln((N+1)/(df+1)) on integer args, via the
+        # portable no-libm ln (r7 float policy — libm last-ulp drift)
+        "__PLN_IDF__", pln_ratio_sql("n_docs + 1", "df + 1")
+    ),
     doc="TF-IDF-style top terms per language (north-star text "
     "analysis): tokenize JVM-side, document frequency over the "
     "corpus, drop corpus-stopwords (df*2 >= N), rank the survivors "
@@ -264,7 +269,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             "cnt",
             F.round(
-                F.ln((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))), 4
+                F.expr(pln_ratio_sql("n_docs + 1", "df + 1")), 4
             ).alias("idf"),
         )
     )
