@@ -52,3 +52,91 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
     df.collect()  # count() would build a different plan; execute THIS one
     text = df._jdf.queryExecution().executedPlan().toString()
     return len(set(re.findall(r"\*\((\d+)\)", text)))
+
+
+# --------------------------------------------------------------- r7
+# Float-policy lint for oracle-twinned SQL (VERDICT r6 ask #2).
+#
+# Two bug classes produced the round-6 driver hash failures:
+#   1. libm transcendentals (ln/log/exp/pow) differ in the last ulp
+#      between engine builds, so a rounded transcendental can land on
+#      opposite sides of a quantization boundary per engine
+#      (corpus_heaps_fit). sqrt is EXEMPT — IEEE 754 requires it
+#      correctly rounded, so it is bit-identical everywhere.
+#   2. summing raw DOUBLE base columns is add-order dependent, so
+#      round(sum(double)) flips at boundaries between partitionings
+#      and engines (ml_features_split).
+# The fix for (1) is operators/portablemath.py (pure-IEEE ln/exp
+# shared verbatim by both engines); for (2) functions/agg.py
+# (quantize to integer/decimal BEFORE any cross-row reduction).
+# This lint rejects twins that reintroduce either pattern.
+
+# DOUBLE-typed base columns of the driver parquet tables: summing any
+# of these raw is add-order fragile.
+DOUBLE_BASE_COLUMNS = (
+    "c_acctbal",
+    "l_discount",
+    "l_extendedprice",
+    "l_quantity",
+    "l_tax",
+    "o_totalprice",
+    "p_retailprice",
+    "s_acctbal",
+    "value",
+)
+
+_LIBM_FUNCS = re.compile(
+    r"(?<![a-z_0-9])(ln|log|log2|log10|exp|pow|power)\s*\(", re.I
+)
+
+
+def _strip_sql_comments(sql: str) -> str:
+    return re.sub(r"--[^\n]*", "", sql)
+
+
+def _sum_args(sql: str) -> list[str]:
+    """Argument text of every sum(...)/avg(...) call (paren-balanced)."""
+    out = []
+    for m in re.finditer(r"(?<![a-z_0-9])(sum|avg)\s*\(", sql, re.I):
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        out.append(sql[m.end() : i - 1])
+    return out
+
+
+def lint_twin_sql(name: str, sql: str) -> list[str]:
+    """Float-policy violations in one oracle twin's SQL (empty = ok)."""
+    body = _strip_sql_comments(sql)
+    problems = []
+    for m in _LIBM_FUNCS.finditer(body):
+        problems.append(
+            f"{name}: libm-dependent {m.group(1)}() in twinned SQL — "
+            "use operators/portablemath (pln_sql/pexp_sql) or an "
+            "integer-domain twin"
+        )
+    for arg in _sum_args(body):
+        arg_l = arg.lower()
+        hits = [c for c in DOUBLE_BASE_COLUMNS if re.search(rf"\b{c}\b", arg_l)]
+        if hits and not re.search(r"decimal|bigint|::\s*int|as\s+int", arg_l):
+            problems.append(
+                f"{name}: sum/avg over raw DOUBLE column(s) {hits} — "
+                "quantize to DECIMAL/BIGINT per row first "
+                "(functions/agg.py money_sum / integer cents)"
+            )
+    return problems
+
+
+def lint_all_twins() -> list[str]:
+    """Run the float-policy lint over every registered oracle twin."""
+    from ..queries import all_queries
+
+    problems: list[str] = []
+    for name, spec in all_queries().items():
+        if spec.sql is not None:
+            problems.extend(lint_twin_sql(name, spec.sql))
+    return problems

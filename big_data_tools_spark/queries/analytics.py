@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.agg import money_sum, sql_money_sum
 from ..io.sources import load_table
+from ..operators.portablemath import pln_sql
 from .registry import register
 
 _RFM_PIVOT = "2002-01-01"
@@ -587,6 +588,13 @@ def monthly_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LN2 = 0.6931471805599453  # shared literal: keep both engines on one constant
 
+# portable integer-arg ln pieces (r7 float policy)
+_pln_n_pn = f'({pln_sql("t.n")} - {pln_sql("x.pn")})'
+_pln_mi = (
+    f'(({pln_sql("n")} + {pln_sql("t")})'
+    f' - ({pln_sql("nx")} + {pln_sql("ny")}))'
+)
+
 
 @register(
     "event_entropy_rate",
@@ -605,8 +613,9 @@ _LN2 = 0.6931471805599453  # shared literal: keep both engines on one constant
         SELECT sum(n) AS t FROM trans
     ), terms AS (
         SELECT t.prev,
+               -- ln(n/pn) = pln(n) - pln(pn): portable no-libm ln (r7)
                round(-(t.n * 1.0 / x.pn)
-                     * round(ln(t.n * 1.0 / x.pn), 6) / {_LN2!r}, 8) AS term
+                     * round({_pln_n_pn}, 6) / {_LN2!r}, 8) AS term
         FROM trans t JOIN totals x USING (prev)
     ), state AS (
         SELECT terms.prev,
@@ -657,7 +666,12 @@ def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev",
         "pn",
         "t",
-        F.round(-p * F.round(F.log(p), 6) / F.lit(_LN2), 8).alias("term"),
+        F.round(
+            -p
+            * F.round(F.expr(pln_sql("n")) - F.expr(pln_sql("pn")), 6)
+            / F.lit(_LN2),
+            8,
+        ).alias("term"),
     )
     state = terms.groupBy("prev", "pn", "t").agg(
         F.round(
@@ -1104,11 +1118,14 @@ def segment_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(n) OVER () AS t
         FROM joint
     ), terms AS (
+        -- ln(n*t/(nx*ny)) = (pln(n)+pln(t)) - (pln(nx)+pln(ny)):
+        -- portable no-libm ln on integer args; the sum form also
+        -- avoids the n*t product overflowing BIGINT at scale (r7)
         SELECT event_type, hr, n,
                round((n * 1.0 / t)
-                     * round(ln((n * 1.0 * t) / (nx * 1.0 * ny)), 6)
+                     * round({_pln_mi}, 6)
                      / {0.6931471805599453!r}, 8) AS term,
-               round(round(ln((n * 1.0 * t) / (nx * 1.0 * ny)), 6)
+               round(round({_pln_mi}, 6)
                      / {0.6931471805599453!r}, 6) AS pmi_bits
         FROM marg
     )
@@ -1142,7 +1159,7 @@ def event_type_hour_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(Window.partitionBy()).alias("t"),
     )
     n, nx, ny, t = F.col("n"), F.col("nx"), F.col("ny"), F.col("t")
-    lratio = F.round(F.log((n * t) / (nx * ny)), 6)
+    lratio = F.round(F.expr(_pln_mi), 6)
     terms = marg.select(
         "event_type",
         "hr",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..io.sources import load_table
 from ..operators.cache import track_cache
+from ..operators.portablemath import pln_sql
 from ..operators.communities import lpa_trace_sql
 from ..operators.kcore import kcore_trace_sql
 from ..operators.hits import hits_sql
@@ -376,6 +377,8 @@ def _repeat_und(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AA_TOPK = 20
 
+_pln_d = pln_sql("d")
+
 
 @register(
     "copurchase_adamic_adar",
@@ -388,7 +391,8 @@ _AA_TOPK = 20
     ), deg AS (
         SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY node
     ), il AS (
-        SELECT node, round(1.0 / round(ln(CAST(d AS DOUBLE)), 6), 6) AS w
+        -- portable no-libm ln on the integer degree (r7 float policy)
+        SELECT node, round(1.0 / round({_pln_d}, 6), 6) AS w
         FROM deg WHERE d >= 2
     ), wedges AS (
         SELECT x.nbr AS pa, y.nbr AS pb, il.w
@@ -431,7 +435,7 @@ def copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     il = deg.filter(F.col("d") >= 2).select(
         "node",
-        F.round(1.0 / F.round(F.log(F.col("d").cast("double")), 6), 6).alias("w"),
+        F.round(1.0 / F.round(F.expr(pln_sql("d")), 6), 6).alias("w"),
     )
     x = adj.select("node", F.col("nbr").alias("pa"))
     y = adj.select("node", F.col("nbr").alias("pb"))

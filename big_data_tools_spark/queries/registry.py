@@ -6,10 +6,28 @@ DuckDB views named after the parquet tables. Column names must match
 exactly between the two (the driver sorts columns by name and hashes
 values), so every computed column is aliased identically on both sides.
 
-Float policy: aggregate doubles are rounded to 2 decimals on BOTH sides
-— Spark and DuckDB sum doubles in different orders, so unrounded sums
-differ in final ulps; rounding collapses that while keeping the check
-meaningful.
+Float policy (rewritten r7 after the r6 driver hash failures proved
+the old "rounding collapses ulp noise" claim wrong — a value within
+one ulp of a rounding boundary rounds DIFFERENTLY per engine):
+
+1. Quantize to integer/decimal BEFORE any cross-row reduction, never
+   after. Money columns sum as DECIMAL/integer cents (functions/agg.py
+   money_sum, or per-row cents BIGINTs); computed per-row doubles are
+   round()-quantized per row and summed as DECIMAL. Decimal/integer
+   addition is associative, so results are partition-order and engine
+   independent. round(sum(raw double)) is BANNED.
+2. No libm transcendental (ln/log/exp/pow) may touch a twinned
+   surface: libm differs in the last ulp between engine builds, which
+   flips quantization at boundaries. Use operators/portablemath.py
+   (pln_sql/pexp_sql — pure IEEE arithmetic shared verbatim by both
+   engines, bit-identical by construction) or restructure the twin to
+   an integer domain. sqrt is exempt (IEEE-correctly-rounded).
+3. Per-row double arithmetic (+ - * /) on engine-identical inputs is
+   safe: IEEE requires correct rounding, and neither engine
+   reassociates — keep the expression trees syntactically parallel.
+
+plans/lint.py:lint_all_twins enforces 1-2 over every registered twin
+(wired into tests/test_float_policy.py).
 """
 
 from __future__ import annotations

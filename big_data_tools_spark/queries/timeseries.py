@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io.sources import load_table
+from ..operators.portablemath import pexp_sql
 from .registry import register
 
 _Z_WIN = 20          # trailing rows per user
@@ -95,9 +96,12 @@ def user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id AS click_id, user_id, ts AS cts
         FROM events WHERE event_type = 'click'
     ), pairs AS (
+        -- exp() via the portable no-libm polynomial (r7 float policy):
+        -- identical IEEE ops on identical micro-difference inputs in
+        -- both engines, so w_raw is bit-identical before quantization
         SELECT p.purchase_id, c.click_id,
-               exp(-date_diff('microsecond', c.cts, p.pts)
-                   / 1000000.0 / {_DECAY_TAU_S}) AS w_raw
+               {pexp_sql(f"-date_diff('microsecond', c.cts, p.pts)"
+                         f" / 1000000.0 / {_DECAY_TAU_S}")} AS w_raw
         FROM p JOIN c ON p.user_id = c.user_id
         WHERE c.cts < p.pts
           AND c.cts >= p.pts - INTERVAL {_DECAY_WINDOW_S} SECOND
@@ -135,7 +139,8 @@ def purchase_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact integer micro difference, ONE division — mirrors the
     # oracle's date_diff('microsecond')/1e6 so the exp() inputs are
-    # bit-identical (two separate /1e6 casts could differ in the ulp)
+    # bit-identical (two separate /1e6 casts could differ in the ulp);
+    # exp itself is the portable polynomial (no libm, r7 float policy)
     age_s = (F.unix_micros(F.col("pts")) - F.unix_micros(F.col("cts"))) / 1000000.0
     pairs = (
         p.join(
@@ -144,10 +149,11 @@ def purchase_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (c.cts < p.pts)
             & (c.cts >= p.pts - F.expr(f"INTERVAL {_DECAY_WINDOW_S} SECONDS")),
         )
+        .withColumn("__x", -age_s / _DECAY_TAU_S)
         .select(
             "purchase_id",
             "click_id",
-            F.exp(-age_s / _DECAY_TAU_S).alias("w_raw"),
+            F.expr(pexp_sql("__x")).alias("w_raw"),
         )
     )
     w_dec = F.round(F.col("w_raw"), 9).cast("decimal(28,12)")

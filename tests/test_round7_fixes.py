@@ -1,0 +1,95 @@
+"""Round-7 regression fixtures for the two r6 driver hash FAILs.
+
+VERDICT r6 #1 'Done' criterion: run each fixed query at two different
+partition counts and assert identical rowset hashes — the failure mode
+was add-order / environment sensitivity, so partition-count invariance
+is the property that must hold by construction now.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from big_data_tools_spark.queries import all_queries
+
+
+def _rowset_hash(df) -> str:
+    cols = sorted(df.columns)
+    rows = sorted(
+        "|".join(repr(r[c]) for c in cols) for r in df.collect()
+    )
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+def _run_at_partitions(spark, name: str, sf_dir: str, parts: int) -> str:
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        df = all_queries()[name].fn(spark, sf_dir)
+        h = _rowset_hash(df)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    from big_data_tools_spark.operators.cache import release_all_caches
+
+    release_all_caches()
+    return h
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ml_features_split",
+        "corpus_heaps_fit",
+        "corpus_heaps_beta",
+        # the passed-by-luck transcendental twins swept to portablemath
+        "corpus_zipf_fit",
+        "orders_price_psi",
+        "orders_price_jsd",
+        "event_entropy_rate",
+    ],
+)
+def test_partition_count_invariance(spark, sf_smoke, name):
+    h2 = _run_at_partitions(spark, name, sf_smoke, 2)
+    h13 = _run_at_partitions(spark, name, sf_smoke, 13)
+    assert h2 == h13, f"{name}: rowset hash differs across partition counts"
+
+
+def test_ml_features_split_integer_surface(spark, sf_smoke):
+    df = all_queries()["ml_features_split"].fn(spark, sf_smoke)
+    types = dict(df.dtypes)
+    # every money aggregate is integer cents — no double in the twin
+    assert types["sum_price_cents"] == "bigint"
+    assert types["avg_price_cents"] == "bigint"
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        lo = (r.sum_price_cents - (r.sum_price_cents % r.n_orders)) // r.n_orders
+        assert r.avg_price_cents == lo
+
+
+def test_heaps_fit_is_integer_curve(spark, sf_smoke):
+    df = all_queries()["corpus_heaps_fit"].fn(spark, sf_smoke)
+    types = dict(df.dtypes)
+    assert set(df.columns) == {"checkpoint", "n_tokens", "vocab"}
+    assert all(t == "bigint" for t in types.values())
+    rows = sorted(df.collect(), key=lambda r: r.checkpoint)
+    assert 1 <= len(rows) <= 10
+    # growth curve is monotone in both coordinates
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_tokens <= b.n_tokens
+        assert a.vocab <= b.vocab
+
+
+def test_heaps_beta_band(spark, sf_oracle):
+    # the OLS fit moved from the curve twin to corpus_heaps_beta: pin
+    # the statistical band the old twin used to certify
+    row = all_queries()["corpus_heaps_beta"].fn(spark, sf_oracle).collect()[0]
+    assert row.n_points >= 5
+    # the synthetic corpus saturates its fixed vocabulary by the first
+    # checkpoint, so beta == 0 here (a real crawl sits in [0.4, 0.6]);
+    # the fit itself is pinned by the band + the partition-invariance
+    # and oracle-parity checks
+    assert 0.0 <= row.heaps_beta < 1.0
+    assert 0.0 <= row.r2 <= 1.0
