@@ -54,6 +54,10 @@ def hits(
     skips the per-half-step lineage cut — ONLY safe at 1-2 iterations
     (plan doubles per half-step); the plan-pin test uses it to
     inspect the join strategy the checkpoints would otherwise hide."""
+    if iterations < 1:
+        # ADVICE r6: a zero-iteration call would return (hubs, None)
+        # and crash the caller with an opaque AttributeError
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     hubs = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1.0).alias("hub")
     )
@@ -110,6 +114,9 @@ def hits_sql(edges_cte: str, iterations: int) -> str:
     CTE pairs over a caller-supplied CTE body defining ``edges(src,
     dst)``. Returns the WITH-clause prefix ending at ``hub{k}`` /
     ``auth{k}``; the caller appends its final SELECT."""
+    if iterations < 1:
+        # mirror hits(): a 0-iteration prefix would reference hub0 only
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     steps = [
         edges_cte,
         "hub0 AS MATERIALIZED (SELECT DISTINCT src AS node, "

@@ -404,6 +404,19 @@ def decode_video_samples(data: bytes) -> list[tuple[float, bytes]]:
                     out.append((ts, encode_png(w, h, rgb.tobytes(), 3)))
             if out:
                 return out
-        except Exception:
-            pass  # not an ffmpeg-decodable stream; try the stdlib path
+        except (av.error.FFmpegError, IndexError, ValueError) as exc:
+            # ADVICE r6: only av/parse-class failures may fall back to
+            # the stdlib BMFF path (our PNG-in-BMFF fixtures carry no
+            # ffmpeg codec), and the swallowed reason is LOGGED so a
+            # genuine av decode failure on a real H.264 input no
+            # longer surfaces as a misleading 'sample table' error;
+            # non-av exceptions propagate.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "PyAV could not decode input (%s: %s); falling back to "
+                "the stdlib BMFF sample-table path",
+                type(exc).__name__,
+                exc,
+            )
     return decode_mp4_video(data)

@@ -191,11 +191,19 @@ def _audio_feature(data: bytes, dim: int) -> tuple[float, list[float]]:
 
 
 def _video_feature(data: bytes, n_bytes: int, dim: int) -> tuple[float, list[float]]:
-    """Real frame-content statistics: duration from the mvhd box,
-    plus first/middle/last decoded-frame pixel means and the
-    across-frame mean/std of per-frame means (temporal variation)."""
-    duration = decode_mp4_duration(data)
+    """Real frame-content statistics: duration from the mvhd box (or
+    the decoded sample timestamps for non-BMFF containers), plus
+    first/middle/last decoded-frame pixel means and the across-frame
+    mean/std of per-frame means (temporal variation)."""
+    # ADVICE r6: decode FIRST — with PyAV installed a webm/mkv the av
+    # backend can decode has no mvhd box, so the old
+    # duration-before-decode order raised ValueError and contradicted
+    # the 'any ffmpeg-supported codec' claim
     samples = decode_video_samples(data)
+    try:
+        duration = decode_mp4_duration(data)
+    except ValueError:
+        duration = max((ts for ts, _ in samples), default=0.0)
     frame_means = []
     for _, payload in samples:
         w, h, ch, px = decode_png(payload)
@@ -264,7 +272,10 @@ def extract_media_features(
                         # metadata-only container (no sample table)
                         if not allow_stub:
                             raise
-                        duration = decode_mp4_duration(raw)
+                        try:
+                            duration = decode_mp4_duration(raw)
+                        except ValueError:
+                            duration = 0.0  # non-BMFF, undecodable
                         feat = (
                             [duration, int(n_bytes) / 1024.0] + [0.0] * feature_dim
                         )[:feature_dim]
@@ -387,7 +398,12 @@ def sample_video_frames(
                     if not allow_stub:
                         raise
                     continue  # metadata-only container: no frames to emit
-                duration = decode_mp4_duration(raw)
+                try:
+                    duration = decode_mp4_duration(raw)
+                except ValueError:
+                    # non-BMFF container decoded by the av backend
+                    # (ADVICE r6): derive duration from the samples
+                    duration = max((t for t, _ in samples), default=0.0)
                 sample_ts = [t for t, _ in samples]
                 n_out = int(duration / step) + 1
                 for i in range(n_out):

@@ -73,51 +73,106 @@ def get(name: str) -> QuerySpec:
 
 # The driver's correctness gate checks the FIRST 50 entries of
 # ``queries()``. The window ROTATES each round (tests/test_rotation.py
-# enforces the 4-round union invariant against checked_rounds.json):
-# round 6 seats the 32 cadence-mandatory twins (the 15 pending_r5 late
-# registrations plus the re-row cohort, via
-# `tools/update_checked_rounds.py --plan`), 13 of the lost-r3 twins
-# that still lack ANY surviving committed driver row (r7 takes the
-# rest so every twin regains one inside r04..r07), the new
-# ml_features_split twin, and 4 never-driver-run rows-only seats
-# (knn_ivf_ann, knn_pq_ann, ml_cv_select, streaming_rolling_dau).
+# enforces the 4-round union invariant against checked_rounds.json).
+# Round 7 completes the r04..r07 rotation: every oracle twin regains a
+# committed driver row within the cadence, the two r6 driver hash
+# FAILs are re-seated after their integer-domain redesign, and five
+# never-driver-run rows-only entries get their first driver rows.
 # Everything past the window keeps its committed driver rows and is
 # still oracle-checked locally by tests/test_oracle_parity.py.
 _PRIORITY = [
-    # -- round-6 window: 32 cadence-mandatory re-rows/pending drains
-    "copurchase_adamic_adar",  # pending_r5 drain
-    "copurchase_assortativity",  # pending_r5 drain
-    "copurchase_kcore_peel",  # pending_r5 drain
-    "corpus_heaps_fit",  # pending_r5 drain
-    "corpus_zipf_fit",  # pending_r5 drain
+    # ---- round-7 window (50): 43 cadence-mandatory twins (34
+    # lost-r3 + 9 pending_r6, via tools/update_checked_rounds.py
+    # --plan), the 2 r6 driver-FAIL re-seats (ml_features_split,
+    # corpus_heaps_fit — both redesigned to integer-domain twins,
+    # VERDICT r6 #1), and 5 never-driver-run rows-only seats
+    # (streaming family + ML evaluators, VERDICT r6 #4).
+    "corpus_shuffle_shards",
+    "corpus_vocabulary",
+    "customer_kanonymity",
+    "customer_order_count_distribution",
+    "daily_revenue_changepoint",
+    "dedup_fuzzy_part_names",
+    "dedup_impact_by_source",
+    "documents_balanced_per_lang",
+    "documents_weighted_sample",
+    "dominant_part_suppliers",
+    "embedding_hard_negatives",
+    "embedding_int8_audit",
+    "embedding_outlier_audit",
+    "events_props_variant",
+    "events_user_kmv_distinct",
+    "idle_rich_customers",
+    "knn_cosine_int8",
+    "late_line_priority_split",
+    "late_ship_priority_counts",
+    "narrow_discount_revenue",
+    "nation_market_share",
+    "nation_product_profit",
+    "nation_trade_balance_sql",
+    "orders_custkey_skew",
+    "orders_price_jsd",
+    "orders_profile",
+    "orders_quality_gate",
+    "orders_snapshot_diff",
+    "part_attr_supplier_counts",
+    "pii_scrub_audit",
+    "priority_status_cramers_v",
+    "promo_revenue_multibrand",
+    "promo_revenue_share",
+    "purchase_hits_scores",
+    "regional_min_price_suppliers",
+    "returned_item_customers",
+    "segment_top_open_orders",
+    "shard_packing_efficiency",
+    "small_qty_part_revenue",
+    "source_mixture_ess",
+    "supplier_value_concentration",
+    "top_revenue_supplier",
+    "top_volume_orders",
+    # -- r6 driver-FAIL re-seats (fixed; prove it with driver rows)
+    "ml_features_split",
+    "corpus_heaps_fit",
+    # -- rows-only seating (never driver-run before this round)
+    "streaming_stateless_rollup",
+    "streaming_dedup",
+    "ml_calibration_bins",
+    "ml_confusion_matrix",
+    "ml_learning_curve",
+    # ---- window boundary (50) ----
+    # past-window: driver-rowed in r1..r6, still oracle-checked
+    # locally by tests/test_oracle_parity.py every round.
+    "copurchase_adamic_adar",
+    "copurchase_assortativity",
+    "copurchase_kcore_peel",
+    "corpus_zipf_fit",
     "custkey_overlap_setops",
     "customers_without_orders",
-    "daily_revenue_cusum",  # pending_r5 drain
-    "doc_bigram_backoff_nll",  # pending_r5 drain
-    "doc_quality_auc",  # pending_r5 drain
+    "daily_revenue_cusum",
+    "doc_bigram_backoff_nll",
+    "doc_quality_auc",
     "doc_quality_by_source",
     "doc_repetition_by_source",
-    "documents_stratified_portable",  # pending_r5 drain
-    "event_entropy_rate",  # pending_r5 drain
+    "documents_stratified_portable",
+    "event_entropy_rate",
     "event_funnel",
     "events_props_extract",
-    "events_stickiness",  # pending_r5 drain
+    "events_stickiness",
     "fillna_policy",
     "hours_parse",
     "lang_id_confusion",
     "lineitem_metric_unpivot",
-    "lpa_convergence_trace",  # pending_r5 drain
+    "lpa_convergence_trace",
     "map_literal_parse",
-    "monthly_revenue_forecast",  # pending_r5 drain
+    "monthly_revenue_forecast",
     "null_audit_orders",
-    "orders_incremental_quantile",  # pending_r5 drain
-    "pagerank_convergence_trace",  # pending_r5 drain
+    "orders_incremental_quantile",
+    "pagerank_convergence_trace",
     "part_like_filter",
     "regional_revenue",
     "segment_pivot",
     "status_recode_operator",
     "string_date_parse",
-    # -- 13 lost-r3 twins with no surviving committed driver row yet
     "bm25_topk_docs",
     "dedup_minhash_portable",
     "dedup_segments_reassembled",
@@ -131,16 +186,10 @@ _PRIORITY = [
     "orders_pit_segment_revenue",
     "user_current_state_cdc",
     "yelp_basetable_mini",
-    # -- registered round 6: hash-level evidence for the ML basetable
-    "ml_features_split",
-    # -- rows-only seating (never driver-run before this round)
     "knn_ivf_ann",
     "knn_pq_ann",
     "ml_cv_select",
     "streaming_rolling_dau",
-    # ---- window boundary (50) ----
-    # past-window: driver-rowed in r1/r2/r4/r5, still oracle-checked
-    # locally by tests/test_oracle_parity.py every round.
     "benchmark_contamination",
     "boilerplate_ngrams",
     "bucketed_revenue_join",
@@ -241,42 +290,7 @@ _PRIORITY = [
     "source_overlap_matrix",
     "vocab_oov_rate",
     "token_skipgram_counts",
-    "small_qty_part_revenue",
-    "top_volume_orders",
-    "top_revenue_supplier",
-    "supplier_value_concentration",
-    "idle_rich_customers",
-    "nation_trade_balance_sql",
-    "late_ship_priority_counts",
-    "promo_revenue_multibrand",
-    "nation_market_share",
-    "pii_scrub_audit",
-    "embedding_int8_audit",
-    "knn_cosine_int8",
-    "dedup_fuzzy_part_names",
-    "corpus_vocabulary",
-    "embedding_hard_negatives",
-    "orders_quality_gate",
-    "events_props_variant",
-    "documents_balanced_per_lang",
     "streaming_upsert_rollup",
-    "streaming_dedup",
-    "orders_profile",
-    "corpus_shuffle_shards",
-    "regional_min_price_suppliers",
-    "segment_top_open_orders",
-    "narrow_discount_revenue",
-    "nation_product_profit",
-    "returned_item_customers",
-    "late_line_priority_split",
-    "customer_order_count_distribution",
-    "promo_revenue_share",
-    "part_attr_supplier_counts",
-    "dominant_part_suppliers",
-    "orders_custkey_skew",
-    "customer_kanonymity",
-    "orders_snapshot_diff",
-    "documents_weighted_sample",
     "streaming_segment_revenue",
     "doc_length_quantiles_approx",
     "dedup_minhash_pairs",
@@ -287,6 +301,23 @@ _PRIORITY = [
     "streaming_sessions",
     "streaming_attribution",
     "yelp_basetable",
+    "synthetic_source_rollup",
+    "dedup_simhash",
+    "dedup_tier_quality_report",
+    "ann_recall_report",
+    "streaming_unattributed",
+    "streaming_ingest_monitor",
+    "embedding_pca_variance",
+    "embedding_cluster_silhouette",
+    "streaming_value_drift",
+    "approx_distinct_sketch",
+    "multimodal_video_frames",
+    "documents_stratified_sample",
+    "observed_rollup_audit",
+    "multimodal_audio_resample",
+    "bpe_corpus_stats",
+    "corpus_heaps_beta",
+    "part_copurchase_communities",
 ]
 
 
