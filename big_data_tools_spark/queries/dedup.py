@@ -47,9 +47,18 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(list_transform(generate_series(1, len(tokens) - 2),
                       i -> array_to_string(tokens[i:i+2], ' '))) AS shingle
         FROM toks WHERE len(tokens) >= 3
+    ), cap AS (
+        -- r7 relative df-cap: min(1000, max(100, ceil(sqrt(n_docs))))
+        -- (sqrt is IEEE-correctly-rounded => engine-identical); a
+        -- static cap never engages on a saturated shingle space where
+        -- df ~ O(n) (the r6 sf1->sf3 sweep measured x12.7 for 3x data)
+        SELECT least(1000, greatest(100,
+                   CAST(ceil(sqrt(count(*))) AS BIGINT))) AS cap
+        FROM documents
     ), idx AS (
         SELECT sh.doc, sh.shingle FROM sh
-        JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000) ok
+        JOIN (SELECT shingle FROM sh GROUP BY shingle
+              HAVING count(*) <= (SELECT cap FROM cap)) ok
           ON sh.shingle = ok.shingle
     ), sizes AS (
         SELECT doc, CAST(count(*) AS BIGINT) AS n_sh FROM idx GROUP BY doc
@@ -71,7 +80,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=1000)
+    return jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8, max_doc_freq="auto")
 
 
 @register(
@@ -190,9 +199,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(list_transform(generate_series(1, len(tokens) - 2),
                       i -> array_to_string(tokens[i:i+2], ' '))) AS shingle
         FROM toks WHERE len(tokens) >= 3
+    ), cap AS (
+        -- r7 relative df-cap: min(1000, max(100, ceil(sqrt(n_docs))))
+        -- (sqrt is IEEE-correctly-rounded => engine-identical); a
+        -- static cap never engages on a saturated shingle space where
+        -- df ~ O(n) (the r6 sf1->sf3 sweep measured x12.7 for 3x data)
+        SELECT least(1000, greatest(100,
+                   CAST(ceil(sqrt(count(*))) AS BIGINT))) AS cap
+        FROM documents
     ), idx AS (
         SELECT sh.doc, sh.shingle FROM sh
-        JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000) ok
+        JOIN (SELECT shingle FROM sh GROUP BY shingle
+              HAVING count(*) <= (SELECT cap FROM cap)) ok
           ON sh.shingle = ok.shingle
     ), sizes AS (
         SELECT doc, CAST(count(*) AS BIGINT) AS n_sh FROM idx GROUP BY doc
@@ -234,7 +252,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cache import track_cache
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=1000)
+    pairs = jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8, max_doc_freq="auto")
     comp = connected_components(pairs)
     out = comp.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
