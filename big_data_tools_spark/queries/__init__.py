@@ -32,5 +32,6 @@ from . import markov  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import governance  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
+from . import transactional  # noqa: E402,F401
 
 __all__ = ["QuerySpec", "all_queries", "get", "ordered_queries", "register"]
