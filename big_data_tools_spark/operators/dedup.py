@@ -93,6 +93,18 @@ def shingle_index(
 JACCARD_AUTO_CAP_MAX = 1000
 JACCARD_AUTO_CAP_MIN = 100
 
+# Above this corpus size the posting-list path routes to the PPJoin
+# prefix variant (r7, VERDICT r6 #5). Measured motivation: on the
+# saturated-vocabulary synthetic corpus the WHOLE shingle-df
+# distribution shifts up with n (typical df ~56 at sf1 -> ~168 at
+# sf3), so Sigma-df^2 grows ~n^2 and NO head cap can fix it without
+# destroying the operator — the sweep measured x12.5 for 3x data even
+# with the relative cap engaged. Prefix filtering bounds candidates by
+# the rarest-(1-t) prefix tokens instead of every shared shingle, and
+# is EXACT (no df cap in that path), so routing changes wall clock,
+# not results.
+JACCARD_PREFIX_ROUTE_MIN_DOCS = 20_000
+
 
 def jaccard_pairs(
     df: DataFrame,
@@ -120,11 +132,24 @@ def jaccard_pairs(
     Jaccard information to begin with. Small corpora (sqrt(N) < 100)
     keep the permissive floor, so sf0.01 oracle output is unchanged.
 
+    With ``max_doc_freq="auto"`` the operator also ROUTES: above
+    ``JACCARD_PREFIX_ROUTE_MIN_DOCS`` documents it delegates to
+    :func:`jaccard_prefix_pairs` (exact PPJoin — same contract, no df
+    cap needed, and its candidate set is bounded by prefix tokens
+    instead of every shared shingle, which is what actually survives a
+    saturated shingle space; see JACCARD_PREFIX_ROUTE_MIN_DOCS). The
+    routing count is one parquet-metadata-cheap ``df.count()``.
+
     Returns (id_a < id_b, jaccard) pairs with jaccard >= threshold.
     Persisted intermediates are tagged on the result; callers release
     them after their action via ``operators.cache.release_caches``.
     """
     from .cache import track_cache
+
+    if max_doc_freq == "auto" and df.count() > JACCARD_PREFIX_ROUTE_MIN_DOCS:
+        return jaccard_prefix_pairs(
+            df, text_col, id_col, n=n, threshold=threshold
+        )
 
     # the (doc, shingle) index feeds three consumers (doc-frequency cap,
     # per-doc sizes, self-join both sides); persist it once instead of
