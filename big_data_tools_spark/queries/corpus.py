@@ -757,3 +757,75 @@ def shard_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_overflow_shards"),
     )
+
+
+@register(
+    "doc_token_length_histogram",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents
+    ), bucketed AS (
+        -- power-of-2 bucket floor via bit length: pure integer, no
+        -- log2() (r7 float policy); n_tok = 0 gets bucket 0
+        SELECT CASE WHEN n_tok <= 0 THEN 0
+                    ELSE CAST(2 ** (length(bin(n_tok)) - 1) AS BIGINT)
+               END AS bucket_floor,
+               n_tok
+        FROM toks
+    ), tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS all_tokens FROM bucketed)
+    SELECT bucket_floor,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens,
+           CAST(min(n_tok) AS BIGINT) AS min_tokens,
+           CAST(max(n_tok) AS BIGINT) AS max_tokens,
+           round(CAST(sum(n_tok) AS DOUBLE) / t.all_tokens, 6)
+               AS token_share
+    FROM bucketed CROSS JOIN tot t
+    GROUP BY bucket_floor, t.all_tokens
+    """,
+    doc="Sequence-length histogram in power-of-2 buckets — the "
+    "distribution a packing/sharding planner needs before choosing a "
+    "context length (token_shard_packing's padding waste and "
+    "shard_packing_efficiency's fill fraction are both functions of "
+    "THIS shape; long-tail mass above the context length = truncation "
+    "loss, mass far below = padding loss). Float policy: bucket = "
+    "2^floor(log2 n) computed from the integer BIT LENGTH (the same "
+    "no-libm construction as operators/portablemath), counts and "
+    "token sums all BIGINT; only the display share divides. Scale "
+    "shape: one narrow projection + one map-side-combining aggregate "
+    "to <= 64 bucket rows; the total rides a broadcast 1-row frame.",
+)
+def doc_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(tokens(F.col("text")), lambda x: x != "")).cast(
+        "bigint"
+    )
+    toks = d.select(n_tok.alias("n_tok"))
+    bucket = F.when(F.col("n_tok") <= 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(n_tok)) - 1)")
+    )
+    bucketed = toks.select(bucket.cast("bigint").alias("bucket_floor"), "n_tok")
+    tot = bucketed.agg(F.sum("n_tok").cast("bigint").alias("all_tokens"))
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .groupBy("bucket_floor", "all_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+        .select(
+            "bucket_floor",
+            "n_docs",
+            "tokens",
+            "min_tokens",
+            "max_tokens",
+            F.round(
+                F.col("tokens").cast("double") / F.col("all_tokens"), 6
+            ).alias("token_share"),
+        )
+    )

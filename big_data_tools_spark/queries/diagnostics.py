@@ -807,3 +807,237 @@ def priority_status_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return track_cache(out, obs)
+
+
+_KS_BUCKETS = 64  # range buckets for the distributed cumulative
+
+
+@register(
+    "orders_price_ks",
+    sql=f"""
+    WITH base AS (
+        SELECT o_totalprice AS x,
+               CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_PSI_CUTOFF}'
+                    THEN 0 ELSE 1 END AS era
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), pts AS (
+        SELECT x,
+               CAST(count(*) FILTER (WHERE era = 0) AS BIGINT) AS c1,
+               CAST(count(*) FILTER (WHERE era = 1) AS BIGINT) AS c2
+        FROM base GROUP BY x
+    ), cum AS (
+        SELECT x,
+               CAST(sum(c1) OVER (ORDER BY x) AS BIGINT) AS f1,
+               CAST(sum(c2) OVER (ORDER BY x) AS BIGINT) AS f2
+        FROM pts
+    ), tot AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        FROM pts
+    ), d AS (
+        SELECT x, abs(f1 * n2 - f2 * n1) AS dnum FROM cum CROSS JOIN tot
+    )
+    SELECT n1 AS n_before, n2 AS n_after,
+           (SELECT max(dnum) FROM d) AS ks_scaled,
+           (SELECT min(x) FROM d
+            WHERE dnum = (SELECT max(dnum) FROM d)) AS ks_at,
+           round(CAST((SELECT max(dnum) FROM d) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * n2), 8) AS ks_d
+    FROM tot
+    """,
+    doc="Exact two-sample Kolmogorov-Smirnov drift statistic over the "
+    f"order-value distribution, {_PSI_CUTOFF} splitting reference "
+    "from current — the DISTRIBUTION-FREE companion of "
+    "orders_price_psi/jsd: no binning choice, D = max |F1 - F2| over "
+    "the pooled support, with the classic sqrt((n1+n2)/(n1*n2)) "
+    "critical-value scaling applicable downstream. Float policy: the "
+    "entire statistic is INTEGER arithmetic — D's numerator is "
+    "max |f1*n2 - f2*n1| over exact cumulative counts (bit-exact in "
+    "any engine); only the final display ratio divides. Scale shape "
+    "(Spark side): cumulative counts use a TWO-LEVEL prefix sum — "
+    "per-range-bucket window plus a broadcast bucket-offset frame — "
+    "so no global single-partition window ever sees the value-grain "
+    "frame; the twin uses the plain global window (oracle scale only)."
+    " Twin bound: n1*n2 must fit BIGINT (~3e9 rows/side), far past "
+    "oracle scale; the Spark path has the same bound, documented.",
+)
+def orders_price_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.cache import track_cache
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_totalprice").isNotNull()).select(
+        F.col("o_totalprice").alias("x"),
+        F.when(
+            F.col("o_orderdate").cast("date") < F.lit(_PSI_CUTOFF).cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("era"),
+    )
+    pts = (
+        base.groupBy("x")
+        .agg(
+            F.sum(F.when(F.col("era") == 0, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).alias("c2"),
+        )
+        .persist()
+    )
+    bounds = pts.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(_KS_BUCKETS)
+    bucketed = pts.crossJoin(F.broadcast(bounds)).select(
+        "x",
+        "c1",
+        "c2",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("x") - F.col("lo")) / width),
+                F.lit(_KS_BUCKETS - 1),
+            )
+        )
+        .cast("int")
+        .alias("bkt"),
+    )
+    # level 1: cumulative inside each range bucket (parallel windows)
+    w_in = Window.partitionBy("bkt").orderBy("x")
+    inner = bucketed.select(
+        "x",
+        "bkt",
+        F.sum("c1").over(w_in).alias("p1"),
+        F.sum("c2").over(w_in).alias("p2"),
+    )
+    # level 2: bucket offsets — a window over the O(buckets) rollup
+    # (bounded frame, never the value-grain data)
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("bkt")
+        .agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("t1").over(w_off), F.lit(0)).alias("o1"),
+            F.coalesce(F.sum("t2").over(w_off), F.lit(0)).alias("o2"),
+        )
+    )
+    tot = pts.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    cum = inner.join(F.broadcast(offsets), "bkt").select(
+        "x",
+        (F.col("o1") + F.col("p1")).cast("bigint").alias("f1"),
+        (F.col("o2") + F.col("p2")).cast("bigint").alias("f2"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "x",
+        "n1",
+        "n2",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias("dnum"),
+    )
+    # argmax x needs the max first: two-step over the bounded d frame
+    mx = d.agg(F.max("dnum").alias("mx"))
+    ks_at = (
+        d.crossJoin(F.broadcast(mx))
+        .filter(F.col("dnum") == F.col("mx"))
+        .agg(F.min("x").alias("ks_at"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(ks_at))
+        .select(
+            F.col("n1").alias("n_before"),
+            F.col("n2").alias("n_after"),
+            F.col("mx").alias("ks_scaled"),
+            "ks_at",
+            F.round(
+                F.col("mx").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2")),
+                8,
+            ).alias("ks_d"),
+        )
+    )
+
+
+_KAPPA_MIN_CHARS = 200
+
+
+@register(
+    "doc_quality_rules_kappa",
+    sql=f"""
+    WITH labeled AS (
+        SELECT CASE WHEN n_chars >= {_KAPPA_MIN_CHARS} THEN 1 ELSE 0 END AS la,
+               CASE WHEN 2 * len(list_distinct(
+                        list_filter(string_split(lower(text), ' '),
+                                    x -> x <> ''))) >=
+                        len(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> ''))
+                    THEN 1 ELSE 0 END AS lb
+        FROM documents
+    ), cm AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE la = 1 AND lb = 1) AS BIGINT) AS n11,
+               CAST(count(*) FILTER (WHERE la = 1 AND lb = 0) AS BIGINT) AS n10,
+               CAST(count(*) FILTER (WHERE la = 0 AND lb = 1) AS BIGINT) AS n01,
+               CAST(count(*) FILTER (WHERE la = 0 AND lb = 0) AS BIGINT) AS n00
+        FROM labeled
+    )
+    SELECT n, n11, n10, n01, n00,
+           -- kappa = (N*(n11+n00) - pe_num) / (N^2 - pe_num) with
+           -- pe_num = a1*b1 + a0*b0; exact integer micro-units
+           -- (truncating division, identical in both engines)
+           CAST((1000000 * (n * (n11 + n00)
+                            - ((n11 + n10) * (n11 + n01)
+                               + (n01 + n00) * (n10 + n00)))
+                 - (1000000 * (n * (n11 + n00)
+                               - ((n11 + n10) * (n11 + n01)
+                                  + (n01 + n00) * (n10 + n00)))
+                    % (n * n - ((n11 + n10) * (n11 + n01)
+                                + (n01 + n00) * (n10 + n00)))))
+                / (n * n - ((n11 + n10) * (n11 + n01)
+                            + (n01 + n00) * (n10 + n00)))
+               AS BIGINT) AS kappa_micro
+    FROM cm
+    """,
+    doc="Cohen's kappa agreement between two independent rule-based "
+    "quality labelers over the corpus — rule A: length gate "
+    f"(n_chars >= {_KAPPA_MIN_CHARS}); rule B: lexical-diversity gate "
+    "(distinct words >= half of words, an integer-compare "
+    "type-token-ratio) — the LLM-curation question 'do my cheap "
+    "quality filters actually measure the same thing?' (kappa ~ 0: "
+    "independent signals worth combining; kappa ~ 1: redundant "
+    "filters; Cohen 1960, the standard inter-annotator statistic). "
+    "Float policy: the confusion matrix and kappa are EXACT integer "
+    "arithmetic end-to-end (micro-units via truncating division — "
+    "identical dividend-sign semantics in both engines; kappa can be "
+    "negative). Scale shape: one conditional-count aggregate collapses "
+    "the corpus to a single confusion row; the per-doc labels are "
+    "narrow projections with no shuffle beyond the count.",
+)
+def doc_quality_rules_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens(F.col("text")), lambda x: x != "")
+    la = F.when(F.col("n_chars") >= _KAPPA_MIN_CHARS, 1).otherwise(0)
+    lb = F.when(
+        2 * F.size(F.array_distinct(toks)) >= F.size(toks), 1
+    ).otherwise(0)
+    cm = d.select(la.alias("la"), lb.alias("lb")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("la") == 1) & (F.col("lb") == 1), 1).otherwise(0)).alias("n11"),
+        F.sum(F.when((F.col("la") == 1) & (F.col("lb") == 0), 1).otherwise(0)).alias("n10"),
+        F.sum(F.when((F.col("la") == 0) & (F.col("lb") == 1), 1).otherwise(0)).alias("n01"),
+        F.sum(F.when((F.col("la") == 0) & (F.col("lb") == 0), 1).otherwise(0)).alias("n00"),
+    )
+    n, n11, n10 = F.col("n"), F.col("n11"), F.col("n10")
+    n01, n00 = F.col("n01"), F.col("n00")
+    pe_num = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    num = F.lit(1_000_000) * (n * (n11 + n00) - pe_num)
+    den = n * n - pe_num
+    return cm.select(
+        n.cast("bigint").alias("n"),
+        n11.cast("bigint").alias("n11"),
+        n10.cast("bigint").alias("n10"),
+        n01.cast("bigint").alias("n01"),
+        n00.cast("bigint").alias("n00"),
+        ((num - num % den) / den).cast("bigint").alias("kappa_micro"),
+    )

@@ -606,3 +606,83 @@ def purchase_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_HITS_TOPK)
     )
     return track_cache(top_auth.unionByName(top_hub), edges)
+
+
+_LCC_TOPK = 20
+
+
+@register(
+    "copurchase_clustering_coefficient",
+    sql=f"""
+    WITH {_KCORE_EDGES_CTE},
+    adj AS (
+        SELECT a AS node, b AS nbr FROM und
+        UNION ALL
+        SELECT b AS node, a AS nbr FROM und
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY node
+    ), tri AS (
+        -- triangles at v: neighbor pairs (p < q) of v that are
+        -- themselves an edge (the bounded wedge-join shape)
+        SELECT x.node, CAST(count(*) AS BIGINT) AS t
+        FROM adj x
+        JOIN adj y ON x.node = y.node AND x.nbr < y.nbr
+        JOIN und e ON e.a = x.nbr AND e.b = y.nbr
+        GROUP BY x.node
+    ), lcc AS (
+        SELECT d.node, d.d AS degree, coalesce(tri.t, 0) AS triangles,
+               -- exact integer micro-units: floor(2e6*t / (d*(d-1)))
+               -- via make-divisible-then-divide (quotient < 2^53)
+               CAST((2000000 * coalesce(tri.t, 0)
+                     - (2000000 * coalesce(tri.t, 0) % (d.d * (d.d - 1))))
+                    / (d.d * (d.d - 1)) AS BIGINT) AS lcc_micro
+        FROM deg d LEFT JOIN tri ON tri.node = d.node
+        WHERE d.d >= 2
+    )
+    SELECT node, degree, triangles, lcc_micro
+    FROM lcc
+    ORDER BY lcc_micro DESC, node ASC LIMIT {_LCC_TOPK}
+    """,
+    doc="Local clustering coefficient per part on the "
+    "repeat-co-purchase graph (Watts & Strogatz 1998): lcc(v) = "
+    "2*tri(v)/(deg(v)*(deg(v)-1)) — which products sit in tightly "
+    "interlocking purchase cliques (high lcc = bundle cores; the "
+    "node-level complement of copurchase_triangles' global count and "
+    "copurchase_kcore_peel's density shells). Float policy: the "
+    "coefficient is exact integer MICRO-units via "
+    "make-divisible-then-divide (no double division in the twin). "
+    "Scale shape: triangles come from the standard wedge join bounded "
+    "by sum(deg^2) on the thresholded sparse graph — candidates never "
+    "touch the raw basket table; deg/tri reduce at node grain; top-k "
+    "is TakeOrderedAndProject.",
+)
+def copurchase_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = _repeat_und(spark, sf_dir).persist()
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    x = adj.select("node", F.col("nbr").alias("p"))
+    y = adj.select("node", F.col("nbr").alias("q"))
+    tri = (
+        x.join(y, "node")
+        .filter(F.col("p") < F.col("q"))
+        .join(und, (F.col("p") == und.a) & (F.col("q") == und.b))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    num = 2_000_000 * F.coalesce(F.col("t"), F.lit(0))
+    den = F.col("d") * (F.col("d") - 1)
+    out = (
+        deg.join(tri, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).alias("triangles"),
+            ((num - num % den) / den).cast("bigint").alias("lcc_micro"),
+        )
+        .orderBy(F.desc("lcc_micro"), F.asc("node"))
+        .limit(_LCC_TOPK)
+    )
+    return track_cache(out, und)

@@ -426,3 +426,92 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_MATRYOSHKA_DIM = 16
+_MATRYOSHKA_K = 10
+_MATRYOSHKA_QUERIES = 10
+
+
+@register(
+    "embedding_matryoshka_audit",
+    sql=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {_MATRYOSHKA_QUERIES}
+    ), c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ), full_rank AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY
+                       round(list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))), 4) DESC,
+                       neighbor_id ASC) AS rn
+            FROM q CROSS JOIN c WHERE query_id != neighbor_id
+        ) WHERE rn <= {_MATRYOSHKA_K}
+    ), trunc_rank AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY
+                       round(list_dot_product(qv[1:{_MATRYOSHKA_DIM}],
+                                              cv[1:{_MATRYOSHKA_DIM}])
+                             / (sqrt(list_dot_product(qv[1:{_MATRYOSHKA_DIM}],
+                                                      qv[1:{_MATRYOSHKA_DIM}]))
+                                * sqrt(list_dot_product(cv[1:{_MATRYOSHKA_DIM}],
+                                                        cv[1:{_MATRYOSHKA_DIM}]))),
+                             4) DESC,
+                       neighbor_id ASC) AS rn
+            FROM q CROSS JOIN c WHERE query_id != neighbor_id
+        ) WHERE rn <= {_MATRYOSHKA_K}
+    )
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS overlap_at_{_MATRYOSHKA_K}
+    FROM full_rank f
+    LEFT JOIN trunc_rank t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.query_id
+    """,
+    doc="Matryoshka truncation audit (Kusupati et al. 2022 MRL): for "
+    f"each query, top-{_MATRYOSHKA_K} retrieval overlap between "
+    f"full-dimension cosine and the first-{_MATRYOSHKA_DIM}-dims "
+    "prefix — the measurement that says whether a cheap truncated "
+    "index (4x less memory/bandwidth here) can serve first-stage "
+    "retrieval with full-dim rescoring, the standard two-stage ANN "
+    "recipe. Overlap counts are integers; both rankings use the exact "
+    "rounded-cosine + neighbor-id tiebreak total order the knn twins "
+    "pin. Scale shape: two broadcast-query brute passes over the "
+    "corpus (never corpus x corpus), per-query rank windows bounded "
+    "by the candidate cut, one tiny join of two k-row-per-query "
+    "lists. At index scale the trunc pass is the IVF/PQ shortlist "
+    "instead; the audit shape is identical.",
+)
+def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _MATRYOSHKA_QUERIES)
+    full = brute_force_topk(emb, queries, k=_MATRYOSHKA_K).select(
+        "query_id", "neighbor_id"
+    )
+    sl = F.slice(F.col("embedding"), 1, _MATRYOSHKA_DIM).alias("embedding")
+    emb_t = emb.select("vec_id", sl)
+    queries_t = queries.select("vec_id", sl)
+    trunc = brute_force_topk(emb_t, queries_t, k=_MATRYOSHKA_K).select(
+        F.col("query_id").alias("t_query_id"),
+        F.col("neighbor_id").alias("t_neighbor_id"),
+    )
+    return (
+        full.join(
+            trunc,
+            (full.query_id == trunc.t_query_id)
+            & (full.neighbor_id == trunc.t_neighbor_id),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("t_neighbor_id").alias(f"overlap_at_{_MATRYOSHKA_K}")
+        )
+    )
