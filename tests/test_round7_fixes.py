@@ -48,6 +48,9 @@ def _run_at_partitions(spark, name: str, sf_dir: str, parts: int) -> str:
         "orders_price_psi",
         "orders_price_jsd",
         "event_entropy_rate",
+        # round-7 wave integer-exact statistics
+        "orders_price_ks",
+        "doc_quality_rules_kappa",
     ],
 )
 def test_partition_count_invariance(spark, sf_smoke, name):
