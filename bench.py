@@ -153,6 +153,14 @@ HEADLINE = [
     "purchase_hits_scores",
     "embedding_outlier_audit",
     "daily_revenue_changepoint",
+    # round-7 wave: the transactional merge path (create + CoW merge +
+    # snapshot rollup), the integer KS drift (two-level prefix sum),
+    # the wedge-join clustering coefficient, and the double brute-pass
+    # Matryoshka audit
+    "orders_merge_upsert_rollup",
+    "orders_price_ks",
+    "copurchase_clustering_coefficient",
+    "embedding_matryoshka_audit",
 ]
 
 

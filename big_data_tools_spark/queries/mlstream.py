@@ -753,3 +753,32 @@ def streaming_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_drift_by_day(stream), "bdt_value_drift_q", output_mode="append"
     )
     return jsd_vs_reference(drained)
+
+
+@register(
+    "streaming_merge_upsert",
+    sql=None,  # runs through the streaming engine + transactional sink
+    doc="Transactional streaming upsert (r7, io/mergetable.py): the "
+    "stream maintains a per-key rollup in a versioned-manifest merge "
+    "table — every micro-batch is an ATOMIC commit (os.replace "
+    "pointer swap), readers get snapshot isolation, and replayed "
+    "batches no-op via the applied-batch ledger instead of relying on "
+    "overwrite determinism (the upgrade over streaming_upsert_rollup's "
+    "dynamic-partition sink). Returns the final snapshot. Rows-only "
+    "driver check; table==batch-agg equality, versioned history, and "
+    "replay idempotence asserted in tests/test_mergetable.py.",
+)
+def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..io.mergetable import read_table
+    from ..streaming.events import read_events_stream
+    from ..streaming.upsert import merge_upsert_sink
+
+    root = tempfile.mkdtemp(prefix="bdt_merge_stream_") + "/tbl"
+    stream = read_events_stream(spark, sf_dir, path_glob="events.parquet")
+    q = merge_upsert_sink(
+        stream, root, query_name="bdt_merge_stream_q", checkpoint_ns="q1"
+    )
+    q.awaitTermination()
+    return read_table(spark, root)

@@ -145,3 +145,61 @@ def stateless_rollup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_upsert_sink(
+    stream: DataFrame,
+    table_root: str,
+    key_col: str = "event_type",
+    watermark: str = "2 hours",
+    query_name: str = "bdt_merge_upsert",
+    checkpoint_ns: str = "",
+):
+    """Transactional variant of :func:`upsert_rollup_sink` (r7): each
+    micro-batch's new FULL per-key totals MERGE into an
+    ``io.mergetable`` table — atomic versioned commit per batch,
+    snapshot-isolated readers, and batch-id idempotence so Structured
+    Streaming's at-least-once batch replay converges by the TABLE's
+    ledger, not just by overwrite determinism.
+
+    ``checkpoint_ns`` namespaces the recorded batch ids: replays
+    within one checkpoint lineage deduplicate, while a fresh run
+    (fresh checkpoint => batch ids restart at 0) against an existing
+    table does not silently skip its first batches.
+    """
+    from ..io.mergetable import create_table, merge_upsert, read_manifest
+
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_dec"),
+        )
+        .select(
+            key_col,
+            "n",
+            F.round(F.col("value_dec").cast("double"), 2).alias("value_sum"),
+        )
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            read_manifest(table_root)
+        except FileNotFoundError:
+            create_table(
+                spark, table_root, batch_df, keys=[key_col], n_buckets=8
+            )
+            return
+        merge_upsert(
+            spark, table_root, batch_df, batch_id=f"{checkpoint_ns}-{batch_id}"
+        )
+
+    return (
+        agg.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

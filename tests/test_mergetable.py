@@ -130,3 +130,37 @@ def test_vacuum_retention(spark, root):
     # a vacuumed-away snapshot is gone (retention contract)
     with pytest.raises(Exception):
         _snap(spark, root, 1)
+
+
+def test_streaming_merge_upsert_matches_batch(spark, sf_smoke):
+    """End-to-end: the transactional streaming sink's final snapshot
+    equals the batch aggregation, and the manifest history shows one
+    atomic commit per micro-batch."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from big_data_tools_spark.io.mergetable import read_table
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.streaming.events import read_events_stream
+    from big_data_tools_spark.streaming.upsert import merge_upsert_sink
+
+    root = tempfile.mkdtemp(prefix="bdt_merge_stream_t_") + "/tbl"
+    stream = read_events_stream(spark, sf_smoke, path_glob="events.parquet")
+    q = merge_upsert_sink(
+        stream, root, query_name="bdt_merge_stream_t", checkpoint_ns="t"
+    )
+    q.awaitTermination()
+    got = {
+        r.event_type: (r.n, r.value_sum)
+        for r in read_table(spark, root).collect()
+    }
+    batch = load_table(spark, sf_smoke, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("value_sum"),
+    )
+    want = {r.event_type: (r.n, r.value_sum) for r in batch.collect()}
+    assert got == want
+    assert read_manifest(root)["version"] >= 1
