@@ -171,13 +171,23 @@ def md5_uniform(key, salt: str = "u0"):
     return (h.cast("double") + 1.0) / float((1 << 52) + 1)
 
 
+# 16^(12-i) for i = 0..12 as EXACT literals (powers of two, exactly
+# representable): the old `16.0 ** (12 - i)` went through libm pow,
+# which is not guaranteed correctly rounded even for exact results —
+# one flipped ulp would move split-assignment draws across the 0.7
+# boundary engine-dependently (r7 float-policy hardening).
+_HEX_PLACE_VALUES = "[" + ", ".join(
+    f"{float(16 ** (12 - i)):.1f}" for i in range(13)
+) + "]"
+
+
 def sql_md5_uniform(key_expr: str, salt: str = "u0") -> str:
     """DuckDB twin of :func:`md5_uniform` (hex digits summed
     positionally — all values < 2^53, exact in doubles)."""
     return (
         "((list_sum(list_transform(range(13), i -> "
         f"(strpos('0123456789abcdef', substr(md5({key_expr} || '|{salt}'), "
-        "CAST(i + 1 AS INTEGER), 1)) - 1) * (16.0 ** (12 - i)))) + 1.0) "
+        f"CAST(i + 1 AS INTEGER), 1)) - 1) * {_HEX_PLACE_VALUES}[CAST(i + 1 AS INTEGER)])) + 1.0) "
         f"/ {float((1 << 52) + 1)!r})"
     )
 
@@ -201,7 +211,7 @@ def sql_md5_hp(key_expr: str, salt: str = "u0") -> str:
     return (
         "CAST(list_sum(list_transform(range(13), i -> "
         f"(strpos('0123456789abcdef', substr(md5({key_expr} || '|{salt}'), "
-        "CAST(i + 1 AS INTEGER), 1)) - 1) * (16.0 ** (12 - i)))) + 1 "
+        f"CAST(i + 1 AS INTEGER), 1)) - 1) * {_HEX_PLACE_VALUES}[CAST(i + 1 AS INTEGER)])) + 1 "
         "AS BIGINT)"
     )
 
