@@ -277,8 +277,20 @@ def temperature_mixture_plan(
     tot = counts.agg(
         F.sum("n_rows").alias("total"),
     )
-    powed = counts.crossJoin(F.broadcast(tot)).withColumn(
-        "p_raw", F.pow(F.col("n_rows") / F.col("total"), 1.0 / tau)
+    # share^(1/tau) = exp((ln n - ln total)/tau) via the portable
+    # no-libm ln/exp (r7 float policy: F.pow vs DuckDB ** disagreed in
+    # the last ulp), integer-argument ln on both engines. The exponent
+    # is BOUND to a column first: pexp textually expands its argument
+    # ~26x, so inlining the (already ~35 KB) pln difference would blow
+    # the expression tree into megabytes (measured 5.9 MB -> OOM).
+    from .portablemath import pexp_sql, pln_sql
+
+    x = f"({pln_sql('n_rows')} - {pln_sql('total')}) / {float(tau)!r}E0"
+    powed = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("__x", F.expr(x))
+        .withColumn("p_raw", F.expr(pexp_sql("__x")))
+        .drop("__x")
     )
     # order-independent normalizer: quantize each share-power, sum as
     # exact decimals (functions/agg policy), divide at the end

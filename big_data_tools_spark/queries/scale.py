@@ -301,6 +301,11 @@ _WS_K = 100
 _WS_SALT = "w0"
 _TM_TAU = 3.0
 
+from ..operators.portablemath import pexp_sql as _pexp  # noqa: E402
+
+_tm_x = f"({_pln('n_rows')} - {_pln('total')}) / {float(_TM_TAU)!r}E0"
+_tm_praw = _pexp("__x")
+
 
 @register(
     "documents_weighted_sample",
@@ -339,10 +344,14 @@ def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, CAST(count(*) AS BIGINT) AS n_rows
         FROM documents GROUP BY lang
     ), tot AS (SELECT sum(n_rows) AS total FROM counts),
-    powed AS (
-        SELECT lang, n_rows, total,
-               (n_rows * 1.0 / total) ** (1.0 / {_TM_TAU}) AS p_raw
+    xb AS (
+        -- share^(1/tau) = pexp((pln(n) - pln(total))/tau): portable
+        -- no-libm pow (r7 float policy); the exponent binds in its
+        -- own CTE because pexp expands its argument ~26x textually
+        SELECT lang, n_rows, total, {_tm_x} AS __x
         FROM counts CROSS JOIN tot
+    ), powed AS (
+        SELECT lang, n_rows, total, {_tm_praw} AS p_raw FROM xb
     ), z AS (
         SELECT CAST(sum(CAST(round(p_raw, 9) AS DECIMAL(28,12))) AS DOUBLE)
                    AS z
