@@ -829,3 +829,105 @@ def doc_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_share"),
         )
     )
+
+
+_COV_CHECKPOINTS = (1000, 2000, 4000, 8000, 16000)
+_COV_SQL = ", ".join(str(v) for v in _COV_CHECKPOINTS)
+
+
+@register(
+    "vocab_coverage_curve",
+    sql=f"""
+    WITH words AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ), counts AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq
+        FROM words WHERE w <> '' GROUP BY w
+    ), ranked AS (
+        SELECT freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, w ASC)
+                    AS BIGINT) AS rank
+        FROM counts
+    ), tot AS (
+        SELECT CAST(sum(freq) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS n_types
+        FROM counts
+    ), cp AS (
+        SELECT CAST(unnest([{_COV_SQL}]) AS BIGINT) AS vocab_size
+    )
+    SELECT cp.vocab_size,
+           CAST(sum(CASE WHEN r.rank <= cp.vocab_size
+                         THEN r.freq ELSE 0 END) AS BIGINT)
+               AS covered_tokens,
+           t.total_tokens,
+           t.n_types,
+           round(sum(CASE WHEN r.rank <= cp.vocab_size
+                          THEN r.freq ELSE 0 END) * 1.0
+                 / t.total_tokens, 6) AS coverage
+    FROM cp CROSS JOIN ranked r CROSS JOIN tot t
+    GROUP BY cp.vocab_size, t.total_tokens, t.n_types
+    """,
+    doc="Token-coverage-vs-vocabulary-size curve: the fraction of "
+    "all corpus tokens covered by the top-V most frequent types, at "
+    "V in {1k, 2k, 4k, 8k, 16k} — the tokenizer-design read that "
+    "sits between corpus_vocabulary (the vocab itself), "
+    "corpus_zipf_fit (the law governing this curve's shape), and "
+    "vocab_oov_rate (one fixed V's miss rate). Where the curve "
+    "plateaus tells you when growing the vocab stops buying "
+    "compression (Zipf: coverage gains fall off as 1/V^(alpha-1)). "
+    "Counts and cumulative masses are exact BIGINTs; ranking ties "
+    "break lexically so the top-V set is engine-identical; coverage "
+    "is a final division of identical integers. Scale shape: one "
+    "corpus explode + grouped count (map-side combined); the rank "
+    "window and the 5-checkpoint rollup run on the TYPE table "
+    "(vocabulary-bounded, Heaps-sublinear), never the token stream.",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens as _tokens
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    counts = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .persist()
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("w").asc())
+    ranked = counts.select(
+        "freq", F.row_number().over(w).cast("bigint").alias("rank")
+    )
+    tot = counts.agg(
+        F.sum("freq").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    cp = spark.createDataFrame(
+        [(int(v),) for v in _COV_CHECKPOINTS], "vocab_size bigint"
+    )
+    covered = F.sum(
+        F.when(F.col("rank") <= F.col("vocab_size"), F.col("freq")).otherwise(
+            F.lit(0)
+        )
+    ).cast("bigint")
+    out = (
+        F.broadcast(cp)
+        .crossJoin(ranked)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("vocab_size", "total_tokens", "n_types")
+        .agg(
+            covered.alias("covered_tokens"),
+        )
+        .select(
+            "vocab_size",
+            "covered_tokens",
+            "total_tokens",
+            "n_types",
+            F.round(
+                F.col("covered_tokens") * F.lit(1.0) / F.col("total_tokens"), 6
+            ).alias("coverage"),
+        )
+    )
+    from ..operators.cache import track_cache
+
+    return track_cache(out, counts)

@@ -520,3 +520,135 @@ def doc_bigram_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cache import track_cache
 
     return track_cache(out, fdocs)
+
+
+# ---------------------------------------------------------------------------
+# nDCG@k ranking evaluation (Järvelin & Kekäläinen 2002)
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+# Discount weights round(1e6 / log2(rank+1)) for rank = 1..k, computed
+# ONCE here and embedded as the SAME integer literals in both engines —
+# log2 never runs inside either engine, so the twinned surface stays
+# libm-free (r7 float policy). Gains are the standard 2^rel - 1 for the
+# graded relevance rel in 0..3, also a literal table.
+import math as _math
+
+_NDCG_W = [round(1_000_000 / _math.log2(i + 1)) for i in range(1, _NDCG_K + 1)]
+_NDCG_G = [0, 1, 3, 7]
+
+_NDCG_W_SQL = "[" + ", ".join(str(w) for w in _NDCG_W) + "]"
+_NDCG_G_SQL = "[" + ", ".join(str(g) for g in _NDCG_G) + "]"
+
+
+@register(
+    "bm25_ndcg_eval",
+    sql=f"""
+    WITH {_BM25_CTES},
+    rel AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS rel
+        FROM tf GROUP BY doc_id
+    ), ranked AS (
+        SELECT b.doc_id, r.rel,
+               row_number() OVER (ORDER BY b.bm25 DESC, b.doc_id ASC)
+                   AS rank
+        FROM bm b JOIN rel r USING (doc_id)
+    ), dcg AS (
+        SELECT CAST(sum({_NDCG_G_SQL}[CAST(rel + 1 AS INTEGER)]
+                        * {_NDCG_W_SQL}[CAST(rank AS INTEGER)])
+                    AS BIGINT) AS dcg_micro
+        FROM ranked WHERE rank <= {_NDCG_K}
+    ), ideal AS (
+        SELECT CAST(sum({_NDCG_G_SQL}[CAST(rel + 1 AS INTEGER)]
+                        * {_NDCG_W_SQL}[CAST(irank AS INTEGER)])
+                    AS BIGINT) AS idcg_micro
+        FROM (
+            SELECT rel,
+                   row_number() OVER (ORDER BY rel DESC, doc_id ASC)
+                       AS irank
+            FROM rel
+        ) WHERE irank <= {_NDCG_K}
+    )
+    SELECT CAST({_NDCG_K} AS INT) AS k, dcg_micro, idcg_micro,
+           CASE WHEN idcg_micro = 0 THEN 0.0
+                ELSE round(dcg_micro * 1.0 / idcg_micro, 6) END AS ndcg
+    FROM dcg CROSS JOIN ideal
+    """,
+    doc="nDCG@10 evaluation of the BM25 ranking (Järvelin & "
+    "Kekäläinen 2002) against a deterministic graded-relevance "
+    "proxy (rel = number of distinct query terms the document "
+    "contains, gain = 2^rel - 1): the retrieval-QUALITY audit "
+    "that sits next to ann_recall_report on the search surface — "
+    "'the ranker runs' is not 'the ranker ranks well'. DCG and "
+    "ideal DCG are EXACT integer micro-unit sums: the 1/log2(rank+1) "
+    "discounts are integer literals computed once at registration "
+    "and shared verbatim by both engines, so no libm function "
+    "touches the twinned surface and the sums are "
+    "partition-order-free (r7 float policy). Scale shape: rides "
+    "the shared BM25 CTE chain (inverted-index candidates, "
+    "broadcast corpus stats), then two TakeOrdered top-10s and two "
+    "1-row aggregates — the corpus never sorts globally.",
+)
+def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.text import tokens
+
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    rel = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("w").cast("bigint").alias("rel"))
+        .persist()
+    )
+    gains = F.array(*[F.lit(g) for g in _NDCG_G])
+    weights = F.array(*[F.lit(w) for w in _NDCG_W])
+    top = (
+        per_doc.join(rel, "doc_id")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_NDCG_K)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            ),
+        )
+    )
+    dcg = top.agg(
+        F.sum(
+            F.element_at(gains, (F.col("rel") + 1).cast("int"))
+            * F.element_at(weights, F.col("rank").cast("int"))
+        )
+        .cast("bigint")
+        .alias("dcg_micro")
+    )
+    ideal_top = (
+        rel.orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(_NDCG_K)
+        .withColumn(
+            "irank",
+            F.row_number().over(Window.orderBy(F.desc("rel"), F.asc("doc_id"))),
+        )
+    )
+    idcg = ideal_top.agg(
+        F.sum(
+            F.element_at(gains, (F.col("rel") + 1).cast("int"))
+            * F.element_at(weights, F.col("irank").cast("int"))
+        )
+        .cast("bigint")
+        .alias("idcg_micro")
+    )
+    ndcg = F.when(F.col("idcg_micro") == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("dcg_micro") * F.lit(1.0) / F.col("idcg_micro"), 6)
+    )
+    from ..operators.cache import track_cache
+
+    out = dcg.crossJoin(F.broadcast(idcg)).select(
+        F.lit(_NDCG_K).cast("int").alias("k"),
+        "dcg_micro",
+        "idcg_micro",
+        ndcg.alias("ndcg"),
+    )
+    return track_cache(out, rel)

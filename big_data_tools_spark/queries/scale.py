@@ -570,3 +570,316 @@ def events_user_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return track_cache(out, hashed)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4       # sketch depth (independent hash rows)
+_CMS_W = 512     # sketch width (buckets per row)
+_CMS_TOP = 10    # heavy hitters reported
+
+
+def _cms_pos_sql(src: str, key: str, extra: str = "") -> str:
+    """UNION ALL branches enumerating the d salted bucket positions of
+    ``key`` — the SQL mirror of the Spark explode-of-salted-array."""
+    sel = ", " if extra else ""
+    branches = [
+        f"SELECT {extra}{sel}{r} AS r, "
+        f"{_sql_md5_hp(f'CAST({key} AS VARCHAR)', f'cms{r}')} % {_CMS_W} AS b "
+        f"FROM {src}"
+        for r in range(_CMS_D)
+    ]
+    return " UNION ALL ".join(branches)
+
+
+@register(
+    "events_cms_heavy_hitters",
+    sql=f"""
+    WITH pos AS (
+        {_cms_pos_sql("events", "user_id")}
+    ), sketch AS (
+        SELECT r, b, CAST(count(*) AS BIGINT) AS cnt
+        FROM pos GROUP BY r, b
+    ), exact AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+        FROM events GROUP BY user_id
+    ), top AS (
+        SELECT user_id, exact_count FROM exact
+        ORDER BY exact_count DESC, user_id ASC LIMIT {_CMS_TOP}
+    ), probe AS (
+        {_cms_pos_sql("top", "user_id", "user_id, exact_count")}
+    ), est AS (
+        SELECT p.user_id, p.exact_count,
+               CAST(min(s.cnt) AS BIGINT) AS cms_est
+        FROM probe p JOIN sketch s ON s.r = p.r AND s.b = p.b
+        GROUP BY p.user_id, p.exact_count
+    ), typed_pos AS (
+        {_cms_pos_sql("events", "user_id", "event_type")}
+    ), partials AS (
+        SELECT event_type, r, b, CAST(count(*) AS BIGINT) AS cnt
+        FROM typed_pos GROUP BY event_type, r, b
+    ), merged AS (
+        SELECT r, b, CAST(sum(cnt) AS BIGINT) AS cnt
+        FROM partials GROUP BY r, b
+    ), mi AS (
+        SELECT ((SELECT count(*) FROM merged m JOIN sketch s
+                 ON s.r = m.r AND s.b = m.b AND s.cnt = m.cnt)
+                = (SELECT count(*) FROM sketch))
+           AND ((SELECT count(*) FROM merged)
+                = (SELECT count(*) FROM sketch)) AS merge_identity_ok
+    )
+    SELECT e.user_id, e.exact_count, e.cms_est,
+           e.cms_est - e.exact_count AS overestimate,
+           mi.merge_identity_ok
+    FROM est e CROSS JOIN mi
+    """,
+    doc="Count-Min sketch frequency estimates for the top event users "
+    "(Cormode & Muthukrishnan 2005), d=4 rows x w=512 buckets over "
+    "the portable md5 hash family — the frequency counterpart of the "
+    "KMV cardinality sketch, and like it oracle-twinned exactly "
+    "because the sketch is a pure deterministic integer function of "
+    "the key stream (CPC/CountSketch variants with RNG seeds never "
+    "can be). Emits each heavy hitter's exact count next to its CMS "
+    "estimate: the sketch's one-sided error guarantee (estimate >= "
+    "truth, always) is visible as overestimate >= 0, pinned in "
+    "tests. The query also PROVES the sketch's linearity on real "
+    "data: per-event-type partial sketches summed cell-wise equal "
+    "the global sketch (merge_identity_ok) — what lets 1000 "
+    "executors sketch their shards independently and add the d*w "
+    "integer grids at the coordinator instead of re-shuffling raw "
+    "keys. Scale shape: the build is one narrow 4x explode + a "
+    "grouped count bounded at d*w = 2048 cells regardless of data "
+    "volume; the exact top-k (for the audit only) is one grouped "
+    "count + TakeOrdered.",
+)
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track_cache
+    from ..operators.sampling import md5_hp
+
+    events = load_table(spark, sf_dir, "events")
+
+    def positions(key):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            md5_hp(key.cast("string"), f"cms{r}"), F.lit(_CMS_W)
+                        ).alias("b"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        )
+
+    pos = events.select(positions(F.col("user_id")).alias("p")).select(
+        "p.r", "p.b"
+    )
+    sketch = (
+        pos.groupBy("r", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()
+    )
+    exact = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    top = exact.orderBy(
+        F.desc("exact_count"), F.asc("user_id")
+    ).limit(_CMS_TOP)
+    probe = top.select(
+        "user_id", "exact_count", positions(F.col("user_id")).alias("p")
+    ).select("user_id", "exact_count", "p.r", "p.b")
+    est = (
+        probe.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+    )
+    typed = events.select(
+        "event_type", positions(F.col("user_id")).alias("p")
+    ).select("event_type", "p.r", "p.b")
+    partials = typed.groupBy("event_type", "r", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    merged = partials.groupBy("r", "b").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    n_match = merged.join(sketch, ["r", "b", "cnt"]).agg(
+        F.count(F.lit(1)).alias("n_match")
+    )
+    n_cells = sketch.agg(F.count(F.lit(1)).alias("n_cells"))
+    n_merged = merged.agg(F.count(F.lit(1)).alias("n_merged"))
+    mi = (
+        n_match.crossJoin(F.broadcast(n_cells))
+        .crossJoin(F.broadcast(n_merged))
+        .select(
+            (
+                (F.col("n_match") == F.col("n_cells"))
+                & (F.col("n_merged") == F.col("n_cells"))
+            ).alias("merge_identity_ok")
+        )
+    )
+    out = est.crossJoin(F.broadcast(mi)).select(
+        "user_id",
+        "exact_count",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_count")).alias("overestimate"),
+        "merge_identity_ok",
+    )
+    return track_cache(out, sketch)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction audit (Bloom 1970)
+# ---------------------------------------------------------------------------
+
+_BF_M = 8192   # filter bits
+_BF_K = 3      # hash functions
+
+
+def _bf_pos_sql(src: str, key: str, extra: str = "") -> str:
+    sel = ", " if extra else ""
+    branches = [
+        f"SELECT {extra}{sel}"
+        f"{_sql_md5_hp(f'CAST({key} AS VARCHAR)', f'bf{j}')} % {_BF_M} AS pos "
+        f"FROM {src}"
+        for j in range(_BF_K)
+    ]
+    return " UNION ALL ".join(branches)
+
+
+@register(
+    "bloom_semijoin_audit",
+    sql=f"""
+    WITH members AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ), mpos AS (
+        SELECT DISTINCT pos FROM ({_bf_pos_sql("members", "k")})
+    ), probe AS (
+        SELECT c_custkey AS k FROM customer
+    ), ppos AS (
+        SELECT DISTINCT k, pos FROM ({_bf_pos_sql("probe", "k", "k")})
+    ), per_key AS (
+        SELECT p.k,
+               CAST(count(*) AS BIGINT) AS npos,
+               CAST(count(m.pos) AS BIGINT) AS matched
+        FROM ppos p LEFT JOIN mpos m ON p.pos = m.pos
+        GROUP BY p.k
+    ), counts AS (
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+            (SELECT CAST(count(*) AS BIGINT) FROM mpos) AS n_bits_set,
+            (SELECT CAST(count(*) AS BIGINT) FROM probe) AS n_probe,
+            (SELECT CAST(count(*) AS BIGINT) FROM per_key
+             WHERE matched = npos) AS n_accepted,
+            (SELECT CAST(count(*) AS BIGINT) FROM probe
+             WHERE k IN (SELECT k FROM members)) AS n_true
+    )
+    SELECT CAST({_BF_M} AS BIGINT) AS filter_bits,
+           CAST({_BF_K} AS INT) AS k_hashes,
+           n_members, n_bits_set, n_probe, n_accepted, n_true,
+           n_accepted - n_true AS n_false_pos,
+           CASE WHEN n_probe = n_true THEN 0.0
+                ELSE round((n_accepted - n_true) * 1.0
+                           / (n_probe - n_true), 6) END AS fp_observed,
+           round(n_bits_set * n_bits_set * n_bits_set * 1.0
+                 / ({_BF_M}.0 * {_BF_M} * {_BF_M}), 6) AS fp_predicted
+    FROM counts
+    """,
+    doc="Bloom-filter semi-join reduction audit (Bloom 1970; the "
+    "runtime-filter pattern behind Spark's own "
+    "spark.sql.optimizer.runtimeFilter.bloomFilter pushdown): build "
+    "an m=8192-bit, k=3 filter over urgent-order customer keys from "
+    "the portable md5 hash family, probe every customer, and compare "
+    "the filter's accept set against the exact semi-join. At 100 TB "
+    "this is THE join-pruning lever: an 8 KiB bit set broadcast to "
+    "every scan task prunes the fact side BEFORE the shuffle, and "
+    "the false-positive rate printed here is exactly the fraction "
+    "of over-read that survives pruning and still pays the join. "
+    "No false negatives by construction (members' own bits are "
+    "always set — pinned in tests); the observed FP rate sits next "
+    "to the load-based prediction (bits_set/m)^k, an exact rational "
+    "so both engines agree bit-for-bit. Scale shape: the filter "
+    "build is a distinct + bounded grouped set (<= m rows); the "
+    "probe is a narrow 3x explode joined to the broadcast position "
+    "set — the fact table never shuffles.",
+)
+def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import md5_hp
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def positions(key):
+        return F.explode(
+            F.array(
+                *[
+                    F.pmod(md5_hp(key.cast("string"), f"bf{j}"), F.lit(_BF_M))
+                    for j in range(_BF_K)
+                ]
+            )
+        )
+
+    members = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .persist()
+    )
+    mpos = members.select(positions(F.col("k")).alias("pos")).distinct()
+    probe = cust.select(F.col("c_custkey").alias("k"))
+    ppos = probe.select("k", positions(F.col("k")).alias("pos")).distinct()
+    per_key = (
+        ppos.join(
+            F.broadcast(mpos.withColumn("hit", F.lit(1))), on="pos", how="left"
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("npos"),
+            F.count("hit").cast("bigint").alias("matched"),
+        )
+    )
+    n_members = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    n_bits = mpos.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    n_probe = probe.agg(F.count(F.lit(1)).cast("bigint").alias("n_probe"))
+    n_accepted = per_key.filter(F.col("matched") == F.col("npos")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_accepted")
+    )
+    n_true = probe.join(members, on="k", how="left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    b = F.col("n_bits_set").cast("double")
+    fp_obs = F.when(F.col("n_probe") == F.col("n_true"), F.lit(0.0)).otherwise(
+        F.round(
+            (F.col("n_accepted") - F.col("n_true"))
+            * F.lit(1.0)
+            / (F.col("n_probe") - F.col("n_true")),
+            6,
+        )
+    )
+    out = (
+        n_members.crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(n_probe))
+        .crossJoin(F.broadcast(n_accepted))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            F.lit(_BF_M).cast("bigint").alias("filter_bits"),
+            F.lit(_BF_K).cast("int").alias("k_hashes"),
+            "n_members",
+            "n_bits_set",
+            "n_probe",
+            "n_accepted",
+            "n_true",
+            (F.col("n_accepted") - F.col("n_true")).alias("n_false_pos"),
+            fp_obs.alias("fp_observed"),
+            F.round(
+                b * b * b / float(_BF_M) ** 3, 6
+            ).alias("fp_predicted"),
+        )
+    )
+    from ..operators.cache import track_cache
+
+    return track_cache(out, members)

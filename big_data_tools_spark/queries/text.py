@@ -552,3 +552,61 @@ def doc_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+_BPE_RE_SQL = r"' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'"
+
+
+@register(
+    "doc_tokenizer_fertility",
+    sql=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS total_words,
+           CAST(sum(len(regexp_extract_all(text, {_BPE_RE_SQL})))
+               AS BIGINT) AS total_tokens,
+           round(sum(len(regexp_extract_all(text, {_BPE_RE_SQL}))) * 1.0
+                 / sum(len(string_split(lower(text), ' '))), 4)
+               AS fertility,
+           round(sum(length(text)) * 1.0
+                 / sum(len(regexp_extract_all(text, {_BPE_RE_SQL}))), 4)
+               AS chars_per_token
+    FROM documents GROUP BY lang
+    """,
+    doc="Tokenizer fertility by language (Rust et al. 2021; ACL "
+    "2021's multilingual-tokenizer equity metric): subword tokens "
+    "per whitespace word and chars per token, per lang facet — THE "
+    "read for spotting languages a tokenizer over-fragments (high "
+    "fertility = more compute and effective-context loss for the "
+    "same text; the reason BLOOM/XGLM retrained their vocabs). "
+    "Tokens come from the same GPT-style pre-tokenizer regex as "
+    "doc_bpe_token_estimate; words from the doc_token_stats "
+    "whitespace split, so the three text-cost surfaces agree. All "
+    "cross-row sums are exact BIGINTs; the two ratios are final "
+    "divisions of engine-identical integers (r7 float policy rule "
+    "3). Scale shape: one corpus scan, per-row JVM regex counts, "
+    "one combiner-friendly grouped agg on the bounded lang key.",
+)
+def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_ish_token_count
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    t = F.col("text")
+    per_doc = d.select(
+        "lang",
+        token_count(t).alias("n_words"),
+        bpe_ish_token_count(t).alias("n_tok"),
+        F.length(t).alias("n_char"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("n_tok") * F.lit(1.0) / F.sum("n_words"), 4
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_char") * F.lit(1.0) / F.sum("n_tok"), 4
+        ).alias("chars_per_token"),
+    )

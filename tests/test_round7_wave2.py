@@ -1,0 +1,115 @@
+"""Property pins for the second round-7 operator wave: CMS heavy
+hitters, Bloom semi-join audit, nDCG@k ranking eval, tokenizer
+fertility, vocabulary coverage curve.
+
+Oracle parity for all five is covered by tests/test_oracle_parity.py
+(they are registered twins); these tests pin the operator-level
+GUARANTEES the twins cannot express — one-sided sketch error, no
+Bloom false negatives, nDCG bounds, curve monotonicity — plus the
+r7 partition-count-invariance discipline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from big_data_tools_spark.operators.cache import release_all_caches
+from big_data_tools_spark.queries import all_queries
+
+_WAVE = [
+    "events_cms_heavy_hitters",
+    "bloom_semijoin_audit",
+    "bm25_ndcg_eval",
+    "doc_tokenizer_fertility",
+    "vocab_coverage_curve",
+]
+
+
+def _run(spark, name, sf_dir):
+    df = all_queries()[name].fn(spark, sf_dir)
+    rows = df.collect()
+    release_all_caches()
+    return rows
+
+
+def test_cms_one_sided_error_and_linearity(spark, sf_smoke):
+    rows = _run(spark, "events_cms_heavy_hitters", sf_smoke)
+    assert len(rows) == 10
+    for r in rows:
+        # CMS never underestimates (hash collisions only ADD counts)
+        assert r.overestimate >= 0, r
+        assert r.cms_est >= r.exact_count
+        # the sketch is linear: per-type partials sum to the global grid
+        assert r.merge_identity_ok is True
+
+
+def test_bloom_no_false_negatives(spark, sf_smoke):
+    (r,) = _run(spark, "bloom_semijoin_audit", sf_smoke)
+    # every true member passes the filter: accepted >= true matches
+    assert r.n_accepted >= r.n_true
+    assert r.n_false_pos == r.n_accepted - r.n_true
+    assert 0.0 <= r.fp_observed <= 1.0
+    assert 0.0 <= r.fp_predicted <= 1.0
+    # the filter is usefully selective at this load (not saturated)
+    assert r.n_bits_set < r.filter_bits
+
+
+def test_ndcg_bounds(spark, sf_smoke):
+    (r,) = _run(spark, "bm25_ndcg_eval", sf_smoke)
+    assert r.k == 10
+    assert 0 <= r.dcg_micro <= r.idcg_micro
+    assert 0.0 <= r.ndcg <= 1.0
+    # the synthetic corpus contains the query terms, so the ranking
+    # retrieves something relevant
+    assert r.idcg_micro > 0
+
+
+def test_fertility_sane(spark, sf_smoke):
+    rows = _run(spark, "doc_tokenizer_fertility", sf_smoke)
+    assert rows
+    for r in rows:
+        # BPE-ish pre-tokens split punctuation off words, so fertility
+        # is at least ~1 token per whitespace word
+        assert r.fertility >= 1.0, r
+        assert r.chars_per_token > 0
+        assert r.total_tokens >= r.total_words > 0
+
+
+def test_coverage_curve_monotone(spark, sf_smoke):
+    rows = sorted(
+        _run(spark, "vocab_coverage_curve", sf_smoke),
+        key=lambda r: r.vocab_size,
+    )
+    assert [r.vocab_size for r in rows] == [1000, 2000, 4000, 8000, 16000]
+    prev = -1
+    for r in rows:
+        assert r.covered_tokens <= r.total_tokens
+        assert r.covered_tokens >= prev  # more vocab never covers less
+        prev = r.covered_tokens
+        assert 0.0 <= r.coverage <= 1.0
+    # once V >= n_types the curve is exactly 1
+    for r in rows:
+        if r.vocab_size >= r.n_types:
+            assert r.coverage == 1.0
+
+
+def _rowset_hash(df) -> str:
+    cols = sorted(df.columns)
+    rows = sorted("|".join(repr(r[c]) for c in cols) for r in df.collect())
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", _WAVE)
+def test_partition_count_invariance(spark, sf_smoke, name):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    hashes = []
+    for parts in (2, 13):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            hashes.append(_rowset_hash(all_queries()[name].fn(spark, sf_smoke)))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+            release_all_caches()
+    assert hashes[0] == hashes[1], f"{name}: rowset differs across partitions"
