@@ -161,6 +161,13 @@ HEADLINE = [
     "orders_price_ks",
     "copurchase_clustering_coefficient",
     "embedding_matryoshka_audit",
+    # round-7 second wave: the CMS sketch build (4x explode + bounded
+    # cell agg), the Bloom probe (3x explode + broadcast position
+    # join), and the type-table coverage curve (corpus explode +
+    # vocab-bounded rank window)
+    "events_cms_heavy_hitters",
+    "bloom_semijoin_audit",
+    "vocab_coverage_curve",
 ]
 
 
