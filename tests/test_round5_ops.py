@@ -181,7 +181,18 @@ def test_entropy_rate_bounds(spark, sf_smoke):
 
 
 def test_heaps_fit_properties(spark, sf_smoke):
-    row = get("corpus_heaps_fit").fn(spark, sf_smoke).collect()[0]
+    # r7 redesign: corpus_heaps_fit is now the bit-exact integer
+    # growth curve; the ln-OLS fit moved to corpus_heaps_beta
+    curve = get("corpus_heaps_fit").fn(spark, sf_smoke).collect()
+    assert len(curve) >= 5
+    by_cp = sorted(curve, key=lambda r: r["checkpoint"])
+    prev_t = prev_v = 0
+    for r in by_cp:
+        # the curve is cumulative: tokens and vocab never shrink
+        assert r["n_tokens"] >= prev_t and r["vocab"] >= prev_v
+        assert r["vocab"] <= r["n_tokens"]
+        prev_t, prev_v = r["n_tokens"], r["vocab"]
+    row = get("corpus_heaps_beta").fn(spark, sf_smoke).collect()[0]
     assert row["n_points"] >= 5
     # natural language has beta in [0.4, 0.6]; the synthetic corpus
     # draws from a ~31-word vocabulary that saturates before the first
