@@ -168,6 +168,8 @@ HEADLINE = [
     "events_cms_heavy_hitters",
     "bloom_semijoin_audit",
     "vocab_coverage_curve",
+    # third wave: the bigram-grain entropy fold is the widest new plan
+    "corpus_ngram_entropy",
 ]
 
 

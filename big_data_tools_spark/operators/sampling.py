@@ -356,3 +356,25 @@ def sql_poisson1_weight(u_expr: str) -> str:
         f"WHEN ({u_expr}) <= {cdf!r} THEN {k}" for k, cdf in enumerate(_POIS1_CDF)
     )
     return f"(CASE {cases} ELSE 9 END)"
+
+
+def cms_positions(key, depth: int, width: int, salt_prefix: str = "cms"):
+    """Explode column of the ``depth`` Count-Min sketch cell positions
+    of a row key: (r, b) structs with b = md5_hp(key, '<prefix><r>') %
+    width — the portable hash family shared by the batch CMS query,
+    its DuckDB twin, and the streaming sketch monitor (one definition,
+    so partial sketches from any of them merge by cell addition)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.pmod(
+                        md5_hp(key.cast("string"), f"{salt_prefix}{r}"),
+                        F.lit(width),
+                    ).alias("b"),
+                )
+                for r in range(depth)
+            ]
+        )
+    )

@@ -1045,3 +1045,43 @@ def doc_quality_rules_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         n00.cast("bigint").alias("n00"),
         ((num - num % den) / den).cast("bigint").alias("kappa_micro"),
     )
+
+
+_LDIV_L = 3  # minimum distinct sensitive values per QI group
+
+
+@register(
+    "customer_ldiversity",
+    sql=f"""
+    SELECT c.c_nationkey, c.c_mktsegment,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS l_distinct,
+           count(DISTINCT o.o_orderpriority) >= {_LDIV_L} AS l_diverse
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey, c.c_mktsegment
+    """,
+    doc="l-diversity audit (Machanavajjhala et al. 2007 — the "
+    "k-anonymity refinement customer_kanonymity stops short of): "
+    "for each (nation, segment) quasi-identifier group, the number "
+    "of DISTINCT sensitive values (order priority) observed in the "
+    "group's orders. A group can be k-anonymous yet leak the "
+    "sensitive attribute outright when every member shares one "
+    "value — l_diverse flags groups meeting l >= 3. Exact integer "
+    "counts end to end. Scale shape: one fact-to-dim equi-join "
+    "(customer side broadcast at dim scale, AQE otherwise) + one "
+    "grouped distinct-count at the bounded QI grain.",
+)
+def customer_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey", "c_mktsegment")),
+        o["o_custkey"] == c["c_custkey"],
+    )
+    return joined.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count_distinct("c_custkey").cast("bigint").alias("n_customers"),
+        F.count("o_orderkey").cast("bigint").alias("n_orders"),
+        F.count_distinct("o_orderpriority").cast("bigint").alias("l_distinct"),
+        (F.count_distinct("o_orderpriority") >= _LDIV_L).alias("l_diverse"),
+    )

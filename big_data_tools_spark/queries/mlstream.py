@@ -782,3 +782,31 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return read_table(spark, root)
+
+
+@register(
+    "streaming_cms_heavy_hitters",
+    sql=None,  # the watermarked partial-sketch count runs through the streaming engine
+    doc="Streaming Count-Min heavy-hitter monitor (§2.10 + the sketch "
+    "family): per-day PARTIAL sketches as one watermarked (day, r, b) "
+    "count — state bounded at O(days x 4 x 512) cells — then the "
+    "global sketch recovered by plain cell-wise addition of the "
+    "drained partials (CMS linearity, the same property the batch "
+    "twin proves as merge_identity_ok) and probed with the exact "
+    "top-10 users. The map-side-rollup contract demonstrated on the "
+    "actual streaming engine: shards sketch independently, the "
+    "coordinator adds integer grids, raw keys never replay. "
+    "Rows-only driver check; stream==batch cell identity and "
+    "estimate parity with events_cms_heavy_hitters asserted in "
+    "tests/test_streaming_monitor.py.",
+)
+def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import read_events_stream, run_available_now
+    from ..streaming.monitor import cms_cells_by_day, cms_merge_and_probe
+
+    stream = read_events_stream(spark, sf_dir, path_glob="events.parquet")
+    drained = run_available_now(
+        cms_cells_by_day(stream), "bdt_cms_stream_q", output_mode="append"
+    )
+    events = load_table(spark, sf_dir, "events")
+    return cms_merge_and_probe(drained, events)

@@ -656,24 +656,12 @@ def _cms_pos_sql(src: str, key: str, extra: str = "") -> str:
 )
 def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cache import track_cache
-    from ..operators.sampling import md5_hp
+    from ..operators.sampling import cms_positions
 
     events = load_table(spark, sf_dir, "events")
 
     def positions(key):
-        return F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        F.pmod(
-                            md5_hp(key.cast("string"), f"cms{r}"), F.lit(_CMS_W)
-                        ).alias("b"),
-                    )
-                    for r in range(_CMS_D)
-                ]
-            )
-        )
+        return cms_positions(key, _CMS_D, _CMS_W)
 
     pos = events.select(positions(F.col("user_id")).alias("p")).select(
         "p.r", "p.b"

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from ..functions.agg import dmean, sql_dmean
 from ..io.sources import load_table
+from ..operators.sampling import sql_md5_uniform
 from ..operators.similarity import brute_force_topk, l2_norm, lsh_ann_topk
 from .registry import register
 
@@ -514,4 +515,106 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("t_neighbor_id").alias(f"overlap_at_{_MATRYOSHKA_K}")
         )
+    )
+
+
+_SHIFT_SALT = "cshift0"
+_SHIFT_DIMS = 64
+
+
+@register(
+    "embedding_centroid_shift",
+    sql=f"""
+    WITH halves AS (
+        SELECT label,
+               CASE WHEN {{u}} <= 0.5 THEN 'a' ELSE 'b' END AS half,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), cells AS (
+        SELECT label, half, r AS dim,
+               round(v[CAST(r + 1 AS INTEGER)], 6) AS val
+        FROM halves CROSS JOIN range({_SHIFT_DIMS}) t(r)
+    ), moments AS (
+        SELECT label, dim,
+               CAST(sum(CASE WHEN half = 'a'
+                        THEN CAST(val AS DECIMAL(28,8)) END) AS DOUBLE) AS sa,
+               CAST(count(CASE WHEN half = 'a' THEN 1 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN half = 'b'
+                        THEN CAST(val AS DECIMAL(28,8)) END) AS DOUBLE) AS sb,
+               CAST(count(CASE WHEN half = 'b' THEN 1 END) AS BIGINT) AS nb
+        FROM cells GROUP BY label, dim
+    ), diffs AS (
+        SELECT label, na, nb,
+               round((sa / na - sb / nb) * (sa / na - sb / nb), 10) AS sq
+        FROM moments WHERE na > 0 AND nb > 0
+    )
+    SELECT label,
+           CAST(min(na) AS BIGINT) AS n_a,
+           CAST(min(nb) AS BIGINT) AS n_b,
+           round(sqrt(CAST(sum(CAST(sq AS DECIMAL(28,12))) AS DOUBLE)), 6)
+               AS centroid_shift
+    FROM diffs GROUP BY label
+    """.format(
+        u=sql_md5_uniform("CAST(vec_id AS VARCHAR)", _SHIFT_SALT)
+    ),
+    doc="Per-label embedding centroid drift between two deterministic "
+    "halves of the corpus (portable md5 split of vec_id): the L2 "
+    "distance between each half's per-label mean vector — the "
+    "embedding-space member of the drift family (PSI/JSD/KS watch "
+    "scalar columns; encoder regressions and upstream distribution "
+    "shift show up as centroid movement first, the signal "
+    "embedding-drift monitors like Evidently alert on). Float "
+    "policy: per-row values quantized to 6dp then EXACT decimal "
+    "sums per (label, half, dim); the mean divisions and squared "
+    "diffs run per-cell on engine-identical values, per-dim squares "
+    "re-quantized and decimal-summed, sqrt IEEE-exempt. Scale "
+    "shape: one corpus scan exploded to the (label, half, dim) "
+    "grain — bounded at |labels| x 2 x 64 cells regardless of "
+    "corpus size — then all math on the bounded grid; the split is "
+    "a narrow hash filter, no shuffle beyond the cell rollup.",
+)
+def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import md5_uniform
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    halves = emb.select(
+        "label",
+        F.when(
+            md5_uniform(F.col("vec_id").cast("string"), _SHIFT_SALT) <= 0.5,
+            F.lit("a"),
+        )
+        .otherwise(F.lit("b"))
+        .alias("half"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    cells = halves.select(
+        "label",
+        "half",
+        F.posexplode("v").alias("dim", "raw"),
+    ).select(
+        "label",
+        "half",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("raw"), 6).alias("val"),
+    )
+    vdec = F.col("val").cast("decimal(28,8)")
+    moments = cells.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == "a", vdec)).cast("double").alias("sa"),
+        F.count(F.when(F.col("half") == "a", 1)).cast("bigint").alias("na"),
+        F.sum(F.when(F.col("half") == "b", vdec)).cast("double").alias("sb"),
+        F.count(F.when(F.col("half") == "b", 1)).cast("bigint").alias("nb"),
+    )
+    mean_diff = F.col("sa") / F.col("na") - F.col("sb") / F.col("nb")
+    diffs = moments.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        "label",
+        "na",
+        "nb",
+        F.round(mean_diff * mean_diff, 10).alias("sq"),
+    )
+    return diffs.groupBy("label").agg(
+        F.min("na").cast("bigint").alias("n_a"),
+        F.min("nb").cast("bigint").alias("n_b"),
+        F.round(
+            F.sqrt(F.sum(F.col("sq").cast("decimal(28,12)")).cast("double")), 6
+        ).alias("centroid_shift"),
     )

@@ -215,3 +215,83 @@ def jsd_vs_reference(day_bins: DataFrame) -> DataFrame:
             ).alias("jsd_bits")
         )
     )
+
+
+_CMS_D = 4    # keep in sync with queries/scale.py events_cms_heavy_hitters
+_CMS_W = 512
+
+
+def cms_cells_by_day(events: DataFrame) -> DataFrame:
+    """Per-day partial Count-Min sketches as a streaming aggregation:
+    one watermarked (day, r, b) count over the exploded cell positions
+    of each event's user key — the STREAMING member of the sketch
+    family (events_cms_heavy_hitters / events_user_kmv_distinct are
+    the batch members).
+
+    The point is the CMS's linearity: each micro-batch/day contributes
+    an independent partial grid, and the global sketch is the plain
+    cell-wise SUM of the drained partials — no raw-key replay, state
+    bounded at O(days-in-watermark x d x w) cells. This is exactly the
+    map-side-rollup contract that lets 1000 executors sketch a 100 TB
+    stream shard-locally. Works identically on a batch frame (minus
+    the watermark), which the stream==batch test asserts."""
+    from ..operators.sampling import cms_positions
+
+    src = (
+        events.withWatermark("ts", "2 days")
+        if events.isStreaming
+        else events
+    )
+    pos = src.select(
+        "ts", cms_positions(F.col("user_id"), _CMS_D, _CMS_W).alias("p")
+    ).select("ts", "p.r", "p.b")
+    cells = pos.groupBy(
+        F.window("ts", "1 day").alias("win"), "r", "b"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return cells.select(
+        F.col("win.start").cast("date").alias("day"), "r", "b", "n"
+    )
+
+
+def cms_merge_and_probe(day_cells: DataFrame, events: DataFrame) -> DataFrame:
+    """Finish the streaming sketch report over the drained (day, r,
+    b, n) partial grids: merge cell-wise (linearity), then probe the
+    exact top-10 users — same audit schema as the batch CMS query
+    plus the covered-day count. The exact counts are computed over
+    the COVERED days only (append mode holds watermark-open days
+    back, so the sketch legitimately hasn't seen them yet); that
+    keeps the one-sided guarantee overestimate >= 0 true for the
+    partially-drained stream, exactly as it is for the batch sketch."""
+    from ..operators.sampling import cms_positions
+
+    merged = day_cells.groupBy("r", "b").agg(
+        F.sum("n").cast("bigint").alias("cnt")
+    )
+    days = day_cells.select("day").distinct()
+    n_days = days.count()
+    covered = events.join(
+        F.broadcast(days),
+        events["ts"].cast("date") == days["day"],
+        "left_semi",
+    )
+    exact = covered.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    top = exact.orderBy(F.desc("exact_count"), F.asc("user_id")).limit(10)
+    probe = top.select(
+        "user_id",
+        "exact_count",
+        cms_positions(F.col("user_id"), _CMS_D, _CMS_W).alias("p"),
+    ).select("user_id", "exact_count", "p.r", "p.b")
+    return (
+        probe.join(F.broadcast(merged), ["r", "b"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_count")).alias("overestimate"),
+            F.lit(n_days).cast("bigint").alias("n_partial_days"),
+        )
+    )

@@ -113,3 +113,55 @@ def test_partition_count_invariance(spark, sf_smoke, name):
             spark.conf.set("spark.sql.shuffle.partitions", old)
             release_all_caches()
     assert hashes[0] == hashes[1], f"{name}: rowset differs across partitions"
+
+
+_WAVE3 = [
+    "customer_ldiversity",
+    "corpus_ngram_entropy",
+    "embedding_centroid_shift",
+]
+
+
+def test_ldiversity_sane(spark, sf_smoke):
+    rows = _run(spark, "customer_ldiversity", sf_smoke)
+    assert rows
+    for r in rows:
+        assert 1 <= r.l_distinct <= 5  # 5 TPC-H priorities exist
+        assert r.l_diverse == (r.l_distinct >= 3)
+        assert r.n_orders >= r.n_customers >= 1
+
+
+def test_ngram_entropy_information_theory(spark, sf_smoke):
+    import math
+
+    (r,) = _run(spark, "corpus_ngram_entropy", sf_smoke)
+    # 0 <= H <= log2(|alphabet|)
+    assert 0.0 <= r.unigram_bits <= math.log2(r.n_types) + 1e-6
+    assert 0.0 <= r.bigram_bits <= math.log2(r.n_bigram_types) + 1e-6
+    # subadditivity: H(w1,w2) <= 2*H(w) and H(w1,w2) >= H(w)
+    assert r.bigram_bits <= 2 * r.unigram_bits + 1e-6
+    assert r.bigram_bits >= r.unigram_bits - 1e-6
+    # conditioning reduces entropy: 0 <= H(w2|w1) <= H(w)
+    assert -1e-6 <= r.conditional_bits <= r.unigram_bits + 1e-6
+
+
+def test_centroid_shift_nonnegative(spark, sf_smoke):
+    rows = _run(spark, "embedding_centroid_shift", sf_smoke)
+    assert rows
+    for r in rows:
+        assert r.centroid_shift >= 0.0
+        assert r.n_a > 0 and r.n_b > 0
+
+
+@pytest.mark.parametrize("name", _WAVE3)
+def test_partition_count_invariance_wave3(spark, sf_smoke, name):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    hashes = []
+    for parts in (2, 13):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            hashes.append(_rowset_hash(all_queries()[name].fn(spark, sf_smoke)))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+            release_all_caches()
+    assert hashes[0] == hashes[1], f"{name}: rowset differs across partitions"

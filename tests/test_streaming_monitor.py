@@ -108,3 +108,70 @@ def test_value_drift_stream_equals_batch(spark, sf_smoke):
     assert scores == {
         r["day"]: r["jsd_bits"] for r in batch_subset.collect()
     }
+
+
+def test_cms_stream_equals_batch(spark, sf_smoke):
+    """The streaming CMS's per-day partial grids must be cell-for-cell
+    identical to the batch computation where emitted, complete behind
+    the watermark horizon, and their cell-wise merge must reproduce
+    the batch sketch's estimates EXACTLY for every probe key covered
+    by the emitted days (CMS linearity on the real engine)."""
+    import datetime
+
+    from big_data_tools_spark.queries import get
+    from big_data_tools_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+    )
+    from big_data_tools_spark.streaming.monitor import (
+        cms_cells_by_day,
+        cms_merge_and_probe,
+    )
+
+    stream = read_events_stream(spark, sf_smoke, path_glob="events.parquet")
+    drained = run_available_now(
+        cms_cells_by_day(stream), "cms_eq_q", output_mode="append"
+    ).persist()
+    events = load_table(spark, sf_smoke, "events")
+    s_grid = {(r["day"], r["r"], r["b"]): r["n"] for r in drained.collect()}
+    b_grid = {
+        (r["day"], r["r"], r["b"]): r["n"]
+        for r in cms_cells_by_day(events).collect()
+    }
+    assert set(s_grid) <= set(b_grid)
+    assert all(b_grid[k] == v for k, v in s_grid.items())
+    horizon = max(d for d, _, _ in b_grid) - datetime.timedelta(days=3)
+    behind = {k for k in b_grid if k[0] <= horizon}
+    assert behind <= set(s_grid), sorted(behind - set(s_grid))
+
+    # linearity end-to-end: the registered surface (merge the drained
+    # streaming partials, probe the covered-day exact top-10) must
+    # equal the SAME pipeline fed the batch per-day grids restricted
+    # to the emitted days — identical cells in, identical report out
+    emitted_days = {d for d, _, _ in s_grid}
+    probe = {
+        r["user_id"]: (r["exact_count"], r["cms_est"], r["overestimate"])
+        for r in cms_merge_and_probe(drained, events).collect()
+    }
+    batch_cells = cms_cells_by_day(events).filter(
+        F.col("day").isin(list(emitted_days))
+    )
+    replay = {
+        r["user_id"]: (r["exact_count"], r["cms_est"], r["overestimate"])
+        for r in cms_merge_and_probe(batch_cells, events).collect()
+    }
+    assert probe == replay
+    for _, (exact, est, over) in probe.items():
+        assert over >= 0  # one-sided CMS error holds on covered days
+        assert est >= exact
+    # when the stream has emitted EVERY day, the report is exactly the
+    # batch CMS query's (full coverage -> identical sketch + counts)
+    if emitted_days == {d for d, _, _ in b_grid}:
+        batch = {
+            r["user_id"]: (r["exact_count"], r["cms_est"], r["overestimate"])
+            for r in get("events_cms_heavy_hitters")
+            .fn(spark, sf_smoke)
+            .collect()
+        }
+        assert probe == batch
+    drained.unpersist()
