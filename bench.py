@@ -170,6 +170,9 @@ HEADLINE = [
     "vocab_coverage_curve",
     # third wave: the bigram-grain entropy fold is the widest new plan
     "corpus_ngram_entropy",
+    # fourth wave: the wedge-closure bridge census (the heaviest graph
+    # one-shot beside triangles)
+    "copurchase_local_bridges",
 ]
 
 

@@ -686,3 +686,113 @@ def copurchase_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataF
         .limit(_LCC_TOPK)
     )
     return track_cache(out, und)
+
+
+@register(
+    "copurchase_local_bridges",
+    sql=f"""
+    WITH {_TRI_EDGES_CTE},
+    wedges AS (
+        SELECT e1.u AS hub, e1.v AS x, e2.v AS y
+        FROM o e1 JOIN o e2
+          ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+    ), tri AS (
+        SELECT w.hub, w.x, w.y
+        FROM wedges w JOIN o ON o.u = w.x AND o.v = w.y
+    ), tri_edges AS (
+        SELECT DISTINCT least(p, q) AS a, greatest(p, q) AS b FROM (
+            SELECT hub AS p, x AS q FROM tri
+            UNION ALL SELECT hub, y FROM tri
+            UNION ALL SELECT x, y FROM tri
+        )
+    )
+    SELECT CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM und
+                 LEFT JOIN tri_edges t ON t.a = und.a AND t.b = und.b
+                 WHERE t.a IS NULL) AS BIGINT) AS n_bridge_edges,
+           round((SELECT count(*) FROM und
+                  LEFT JOIN tri_edges t ON t.a = und.a AND t.b = und.b
+                  WHERE t.a IS NULL) * 1.0
+                 / (SELECT count(*) FROM und), 6) AS bridge_share
+    """,
+    doc="Local-bridge census on the part co-purchase graph "
+    "(Granovetter 1973 weak ties; Easley-Kleinberg ch.3): edges "
+    "whose endpoints share NO common neighbor — the ties whose "
+    "removal lengthens paths, i.e. the cross-community "
+    "recommendation surface (an edge inside a dense co-purchase "
+    "cluster is redundant; a local bridge is the only route between "
+    "product neighborhoods). Triangle-free edges found by the same "
+    "degree-ordered wedge closure as copurchase_triangles (bounded "
+    "by m^1.5, hub-safe), each closed triangle charged to its three "
+    "edges, then one anti-join against the edge list. All integer "
+    "counts; share is one final division. Scale shape: two hash "
+    "shuffles for the wedge build/closure + the anti-join — no "
+    "per-edge neighborhood re-scan.",
+)
+def copurchase_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
+    pa = baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
+    pb = baskets.select("l_orderkey", F.col("l_partkey").alias("b"))
+    und = (
+        pa.join(pb, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .persist()
+    )
+    ends = und.select(F.col("a").alias("node")).unionAll(
+        und.select(F.col("b").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+        .persist()
+    )
+    e1 = o.select(F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"))
+    e2 = o.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    ).select(F.col("u").alias("hub"), "x", "y")
+    closure = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closure, ["x", "y"]).persist()
+    tri_edges = (
+        tri.select(F.col("hub").alias("p"), F.col("x").alias("q"))
+        .unionAll(tri.select("hub", "y"))
+        .unionAll(tri.select("x", "y"))
+        .select(
+            F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b")
+        )
+        .distinct()
+    )
+    n_edges = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    n_bridges = und.join(tri_edges, ["a", "b"], "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bridge_edges")
+    )
+    out = (
+        n_edges.crossJoin(F.broadcast(n_tri))
+        .crossJoin(F.broadcast(n_bridges))
+        .select(
+            "n_edges",
+            "n_triangles",
+            "n_bridge_edges",
+            F.round(
+                F.col("n_bridge_edges") * F.lit(1.0) / F.col("n_edges"), 6
+            ).alias("bridge_share"),
+        )
+    )
+    return track_cache(out, und, o, tri)

@@ -871,3 +871,222 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cache import track_cache
 
     return track_cache(out, members)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin quantile sketch (the equi-width histogram
+# estimator; completes the sketch trio: CMS = frequency, KMV =
+# cardinality, this = quantiles)
+# ---------------------------------------------------------------------------
+
+_QSK_BINS = 64
+_QSK_WIDTH_C = 800_000          # cents per bin: 64 x $8000 covers [0, 512k)
+_QSK_PERMILLE = (500, 900, 990)  # p50 / p90 / p99
+_QSK_PM_SQL = ", ".join(str(p) for p in _QSK_PERMILLE)
+_QSK_PREFIX_BKT_C = 1_000_000   # $10k prefix-sum buckets for the exact side
+
+
+@register(
+    "orders_price_quantile_sketch",
+    sql=f"""
+    WITH vals AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+               date_trunc('month', o_orderdate) AS mo
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows FROM vals
+    ), targets AS (
+        SELECT CAST(unnest([{_QSK_PM_SQL}]) AS BIGINT) AS q_permille
+    ), ranks AS (
+        SELECT q_permille, n_rows,
+               (n_rows * q_permille + 999) // 1000 AS target_rank
+        FROM targets CROSS JOIN n
+    ), hist AS (
+        SELECT least(cents // {_QSK_WIDTH_C}, {_QSK_BINS - 1}) AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM vals GROUP BY 1
+    ), hcum AS (
+        SELECT bin, cnt,
+               CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+        FROM hist
+    ), est AS (
+        SELECT r.q_permille, r.n_rows, r.target_rank,
+               min(h.bin) AS ebin
+        FROM ranks r JOIN hcum h ON h.cum >= r.target_rank
+        GROUP BY 1, 2, 3
+    ), est2 AS (
+        SELECT e.q_permille, e.n_rows, e.target_rank,
+               round(e.ebin * {_QSK_WIDTH_C}
+                     + {_QSK_WIDTH_C} * 1.0
+                       * (e.target_rank - (h.cum - h.cnt)) / h.cnt, 4)
+                   AS est_cents
+        FROM est e JOIN hcum h ON h.bin = e.ebin
+    ), vcnt AS (
+        SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM vals GROUP BY cents
+    ), vcum AS (
+        SELECT cents,
+               CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum
+        FROM vcnt
+    ), exact AS (
+        SELECT r.q_permille, CAST(min(v.cents) AS BIGINT) AS exact_cents
+        FROM ranks r JOIN vcum v ON v.cum >= r.target_rank
+        GROUP BY 1
+    ), partials AS (
+        SELECT mo, least(cents // {_QSK_WIDTH_C}, {_QSK_BINS - 1}) AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM vals GROUP BY 1, 2
+    ), merged AS (
+        SELECT bin, CAST(sum(cnt) AS BIGINT) AS cnt FROM partials GROUP BY bin
+    ), mi AS (
+        SELECT ((SELECT count(*) FROM merged m JOIN hist h
+                 ON h.bin = m.bin AND h.cnt = m.cnt)
+                = (SELECT count(*) FROM hist))
+           AND ((SELECT count(*) FROM merged)
+                = (SELECT count(*) FROM hist)) AS merge_identity_ok
+    )
+    SELECT e2.q_permille, e2.n_rows, e2.target_rank,
+           x.exact_cents, e2.est_cents,
+           round(abs(e2.est_cents - x.exact_cents), 4) AS abs_err_cents,
+           mi.merge_identity_ok
+    FROM est2 e2 JOIN exact x USING (q_permille) CROSS JOIN mi
+    """,
+    doc="Mergeable equi-width histogram quantile sketch over order "
+    "prices (the fixed-bin estimator production monitors ship when "
+    "t-digest/KLL RNG seeds make results engine- and merge-order-"
+    "dependent): 64 declared $8k bins in integer cents, nearest-rank "
+    "targets p50/p90/p99, within-bin linear interpolation — every "
+    "input to the estimate is an exact integer, so the DuckDB twin "
+    "reproduces it bit-for-bit, and like the CMS/KMV siblings the "
+    "sketch's MERGEABILITY is proved on real data (per-month partial "
+    "histograms sum cell-wise to the global histogram). The exact "
+    "nearest-rank quantile rides along as the error reference, "
+    "computed WITHOUT a global sort: per-$10k-bucket cumulative "
+    "windows + broadcast bucket offsets (the orders_price_ks "
+    "two-level prefix-sum recipe). Scale shape: two grouped counts "
+    "(64-cell histogram; value-grain table for the reference), all "
+    "quantile math on bounded frames; at 100 TB you drop the exact "
+    "reference column and keep the O(bins) sketch.",
+)
+def orders_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.cache import track_cache
+
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.filter(F.col("o_totalprice").isNotNull()).select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("mo"),
+    ).persist()
+    n = vals.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    targets = spark.createDataFrame(
+        [(int(p),) for p in _QSK_PERMILLE], "q_permille bigint"
+    )
+    ranks = targets.crossJoin(F.broadcast(n)).select(
+        "q_permille",
+        "n_rows",
+        ((F.col("n_rows") * F.col("q_permille") + 999) / 1000)
+        .cast("bigint")
+        .alias("target_rank"),
+    )
+    bin_of = F.least(
+        F.floor(F.col("cents") / _QSK_WIDTH_C), F.lit(_QSK_BINS - 1)
+    ).cast("bigint")
+    hist = vals.groupBy(bin_of.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wh = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    hcum = hist.select(
+        "bin", "cnt", F.sum("cnt").over(wh).cast("bigint").alias("cum")
+    ).persist()
+    est = (
+        F.broadcast(ranks)
+        .join(hcum, F.col("cum") >= F.col("target_rank"))
+        .groupBy("q_permille", "n_rows", "target_rank")
+        .agg(F.min("bin").alias("ebin"))
+    )
+    est2 = est.join(hcum, est["ebin"] == hcum["bin"]).select(
+        "q_permille",
+        "n_rows",
+        "target_rank",
+        F.round(
+            F.col("ebin") * _QSK_WIDTH_C
+            + _QSK_WIDTH_C
+            * F.lit(1.0)
+            * (F.col("target_rank") - (F.col("cum") - F.col("cnt")))
+            / F.col("cnt"),
+            4,
+        ).alias("est_cents"),
+    )
+    # exact nearest-rank reference via the two-level prefix sum (no
+    # global single-partition window over the value grain)
+    vcnt = vals.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    vcnt = vcnt.withColumn(
+        "bkt", F.floor(F.col("cents") / _QSK_PREFIX_BKT_C).cast("bigint")
+    )
+    wv = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = vcnt.select(
+        "cents", "bkt", F.sum("cnt").over(wv).cast("bigint").alias("within")
+    )
+    btot = vcnt.groupBy("bkt").agg(F.sum("cnt").cast("bigint").alias("btot"))
+    wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "bkt",
+        F.coalesce(F.sum("btot").over(wo), F.lit(0))
+        .cast("bigint")
+        .alias("off"),
+    )
+    vcum = within.join(F.broadcast(offs), "bkt").select(
+        "cents", (F.col("off") + F.col("within")).alias("cum")
+    )
+    exact = (
+        F.broadcast(ranks.select("q_permille", "target_rank"))
+        .join(vcum, F.col("cum") >= F.col("target_rank"))
+        .groupBy("q_permille")
+        .agg(F.min("cents").cast("bigint").alias("exact_cents"))
+    )
+    partials = vals.groupBy("mo", bin_of.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    merged = partials.groupBy("bin").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    n_match = merged.join(hist, ["bin", "cnt"]).agg(
+        F.count(F.lit(1)).alias("n_match")
+    )
+    n_cells = hist.agg(F.count(F.lit(1)).alias("n_cells"))
+    n_merged = merged.agg(F.count(F.lit(1)).alias("n_merged"))
+    mi = (
+        n_match.crossJoin(F.broadcast(n_cells))
+        .crossJoin(F.broadcast(n_merged))
+        .select(
+            (
+                (F.col("n_match") == F.col("n_cells"))
+                & (F.col("n_merged") == F.col("n_cells"))
+            ).alias("merge_identity_ok")
+        )
+    )
+    out = (
+        est2.join(exact, "q_permille")
+        .crossJoin(F.broadcast(mi))
+        .select(
+            "q_permille",
+            "n_rows",
+            "target_rank",
+            "exact_cents",
+            "est_cents",
+            F.round(F.abs(F.col("est_cents") - F.col("exact_cents")), 4).alias(
+                "abs_err_cents"
+            ),
+            "merge_identity_ok",
+        )
+    )
+    return track_cache(out, vals, hcum)

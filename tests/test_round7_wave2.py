@@ -165,3 +165,47 @@ def test_partition_count_invariance_wave3(spark, sf_smoke, name):
             spark.conf.set("spark.sql.shuffle.partitions", old)
             release_all_caches()
     assert hashes[0] == hashes[1], f"{name}: rowset differs across partitions"
+
+
+def test_quantile_sketch_bounds(spark, sf_smoke):
+    rows = _run(spark, "orders_price_quantile_sketch", sf_smoke)
+    assert sorted(r.q_permille for r in rows) == [500, 900, 990]
+    for r in rows:
+        assert r.merge_identity_ok is True
+        assert 1 <= r.target_rank <= r.n_rows
+        # the estimate lands within one bin width of the exact value
+        # (interpolation error is bounded by the declared bin width)
+        assert r.abs_err_cents <= 800_000
+        assert r.est_cents >= 0
+    p = {r.q_permille: r.exact_cents for r in rows}
+    assert p[500] <= p[900] <= p[990]  # quantiles are monotone
+
+
+def test_local_bridges_consistent(spark, sf_smoke):
+    (r,) = _run(spark, "copurchase_local_bridges", sf_smoke)
+    assert 0 <= r.n_bridge_edges <= r.n_edges
+    assert abs(r.bridge_share - round(r.n_bridge_edges / r.n_edges, 6)) < 1e-9
+    # triangle count must agree with the dedicated triangle query
+    (t,) = _run(spark, "copurchase_triangles", sf_smoke)
+    assert t.n_triangles == r.n_triangles
+    assert t.n_edges == r.n_edges
+    # an edge in a triangle is NOT a local bridge: if every edge were
+    # in a triangle, bridges would be 0; sanity-check the complement
+    if r.n_triangles == 0:
+        assert r.n_bridge_edges == r.n_edges
+
+
+@pytest.mark.parametrize(
+    "name", ["orders_price_quantile_sketch", "copurchase_local_bridges"]
+)
+def test_partition_count_invariance_wave4(spark, sf_smoke, name):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    hashes = []
+    for parts in (2, 13):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            hashes.append(_rowset_hash(all_queries()[name].fn(spark, sf_smoke)))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+            release_all_caches()
+    assert hashes[0] == hashes[1], f"{name}: rowset differs across partitions"

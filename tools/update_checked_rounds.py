@@ -27,7 +27,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 WINDOW = 50
-CADENCE = 4  # keep in sync with tests/test_rotation.py
+CADENCE = 5  # keep in sync with tests/test_rotation.py
 
 
 def require_prior_artifacts(round_key: str) -> None:
