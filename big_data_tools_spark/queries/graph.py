@@ -691,7 +691,18 @@ def copurchase_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataF
 @register(
     "copurchase_local_bridges",
     sql=f"""
-    WITH {_TRI_EDGES_CTE},
+    WITH {_KCORE_EDGES_CTE}, deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY node
+    ), o AS (
+        SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS u,
+               CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS v,
+               CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d END AS dv
+        FROM und u
+        JOIN deg da ON da.node = u.a
+        JOIN deg db ON db.node = u.b
+    ),
     wedges AS (
         SELECT e1.u AS hub, e1.v AS x, e2.v AS y
         FROM o e1 JOIN o e2
@@ -716,32 +727,28 @@ def copurchase_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataF
                   WHERE t.a IS NULL) * 1.0
                  / (SELECT count(*) FROM und), 6) AS bridge_share
     """,
-    doc="Local-bridge census on the part co-purchase graph "
+    doc="Local-bridge census on the REPEAT-co-purchase graph "
     "(Granovetter 1973 weak ties; Easley-Kleinberg ch.3): edges "
     "whose endpoints share NO common neighbor — the ties whose "
     "removal lengthens paths, i.e. the cross-community "
     "recommendation surface (an edge inside a dense co-purchase "
     "cluster is redundant; a local bridge is the only route between "
-    "product neighborhoods). Triangle-free edges found by the same "
-    "degree-ordered wedge closure as copurchase_triangles (bounded "
-    "by m^1.5, hub-safe), each closed triangle charged to its three "
-    "edges, then one anti-join against the edge list. All integer "
+    "product neighborhoods). Runs on the same >= 2-orders "
+    "thresholded graph as the k-core/clustering/community family — "
+    "weak-tie analysis on the single-co-purchase graph is noise "
+    "(and 5x the wall: the un-thresholded graph carries 1.2M "
+    "boilerplate edges and 1.9M triangles at sf0.1). Triangle-free "
+    "edges found by the same degree-ordered wedge closure as "
+    "copurchase_triangles (bounded by m^1.5, hub-safe), each closed "
+    "triangle charged to its three edges, then one anti-join "
+    "against the edge list (left_anti ignores right duplicates, so "
+    "the 3x|tri| role pairs skip the distinct shuffle). All integer "
     "counts; share is one final division. Scale shape: two hash "
     "shuffles for the wedge build/closure + the anti-join — no "
     "per-edge neighborhood re-scan.",
 )
 def copurchase_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
-    pa = baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
-    pb = baskets.select("l_orderkey", F.col("l_partkey").alias("b"))
-    und = (
-        pa.join(pb, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-        .persist()
-    )
+    und = _repeat_und(spark, sf_dir).persist()
     ends = und.select(F.col("a").alias("node")).unionAll(
         und.select(F.col("b").alias("node"))
     )
@@ -769,6 +776,10 @@ def copurchase_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("u").alias("hub"), "x", "y")
     closure = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
     tri = wedges.join(closure, ["x", "y"]).persist()
+    # left_anti ignores right-side duplicates, so the 3x|tri| role
+    # pairs go straight into the anti-join WITHOUT a distinct — that
+    # distinct was a full extra shuffle of the triangle list and made
+    # this the slowest query in the bench (11.6s -> see bench note)
     tri_edges = (
         tri.select(F.col("hub").alias("p"), F.col("x").alias("q"))
         .unionAll(tri.select("hub", "y"))
@@ -776,7 +787,6 @@ def copurchase_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b")
         )
-        .distinct()
     )
     n_edges = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     n_tri = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

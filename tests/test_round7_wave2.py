@@ -185,14 +185,23 @@ def test_local_bridges_consistent(spark, sf_smoke):
     (r,) = _run(spark, "copurchase_local_bridges", sf_smoke)
     assert 0 <= r.n_bridge_edges <= r.n_edges
     assert abs(r.bridge_share - round(r.n_bridge_edges / r.n_edges, 6)) < 1e-9
-    # triangle count must agree with the dedicated triangle query
-    (t,) = _run(spark, "copurchase_triangles", sf_smoke)
-    assert t.n_triangles == r.n_triangles
-    assert t.n_edges == r.n_edges
     # an edge in a triangle is NOT a local bridge: if every edge were
     # in a triangle, bridges would be 0; sanity-check the complement
     if r.n_triangles == 0:
         assert r.n_bridge_edges == r.n_edges
+    # brute-force replication on the same thresholded repeat graph
+    from big_data_tools_spark.queries.graph import _repeat_und
+
+    edges = {(e.a, e.b) for e in _repeat_und(spark, sf_smoke).collect()}
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    bridges = sum(1 for a, b in edges if not (adj[a] & adj[b]))
+    tris = sum(len(adj[a] & adj[b]) for a, b in edges) // 3
+    assert r.n_edges == len(edges)
+    assert r.n_bridge_edges == bridges
+    assert r.n_triangles == tris
 
 
 @pytest.mark.parametrize(
