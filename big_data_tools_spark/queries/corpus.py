@@ -1015,8 +1015,12 @@ def corpus_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = fdocs.select(
         F.explode(
             F.arrays_zip(
-                F.slice(F.col("fl"), 1, F.size("fl") - 1).alias("w1"),
-                F.slice(F.col("fl"), 2, F.size("fl") - 1).alias("w2"),
+                F.slice(
+                    F.col("fl"), 1, F.greatest(F.size("fl") - 1, F.lit(0))
+                ).alias("w1"),
+                F.slice(
+                    F.col("fl"), 2, F.greatest(F.size("fl") - 1, F.lit(0))
+                ).alias("w2"),
             )
         ).alias("p")
     ).select("p.w1", "p.w2")

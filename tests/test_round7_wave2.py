@@ -218,3 +218,33 @@ def test_partition_count_invariance_wave4(spark, sf_smoke, name):
             spark.conf.set("spark.sql.shuffle.partitions", old)
             release_all_caches()
     assert hashes[0] == hashes[1], f"{name}: rowset differs across partitions"
+
+
+def test_ngram_entropy_degenerate_docs(spark, tmp_path):
+    """Planted regression: empty-text / whitespace-only / single-token
+    docs must neither crash the Spark bigram slice (negative slice
+    length) nor diverge from the DuckDB twin on the same data."""
+    import os
+
+    import duckdb
+
+    from .oracle import compare
+
+    d = str(tmp_path)
+    duckdb.sql(
+        f"""
+        COPY (SELECT * FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+              UNION ALL SELECT 999991, '', 'en', 'web', 0
+              UNION ALL SELECT 999992, ' ', 'en', 'web', 1
+              UNION ALL SELECT 999993, 'single', 'en', 'web', 6)
+        TO '{d}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        os.symlink(
+            f"/root/testdata/sf0.001/{t}.parquet", f"{d}/{t}.parquet"
+        )
+    ok, msg = compare(spark, all_queries()["corpus_ngram_entropy"], d)
+    assert ok, msg
