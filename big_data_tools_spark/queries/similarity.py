@@ -587,10 +587,14 @@ def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("half"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
+    # Structurally pin the Spark side to the same _SHIFT_DIMS dims the
+    # twin fixes via range(): a future dim change diverges loudly (row
+    # counts), never silently (the twin would mis-count na/nb on NULL
+    # vals for shorter vectors if we exploded the whole array).
     cells = halves.select(
         "label",
         "half",
-        F.posexplode("v").alias("dim", "raw"),
+        F.posexplode(F.slice(F.col("v"), 1, _SHIFT_DIMS)).alias("dim", "raw"),
     ).select(
         "label",
         "half",

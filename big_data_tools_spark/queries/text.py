@@ -566,12 +566,17 @@ _BPE_RE_SQL = r"' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'"
                AS total_words,
            CAST(sum(len(regexp_extract_all(text, {_BPE_RE_SQL})))
                AS BIGINT) AS total_tokens,
-           round(sum(len(regexp_extract_all(text, {_BPE_RE_SQL}))) * 1.0
-                 / sum(len(string_split(lower(text), ' '))), 4)
-               AS fertility,
-           round(sum(length(text)) * 1.0
-                 / sum(len(regexp_extract_all(text, {_BPE_RE_SQL}))), 4)
-               AS chars_per_token
+           CASE WHEN sum(len(string_split(lower(text), ' '))) = 0 THEN 0.0
+                ELSE round(
+                    sum(len(regexp_extract_all(text, {_BPE_RE_SQL}))) * 1.0
+                    / sum(len(string_split(lower(text), ' '))), 4)
+           END AS fertility,
+           CASE WHEN sum(len(regexp_extract_all(text, {_BPE_RE_SQL}))) = 0
+                THEN 0.0
+                ELSE round(
+                    sum(length(text)) * 1.0
+                    / sum(len(regexp_extract_all(text, {_BPE_RE_SQL}))), 4)
+           END AS chars_per_token
     FROM documents GROUP BY lang
     """,
     doc="Tokenizer fertility by language (Rust et al. 2021; ACL "
@@ -585,7 +590,10 @@ _BPE_RE_SQL = r"' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'"
     "whitespace split, so the three text-cost surfaces agree. All "
     "cross-row sums are exact BIGINTs; the two ratios are final "
     "divisions of engine-identical integers (r7 float policy rule "
-    "3). Scale shape: one corpus scan, per-row JVM regex counts, "
+    "3), zero-denominator-guarded identically in both engines (a "
+    "facet with no tokenizable runs reports 0.0, never an "
+    "engine-dependent inf/NULL). Scale shape: one corpus scan, "
+    "per-row JVM regex counts, "
     "one combiner-friendly grouped agg on the bounded lang key.",
 )
 def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -603,10 +611,13 @@ def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("total_words"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
-        F.round(
-            F.sum("n_tok") * F.lit(1.0) / F.sum("n_words"), 4
-        ).alias("fertility"),
-        F.round(
-            F.sum("n_char") * F.lit(1.0) / F.sum("n_tok"), 4
-        ).alias("chars_per_token"),
+        # Zero-denominator guard (ADVICE r7): a lang facet whose texts
+        # contain no tokenizable runs would otherwise yield NULL in
+        # Spark but engine-dependent inf/NULL in DuckDB float division.
+        F.when(F.sum("n_words") == 0, F.lit(0.0))
+        .otherwise(F.round(F.sum("n_tok") * F.lit(1.0) / F.sum("n_words"), 4))
+        .alias("fertility"),
+        F.when(F.sum("n_tok") == 0, F.lit(0.0))
+        .otherwise(F.round(F.sum("n_char") * F.lit(1.0) / F.sum("n_tok"), 4))
+        .alias("chars_per_token"),
     )

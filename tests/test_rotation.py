@@ -19,10 +19,13 @@ hash comparison of EVERY twin at sf0.01 (tools/local_parity.py;
 enforced tracked + all-green by test_local_parity_artifact below), so
 between driver rows each twin still carries a committed, re-runnable
 hard signal every single round. Round 7's four operator waves pushed
-the twin count past 200 (204 at round end), saturating cadence 4 the
+the twin count past 200 (203 at round end), saturating cadence 4 the
 same way (the r8 plan owed 67 mandatory seats for 50 slots), so the
 cadence moved to 5 (capacity 250) under the same compensating
-LOCAL_PARITY control.
+LOCAL_PARITY control. Per the r7 ADVICE sign-off: each cadence
+relaxation lowers independent-driver verification frequency, so the
+NEXT saturation (registry approaching 250 twins) must be resolved by
+capping registry growth — not by widening the cadence again.
 """
 
 from __future__ import annotations
