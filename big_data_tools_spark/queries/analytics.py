@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.agg import money_sum, sql_money_sum
 from ..io.sources import load_table
-from ..operators.portablemath import pln_sql
+from ..operators.portablemath import pln_ratio_sql, pln_sql
 from .registry import register
 
 _RFM_PIVOT = "2002-01-01"
@@ -1450,4 +1450,175 @@ def customer_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.d").alias("n_events"),
         F.col("r.c").alias("n_censored"),
         (F.col("r.s_u") / F.lit(1_000_000_000.0)).alias("survival"),
+    )
+
+
+@register(
+    "nation_supplier_hhi",
+    sql="""
+    WITH rev AS (
+        SELECT s.s_nationkey, l.l_suppkey,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey, l.l_suppkey
+    ), shares AS (
+        SELECT s_nationkey, cents,
+               CAST(round(
+                   (CAST(cents AS DOUBLE)
+                    / CAST(sum(cents) OVER (PARTITION BY s_nationkey)
+                           AS DOUBLE))
+                   * (CAST(cents AS DOUBLE)
+                      / CAST(sum(cents) OVER (PARTITION BY s_nationkey)
+                             AS DOUBLE)), 12)
+                   AS DECIMAL(28,14)) AS sq
+        FROM rev
+    ), nat AS (
+        SELECT s_nationkey,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(sq) AS DOUBLE) AS hhi_raw,
+               round(CAST(max(cents) AS DOUBLE)
+                     / CAST(sum(cents) AS DOUBLE), 8) AS top_share
+        FROM shares
+        GROUP BY s_nationkey
+    )
+    SELECT n.n_name, nat.n_suppliers, nat.total_cents,
+           round(nat.hhi_raw, 8) AS hhi,
+           CASE WHEN nat.hhi_raw <= 0 THEN NULL
+                ELSE round(1.0 / nat.hhi_raw, 4) END AS effective_n,
+           nat.top_share
+    FROM nat JOIN nation n ON n.n_nationkey = nat.s_nationkey
+    """,
+    doc="Herfindahl-Hirschman supplier-concentration index per nation "
+    "— the antitrust-style concentration read that complements "
+    "segment_revenue_gini (inequality) and customer_revenue_pareto "
+    "(top-heavy share): HHI = sum of squared revenue shares, and its "
+    "reciprocal is the 'effective number of suppliers' (Laakso-"
+    "Taagepera). Float policy: revenue quantizes to integer CENTS per "
+    "row before the BIGINT sum (associative); each share is a per-row "
+    "division of engine-identical integers, squared shares re-"
+    "quantized to 12dp and decimal-summed (rule 1), final rounding "
+    "display-only. Scale shape: one fact-to-dim join (supplier "
+    "broadcast at dim scale), one grouped sum at supplier grain, then "
+    "window + rollup on the BOUNDED per-nation supplier frame; the "
+    "nation name join is a 25-row broadcast.",
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cents_row = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == sup["s_suppkey"],
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(cents_row).cast("bigint").alias("cents"))
+    )
+    wn = Window.partitionBy("s_nationkey")
+    share = F.col("cents").cast("double") / F.sum("cents").over(wn)
+    shared = rev.select(
+        "s_nationkey",
+        "cents",
+        F.round(share * share, 12).cast("decimal(28,14)").alias("sq"),
+    )
+    nat = shared.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum("sq").cast("double").alias("hhi_raw"),
+        F.round(
+            F.max("cents").cast("double") / F.sum("cents").cast("double"), 8
+        ).alias("top_share"),
+    )
+    return nat.join(
+        F.broadcast(nation), nat["s_nationkey"] == nation["n_nationkey"]
+    ).select(
+        "n_name",
+        "n_suppliers",
+        "total_cents",
+        F.round(F.col("hhi_raw"), 8).alias("hhi"),
+        F.when(F.col("hhi_raw") <= 0, F.lit(None).cast("double"))
+        .otherwise(F.round(1.0 / F.col("hhi_raw"), 4))
+        .alias("effective_n"),
+        "top_share",
+    )
+
+
+_HILL_K = 100
+
+
+@register(
+    "revenue_tail_hill",
+    sql=f"""
+    WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+               o_orderkey
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), ranked AS (
+        SELECT x, row_number() OVER (ORDER BY x DESC, o_orderkey ASC) AS rn
+        FROM cents
+    ), thresh AS (
+        SELECT x AS xk1 FROM ranked WHERE rn = {_HILL_K + 1}
+    ), top AS (
+        SELECT r.x FROM ranked r WHERE r.rn <= {_HILL_K}
+    )
+    SELECT CAST({_HILL_K} AS BIGINT) AS k,
+           t.xk1 AS threshold_cents,
+           round(CAST(sum(CAST(round(
+               {pln_ratio_sql("x", "xk1")}, 9) AS DECIMAL(28,10))) AS DOUBLE)
+               / {_HILL_K}, 6) AS hill_h,
+           round({_HILL_K}.0 / CAST(sum(CAST(round(
+               {pln_ratio_sql("x", "xk1")}, 9) AS DECIMAL(28,10))) AS DOUBLE), 4)
+               AS tail_alpha
+    FROM top CROSS JOIN thresh t
+    GROUP BY t.xk1
+    """,
+    doc="Hill tail-index estimator (Hill 1975) on the order-value "
+    "distribution: H = (1/k) * sum ln(x_(i)/x_(k+1)) over the top-k "
+    "order statistics, alpha = 1/H — the heavy-tail diagnostic that "
+    "tells a capacity planner whether revenue (or token counts, or "
+    "session lengths) has Pareto-like tails where means mislead; "
+    "complements corpus_zipf_fit (rank-frequency slope) with the "
+    "upper-tail-only view. Float policy: values quantize to integer "
+    "CENTS per row; each log ratio is the PORTABLE pln difference "
+    "(operators/portablemath.py — zero libm) on engine-identical "
+    "BIGINTs, quantized to 9dp per row and decimal-summed (rule 1). "
+    "Ties at the k-boundary are safe: selection is by (value desc, "
+    "orderkey) but H depends only on the value MULTISET, which ties "
+    "leave unchanged. Scale shape: one TakeOrdered(k+1) — no global "
+    "sort — then all math on the bounded k-row frame with the "
+    "threshold broadcast.",
+)
+def revenue_tail_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.filter(F.col("o_totalprice").isNotNull()).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+        "o_orderkey",
+    )
+    topk1 = cents.orderBy(F.desc("x"), F.asc("o_orderkey")).limit(_HILL_K + 1)
+    w = Window.orderBy(F.desc("x"), F.asc("o_orderkey"))
+    ranked = topk1.select("x", F.row_number().over(w).alias("rn"))
+    thresh = ranked.filter(F.col("rn") == _HILL_K + 1).select(
+        F.col("x").alias("xk1")
+    )
+    top = ranked.filter(F.col("rn") <= _HILL_K).select("x")
+    lr = F.expr(pln_ratio_sql("x", "xk1"))
+    hsum = F.sum(F.round(lr, 9).cast("decimal(28,10)")).cast("double")
+    return (
+        top.crossJoin(F.broadcast(thresh))
+        .groupBy("xk1")
+        .agg(
+            F.round(hsum / _HILL_K, 6).alias("hill_h"),
+            F.round(F.lit(float(_HILL_K)) / hsum, 4).alias("tail_alpha"),
+        )
+        .select(
+            F.lit(_HILL_K).cast("bigint").alias("k"),
+            F.col("xk1").alias("threshold_cents"),
+            "hill_h",
+            "tail_alpha",
+        )
     )

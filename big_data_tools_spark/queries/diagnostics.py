@@ -1085,3 +1085,281 @@ def customer_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_orderpriority").cast("bigint").alias("l_distinct"),
         (F.count_distinct("o_orderpriority") >= _LDIV_L).alias("l_diverse"),
     )
+
+
+_TCLOSE_T = 0.2  # maximum tolerated EMD between group and global
+
+
+@register(
+    "customer_tcloseness",
+    sql=f"""
+    WITH joined AS (
+        SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority AS p
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), qi AS (
+        SELECT DISTINCT c_nationkey, c_mktsegment FROM joined
+    ), prio AS (
+        SELECT DISTINCT p FROM joined
+    ), k AS (
+        SELECT CAST(count(*) AS BIGINT) AS k FROM prio
+    ), cnt AS (
+        SELECT c_nationkey, c_mktsegment, p, CAST(count(*) AS BIGINT) AS c
+        FROM joined GROUP BY c_nationkey, c_mktsegment, p
+    ), cells AS (
+        SELECT g.c_nationkey, g.c_mktsegment, g.p, COALESCE(cnt.c, 0) AS c
+        FROM (SELECT * FROM qi CROSS JOIN prio) g
+        LEFT JOIN cnt USING (c_nationkey, c_mktsegment, p)
+    ), gl AS (
+        SELECT p, CAST(sum(c) AS BIGINT) AS gc FROM cells GROUP BY p
+    ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n FROM cells
+    ), cum AS (
+        SELECT ce.c_nationkey, ce.c_mktsegment,
+               CAST(sum(ce.c) OVER w AS BIGINT) AS f,
+               CAST(sum(ce.c) OVER (PARTITION BY ce.c_nationkey,
+                    ce.c_mktsegment) AS BIGINT) AS ng,
+               CAST(sum(gl.gc) OVER w AS BIGINT) AS gf,
+               CAST(row_number() OVER w AS BIGINT) AS pos
+        FROM cells ce JOIN gl ON gl.p = ce.p
+        WINDOW w AS (PARTITION BY ce.c_nationkey, ce.c_mktsegment
+                     ORDER BY ce.p)
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(min(ng) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN pos < k.k
+                    THEN abs(f * t.n - gf * ng) ELSE 0 END) AS BIGINT)
+               AS emd_scaled,
+           CASE WHEN min(ng) = 0 THEN NULL
+                ELSE round(CAST(sum(CASE WHEN pos < k.k
+                         THEN abs(f * t.n - gf * ng) ELSE 0 END) AS DOUBLE)
+                     / (CAST(min(ng) AS DOUBLE) * t.n * (k.k - 1)), 8)
+           END AS emd,
+           CASE WHEN min(ng) = 0 THEN NULL
+                ELSE CAST(sum(CASE WHEN pos < k.k
+                         THEN abs(f * t.n - gf * ng) ELSE 0 END) AS DOUBLE)
+                     / (CAST(min(ng) AS DOUBLE) * t.n * (k.k - 1))
+                     <= {_TCLOSE_T}
+           END AS t_close
+    FROM cum CROSS JOIN tot t CROSS JOIN k
+    GROUP BY c_nationkey, c_mktsegment, t.n, k.k
+    """,
+    doc="t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — "
+    "the third rung of the privacy ladder after customer_kanonymity "
+    "and customer_ldiversity: a QI group can be k-anonymous AND "
+    "l-diverse yet still leak when its sensitive-value DISTRIBUTION "
+    "diverges from the global one (skewness attack). For the ordered "
+    "sensitive attribute o_orderpriority the distance is the Earth "
+    "Mover's Distance = (1/(k-1)) * sum_i |P_cum(i) - Q_cum(i)| over "
+    "the k ordinal positions; groups with EMD <= t=0.2 are t-close. "
+    "Float policy: the EMD numerator is pure INTEGER arithmetic — "
+    "|f*N - gf*ng| over exact cumulative counts on the densified "
+    "(QI x priority) grid (missing cells count 0, so skipped ordinal "
+    "positions still contribute) — and only the final display ratio "
+    "divides (bound: f*N fits BIGINT to ~3e9 orders/side, documented)."
+    " Scale shape: one fact-to-dim broadcast join, one grouped count, "
+    "then ALL windows run on the bounded (|QI| x k) grid — never the "
+    "fact grain; the global marginals join back by priority key "
+    "(k rows, broadcast).",
+)
+def customer_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.cache import track_cache
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey", "c_mktsegment")),
+        o["o_custkey"] == c["c_custkey"],
+    ).select("c_nationkey", "c_mktsegment", F.col("o_orderpriority").alias("p"))
+    cnt = (
+        joined.groupBy("c_nationkey", "c_mktsegment", "p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    qi = cnt.select("c_nationkey", "c_mktsegment").distinct()
+    prio = cnt.select("p").distinct()
+    k = prio.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    cells = (
+        qi.crossJoin(F.broadcast(prio))
+        .join(cnt, ["c_nationkey", "c_mktsegment", "p"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "p",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    gl = cells.groupBy("p").agg(F.sum("c").cast("bigint").alias("gc"))
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("p")
+    wg = Window.partitionBy("c_nationkey", "c_mktsegment")
+    cum = cells.join(F.broadcast(gl), "p").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.sum("c").over(w).cast("bigint").alias("f"),
+        F.sum("c").over(wg).cast("bigint").alias("ng"),
+        F.sum("gc").over(w).cast("bigint").alias("gf"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+    term = F.when(
+        F.col("pos") < F.col("k"),
+        F.abs(F.col("f") * F.col("n") - F.col("gf") * F.col("ng")),
+    ).otherwise(F.lit(0))
+    emd_expr = F.sum(term).cast("double") / (
+        F.min("ng").cast("double") * F.min("n") * (F.min("k") - 1)
+    )
+    out = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(k))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.min("ng").cast("bigint").alias("n_orders"),
+            F.sum(term).cast("bigint").alias("emd_scaled"),
+            F.when(F.min("ng") == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(emd_expr, 8))
+            .alias("emd"),
+            F.when(F.min("ng") == 0, F.lit(None).cast("boolean"))
+            .otherwise(emd_expr <= _TCLOSE_T)
+            .alias("t_close"),
+        )
+    )
+    return track_cache(out, cnt)
+
+
+@register(
+    "orders_mannwhitney",
+    sql=f"""
+    WITH base AS (
+        SELECT o_totalprice AS x,
+               CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_PSI_CUTOFF}'
+                    THEN 0 ELSE 1 END AS era
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), pts AS (
+        SELECT x,
+               CAST(count(*) FILTER (WHERE era = 0) AS BIGINT) AS c1,
+               CAST(count(*) FILTER (WHERE era = 1) AS BIGINT) AS c2
+        FROM base GROUP BY x
+    ), cum AS (
+        SELECT x, c1, c2,
+               CAST(sum(c2) OVER (ORDER BY x) AS BIGINT) AS f2
+        FROM pts
+    ), tot AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        FROM pts
+    ), stats AS (
+        SELECT CAST(sum(c1 * (2 * f2 - c2)) AS BIGINT) AS u2,
+               CAST(sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))
+                    AS BIGINT) AS tie_cubes
+        FROM cum
+    )
+    SELECT t.n1, t.n2, s.u2, s.tie_cubes,
+           round(CAST(s.u2 AS DOUBLE) / (2.0 * t.n1 * t.n2), 8) AS auc,
+           round((CAST(s.u2 AS DOUBLE) - CAST(t.n1 AS DOUBLE) * t.n2)
+                 / (2.0 * sqrt(
+                     (CAST(t.n1 AS DOUBLE) * t.n2 / 12.0)
+                     * ((t.n1 + t.n2 + 1.0)
+                        - CAST(s.tie_cubes AS DOUBLE)
+                          / (CAST(t.n1 + t.n2 AS DOUBLE)
+                             * (t.n1 + t.n2 - 1.0))))), 6) AS z
+    FROM tot t CROSS JOIN stats s
+    """,
+    doc="Exact two-sample Mann-Whitney U (Wilcoxon rank-sum) on the "
+    f"order-value distribution, {_PSI_CUTOFF} splitting the eras — the "
+    "RANK-based companion of orders_price_ks (KS reacts to any CDF "
+    "gap; U asks the sharper 'did the location shift' question and "
+    "doubles as the AUC effect size: P(X_pre > X_post) + P(tie)/2). Float "
+    "policy: everything cross-row is INTEGER — 2*U1 = sum c1*(2*F2< "
+    "+ c2) over exact value-grain counts, tie correction sum(t^3 - t) "
+    "likewise; the AUC ratio and the tie-corrected normal z divide "
+    "engine-identical integers per-row at the end (sqrt IEEE-exempt). "
+    "Scale shape (Spark side): the cumulative F2 uses the same "
+    "TWO-LEVEL prefix sum as orders_price_ks — per-range-bucket window "
+    "+ broadcast bucket offsets — so no global single-partition window "
+    "touches the value grain; the twin uses the plain global window "
+    "(oracle scale only). Bound: u2 ~ n1*n2 fits BIGINT to ~3e9 "
+    "rows/side, same as KS, documented.",
+)
+def orders_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.cache import track_cache
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_totalprice").isNotNull()).select(
+        F.col("o_totalprice").alias("x"),
+        F.when(
+            F.col("o_orderdate").cast("date") < F.lit(_PSI_CUTOFF).cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("era"),
+    )
+    pts = (
+        base.groupBy("x")
+        .agg(
+            F.sum(F.when(F.col("era") == 0, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).alias("c2"),
+        )
+        .persist()
+    )
+    bounds = pts.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(_KS_BUCKETS)
+    bucketed = pts.crossJoin(F.broadcast(bounds)).select(
+        "x",
+        "c1",
+        "c2",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("x") - F.col("lo")) / width),
+                F.lit(_KS_BUCKETS - 1),
+            )
+        )
+        .cast("int")
+        .alias("bkt"),
+    )
+    w_in = Window.partitionBy("bkt").orderBy("x")
+    inner = bucketed.select(
+        "x", "bkt", "c1", "c2", F.sum("c2").over(w_in).alias("p2")
+    )
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("bkt")
+        .agg(F.sum("c2").alias("t2"))
+        .select(
+            "bkt", F.coalesce(F.sum("t2").over(w_off), F.lit(0)).alias("o2")
+        )
+    )
+    cum = inner.join(F.broadcast(offsets), "bkt").select(
+        "c1",
+        "c2",
+        (F.col("o2") + F.col("p2")).cast("bigint").alias("f2"),
+    )
+    t = F.col("c1") + F.col("c2")
+    stats = cum.agg(
+        F.sum(F.col("c1") * (2 * F.col("f2") - F.col("c2")))
+        .cast("bigint")
+        .alias("u2"),
+        F.sum(t * t * t - t).cast("bigint").alias("tie_cubes"),
+    )
+    tot = pts.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u2d = F.col("u2").cast("double")
+    nn = n1d + n2d
+    var = (n1d * n2d / 12.0) * (
+        (F.col("n1") + F.col("n2") + 1.0)
+        - F.col("tie_cubes").cast("double") / (nn * (n1d + n2d - 1.0))
+    )
+    out = tot.crossJoin(F.broadcast(stats)).select(
+        "n1",
+        "n2",
+        "u2",
+        "tie_cubes",
+        F.round(u2d / (2.0 * n1d * n2d), 8).alias("auc"),
+        F.round((u2d - n1d * n2d) / (2.0 * F.sqrt(var)), 6).alias("z"),
+    )
+    return track_cache(out, pts)

@@ -74,19 +74,74 @@ def get(name: str) -> QuerySpec:
 # The driver's correctness gate checks the FIRST 50 entries of
 # ``queries()``. The window ROTATES each round (tests/test_rotation.py
 # enforces the 4-round union invariant against checked_rounds.json).
-# Round 7 completes the r04..r07 rotation: every oracle twin regains a
-# committed driver row within the cadence, the two r6 driver hash
-# FAILs are re-seated after their integer-domain redesign, and five
-# never-driver-run rows-only entries get their first driver rows.
+# Round 8 seats the 17 pending_r7 wave twins, retires the ENTIRE
+# rows-only driver-evidence debt (all 20 never-driver-run entries get
+# their first driver rows), and re-rows 13 oldest-coverage r4 twins so
+# the r9 mandatory load stays under the window.
 # Everything past the window keeps its committed driver rows and is
 # still oracle-checked locally by tests/test_oracle_parity.py.
 _PRIORITY = [
-    # ---- round-7 window (50): 43 cadence-mandatory twins (34
-    # lost-r3 + 9 pending_r6, via tools/update_checked_rounds.py
-    # --plan), the 2 r6 driver-FAIL re-seats (ml_features_split,
-    # corpus_heaps_fit — both redesigned to integer-domain twins,
-    # VERDICT r6 #1), and 5 never-driver-run rows-only seats
-    # (streaming family + ML evaluators, VERDICT r6 #4).
+    # ---- round-8 window (50): 17 cadence-mandatory twins (the
+    # pending_r7 wave registrations, via tools/update_checked_rounds.py
+    # --plan), ALL 20 remaining never-driver-run rows-only entries
+    # (retiring the rows-only driver-evidence debt in one window,
+    # VERDICT r6 #4 completed), and 13 oldest-coverage (r4) twin
+    # re-rows to smooth the r9 mandatory load (37 r4 twins remain).
+    "bloom_semijoin_audit",
+    "bm25_ndcg_eval",
+    "copurchase_clustering_coefficient",
+    "copurchase_local_bridges",
+    "corpus_heaps_beta",
+    "corpus_ngram_entropy",
+    "customer_ldiversity",
+    "doc_quality_rules_kappa",
+    "doc_token_length_histogram",
+    "doc_tokenizer_fertility",
+    "embedding_centroid_shift",
+    "embedding_matryoshka_audit",
+    "events_cms_heavy_hitters",
+    "orders_merge_upsert_rollup",
+    "orders_price_ks",
+    "orders_price_quantile_sketch",
+    "vocab_coverage_curve",
+    # -- rows-only seating: every remaining never-driver-run entry
+    "ann_recall_report",
+    "approx_distinct_sketch",
+    "bpe_corpus_stats",
+    "dedup_simhash",
+    "dedup_tier_quality_report",
+    "documents_stratified_sample",
+    "embedding_cluster_silhouette",
+    "embedding_pca_variance",
+    "multimodal_audio_resample",
+    "multimodal_video_frames",
+    "observed_rollup_audit",
+    "part_copurchase_communities",
+    "streaming_cms_heavy_hitters",
+    "streaming_ingest_monitor",
+    "streaming_merge_upsert",
+    "streaming_segment_revenue",
+    "streaming_unattributed",
+    "streaming_upsert_rollup",
+    "streaming_value_drift",
+    "synthetic_source_rollup",
+    # -- r4 twin re-rows (free seats; oldest driver coverage first)
+    "bulk_rename",
+    "customer_order_coverage",
+    "customer_rfm_segments",
+    "customer_spend_deciles",
+    "customers_with_urgent_orders",
+    "dedup_canonical_docs",
+    "dedup_cluster_size_spectrum",
+    "dedup_orders_keep_first",
+    "discount_band_histogram",
+    "distinct_customer_count",
+    "distinct_status_priority",
+    "doc_bpe_token_estimate",
+    "doc_fingerprints",
+    # ---- window boundary (50) ----
+    # past-window: driver-rowed in r1..r7, still oracle-checked
+    # locally by tests/test_oracle_parity.py every round.
     "corpus_shuffle_shards",
     "corpus_vocabulary",
     "customer_kanonymity",
@@ -130,18 +185,13 @@ _PRIORITY = [
     "supplier_value_concentration",
     "top_revenue_supplier",
     "top_volume_orders",
-    # -- r6 driver-FAIL re-seats (fixed; prove it with driver rows)
     "ml_features_split",
     "corpus_heaps_fit",
-    # -- rows-only seating (never driver-run before this round)
     "streaming_stateless_rollup",
     "streaming_dedup",
     "ml_calibration_bins",
     "ml_confusion_matrix",
     "ml_learning_curve",
-    # ---- window boundary (50) ----
-    # past-window: driver-rowed in r1..r6, still oracle-checked
-    # locally by tests/test_oracle_parity.py every round.
     "copurchase_adamic_adar",
     "copurchase_assortativity",
     "copurchase_kcore_peel",
@@ -240,7 +290,6 @@ _PRIORITY = [
     "token_shard_packing",
     "user_value_hourly_ffill",
     "waiting_supplier_lines",
-    "customer_rfm_segments",
     "documents_temperature_mixture",
     "event_transition_matrix",
     "events_daily_completeness",
@@ -252,22 +301,16 @@ _PRIORITY = [
     "pricing_summary",
     "priority_recode",
     "sentinel_audit_orders",
-    "distinct_status_priority",
-    "distinct_customer_count",
-    "dedup_orders_keep_first",
     "nation_customer_value",
     "topk_orders_per_customer",
     "top100_orders",
     "priority_union",
     "monthly_revenue",
-    "customers_with_urgent_orders",
     "revenue_rollup",
     "event_sessions",
     "orders_above_customer_avg",
     "status_priority_cube",
     "user_value_sliding_1h",
-    "customer_spend_deciles",
-    "customer_order_coverage",
     "embedding_centroids",
     "frequent_big_spenders",
     "doc_length_quantiles",
@@ -275,23 +318,15 @@ _PRIORITY = [
     "segment_revenue_share",
     "returnflag_price_corr",
     "status_priority_mode",
-    "discount_band_histogram",
-    "bulk_rename",
     "events_hourly",
     "part_name_tokens",
     "doc_token_stats",
-    "doc_fingerprints",
-    "doc_bpe_token_estimate",
     "events_rolling_dau",
     "orders_incremental_rollup",
     "gdpr_erasure_cascade",
-    "dedup_canonical_docs",
-    "dedup_cluster_size_spectrum",
     "source_overlap_matrix",
     "vocab_oov_rate",
     "token_skipgram_counts",
-    "streaming_upsert_rollup",
-    "streaming_segment_revenue",
     "doc_length_quantiles_approx",
     "dedup_minhash_pairs",
     "dedup_semantic_groups",
@@ -301,23 +336,6 @@ _PRIORITY = [
     "streaming_sessions",
     "streaming_attribution",
     "yelp_basetable",
-    "synthetic_source_rollup",
-    "dedup_simhash",
-    "dedup_tier_quality_report",
-    "ann_recall_report",
-    "streaming_unattributed",
-    "streaming_ingest_monitor",
-    "embedding_pca_variance",
-    "embedding_cluster_silhouette",
-    "streaming_value_drift",
-    "approx_distinct_sketch",
-    "multimodal_video_frames",
-    "documents_stratified_sample",
-    "observed_rollup_audit",
-    "multimodal_audio_resample",
-    "bpe_corpus_stats",
-    "corpus_heaps_beta",
-    "part_copurchase_communities",
 ]
 
 
