@@ -1073,3 +1073,153 @@ def corpus_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cache import track_cache
 
     return track_cache(out, fdocs)
+
+
+_DRIFT_SALT = "tdrift0"
+
+
+def _token_drift_sql() -> str:
+    from ..operators.portablemath import LN2_LITERAL, pln_ratio_sql
+    from ..operators.sampling import sql_md5_uniform
+
+    u = sql_md5_uniform("CAST(doc_id AS VARCHAR)", _DRIFT_SALT)
+    term_a = (
+        f"(CASE WHEN a > 0 THEN (CAST(a AS DOUBLE) / ta) * "
+        f"{pln_ratio_sql('2 * a * tb', 'a * tb + b * ta')} ELSE 0.0 END)"
+    )
+    term_b = (
+        f"(CASE WHEN b > 0 THEN (CAST(b AS DOUBLE) / tb) * "
+        f"{pln_ratio_sql('2 * b * ta', 'a * tb + b * ta')} ELSE 0.0 END)"
+    )
+    return f"""
+    WITH halves AS (
+        SELECT CASE WHEN {u} <= 0.5 THEN 'a' ELSE 'b' END AS half, text
+        FROM documents
+    ), nd AS (
+        SELECT CAST(count(CASE WHEN half = 'a' THEN 1 END) AS BIGINT)
+                   AS n_docs_a,
+               CAST(count(CASE WHEN half = 'b' THEN 1 END) AS BIGINT)
+                   AS n_docs_b
+        FROM halves
+    ), toks AS (
+        SELECT half, unnest(string_split(lower(text), ' ')) AS w
+        FROM halves
+    ), counts AS (
+        SELECT w,
+               CAST(count(CASE WHEN half = 'a' THEN 1 END) AS BIGINT) AS a,
+               CAST(count(CASE WHEN half = 'b' THEN 1 END) AS BIGINT) AS b
+        FROM toks WHERE w <> '' GROUP BY w
+    ), tot AS (
+        SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb,
+               CAST(count(*) AS BIGINT) AS vocab
+        FROM counts
+    ), terms AS (
+        SELECT CAST(round({term_a}, 12) AS DECIMAL(28,14))
+                   + CAST(round({term_b}, 12) AS DECIMAL(28,14)) AS contrib
+        FROM counts CROSS JOIN tot
+    )
+    SELECT nd.n_docs_a, nd.n_docs_b, t.ta AS tokens_a, t.tb AS tokens_b,
+           t.vocab,
+           CASE WHEN t.ta = 0 OR t.tb = 0 THEN NULL
+                ELSE round((0.5 * CAST((SELECT sum(contrib) FROM terms)
+                                       AS DOUBLE)) / {LN2_LITERAL}, 8)
+           END AS jsd_bits
+    FROM tot t CROSS JOIN nd
+    """
+
+
+@register(
+    "corpus_token_drift",
+    sql=_token_drift_sql(),
+    doc="Jensen-Shannon divergence between the TOKEN distributions of "
+    "two deterministic md5 halves of the corpus — the text-side "
+    "member of the drift family (orders_price_jsd watches a scalar, "
+    "embedding_centroid_shift watches vectors; this watches the "
+    "unigram LM itself, the signal that catches a crawl refresh "
+    "shifting topic/boilerplate mix before perplexity does). JSD in "
+    "bits via the symmetric KL identity: p_i/m_i = 2*a_i*B / (a_i*B + "
+    "b_i*A) — an INTEGER ratio, so the PORTABLE pln (zero libm) sees "
+    "engine-identical BIGINTs; each KL term is per-row IEEE on those, "
+    "quantized to 12dp and decimal-summed (rule 1). Zero counts "
+    "contribute exact 0; an empty half yields NULL in both engines. "
+    "Scale shape: one explode + one grouped count at token grain "
+    "(map-side combine, Heaps-bounded vocab), the 1-row totals "
+    "broadcast back, one decimal sum. Bound: a_i*B fits BIGINT to "
+    "~3e9 tokens/side at max-frequency 1 — quantize the corpus into "
+    "per-shard drift reports past that, documented.",
+)
+def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track_cache
+    from ..operators.portablemath import LN2_LITERAL, pln_ratio_sql
+    from ..operators.sampling import md5_uniform
+
+    d = load_table(spark, sf_dir, "documents")
+    halves = d.select(
+        F.when(
+            md5_uniform(F.col("doc_id").cast("string"), _DRIFT_SALT) <= 0.5,
+            F.lit("a"),
+        )
+        .otherwise(F.lit("b"))
+        .alias("half"),
+        "text",
+    )
+    nd = halves.agg(
+        F.count(F.when(F.col("half") == "a", 1)).cast("bigint").alias("n_docs_a"),
+        F.count(F.when(F.col("half") == "b", 1)).cast("bigint").alias("n_docs_b"),
+    )
+    toks = halves.select("half", F.explode(tokens(F.col("text"))).alias("w"))
+    counts = (
+        toks.filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(
+            F.count(F.when(F.col("half") == "a", 1)).cast("bigint").alias("a"),
+            F.count(F.when(F.col("half") == "b", 1)).cast("bigint").alias("b"),
+        )
+        .persist()
+    )
+    tot = counts.agg(
+        F.sum("a").cast("bigint").alias("ta"),
+        F.sum("b").cast("bigint").alias("tb"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    term_a = F.when(
+        F.col("a") > 0,
+        (F.col("a").cast("double") / F.col("ta"))
+        * F.expr(pln_ratio_sql("2 * a * tb", "a * tb + b * ta")),
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("b") > 0,
+        (F.col("b").cast("double") / F.col("tb"))
+        * F.expr(pln_ratio_sql("2 * b * ta", "a * tb + b * ta")),
+    ).otherwise(F.lit(0.0))
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        (
+            F.round(term_a, 12).cast("decimal(28,14)")
+            + F.round(term_b, 12).cast("decimal(28,14)")
+        ).alias("contrib")
+    )
+    ssum = terms.agg(F.sum("contrib").alias("s"))
+    out = (
+        tot.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(ssum))
+        .select(
+            "n_docs_a",
+            "n_docs_b",
+            F.col("ta").alias("tokens_a"),
+            F.col("tb").alias("tokens_b"),
+            "vocab",
+            F.when(
+                (F.col("ta") == 0) | (F.col("tb") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    (0.5 * F.col("s").cast("double"))
+                    / F.expr(LN2_LITERAL),
+                    8,
+                )
+            )
+            .alias("jsd_bits"),
+        )
+    )
+    return track_cache(out, counts)

@@ -245,3 +245,88 @@ def orders_incremental_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     merged = merge_histogram_states(keys, *parts)
     return histogram_quantile(merged, keys, 0.5, lo, hi).orderBy("o_orderpriority")
+
+
+_DP_EPS = 0.5          # epsilon per released count
+_DP_SALT = "dp0"
+_DP_DENOM = (1 << 52) + 1  # md5_hp domain: H in [1, 2^52], u = H/DENOM
+
+
+def _dp_release_sql() -> str:
+    from ..operators.portablemath import pln_ratio_sql
+    from ..operators.sampling import sql_md5_hp
+
+    h = sql_md5_hp("source", _DP_SALT)
+    m = f"({_DP_DENOM} - abs(2 * {h} - {_DP_DENOM}))"
+    sgn = f"(CASE WHEN 2 * {h} > {_DP_DENOM} THEN 1.0 ELSE -1.0 END)"
+    noise = (
+        f"({sgn} * (1.0 / {_DP_EPS}) * (0.0 - "
+        f"{pln_ratio_sql(m, str(_DP_DENOM))}))"
+    )
+    return f"""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS true_count
+        FROM documents GROUP BY source
+    )
+    SELECT source, true_count,
+           round({noise}, 6) AS noise,
+           CAST(true_count + CAST(round({noise}) AS BIGINT) AS BIGINT)
+               AS released_count,
+           CAST({_DP_EPS} AS DOUBLE) AS epsilon
+    FROM counts
+    """
+
+
+@register(
+    "documents_dp_release",
+    sql=_dp_release_sql(),
+    doc="Differentially-private count release (Dwork et al. 2006 "
+    "Laplace mechanism) over per-source document counts — the "
+    "privacy-preserving publication step a governed corpus pipeline "
+    "runs before sharing composition stats: released = true + "
+    "Laplace(sensitivity/epsilon) noise, sensitivity 1 for a counting "
+    "query, epsilon 0.5. The noise draw is DETERMINISTIC-REPLAYABLE "
+    "for auditability (and for the oracle twin): u comes from the "
+    "portable md5 uniform of the group key, inverse-CDF'd through the "
+    "PORTABLE ln (operators/portablemath.py — zero libm), so both "
+    "engines produce the identical draw; production use would salt "
+    "per release epoch. Float policy: counts are exact integers; the "
+    "inverse-CDF argument is the exact integer (2^52+1) - |2H - "
+    "(2^52+1)| over the md5_hp BIGINT so pln sees engine-identical "
+    "BIGINTs; the noise expression is per-row IEEE on identical "
+    "inputs. Scale shape: one grouped count with map-side combine; "
+    "the noise is a narrow per-row projection on the bounded "
+    "|sources| frame.",
+)
+def documents_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.portablemath import pln_ratio_sql
+    from ..operators.sampling import md5_hp
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    h = md5_hp(F.col("source"), _DP_SALT)
+    m_int = F.lit(_DP_DENOM).cast("bigint") - F.abs(
+        2 * h - F.lit(_DP_DENOM).cast("bigint")
+    )
+    staged = counts.select(
+        "source",
+        "true_count",
+        m_int.alias("m_int"),
+        F.when(2 * h > F.lit(_DP_DENOM).cast("bigint"), F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+        .alias("sgn"),
+    )
+    noise = F.col("sgn") * (1.0 / _DP_EPS) * (
+        F.lit(0.0) - F.expr(pln_ratio_sql("m_int", str(_DP_DENOM)))
+    )
+    return staged.select(
+        "source",
+        "true_count",
+        F.round(noise, 6).alias("noise"),
+        (F.col("true_count") + F.round(noise).cast("bigint"))
+        .cast("bigint")
+        .alias("released_count"),
+        F.lit(_DP_EPS).alias("epsilon"),
+    )

@@ -1090,3 +1090,192 @@ def orders_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return track_cache(out, vals, hcum)
+
+
+_KMVS_K = 128
+_KMVS_SALT = "kmvs0"
+_KMVS_A = "click"
+_KMVS_B = "purchase"
+
+
+def _kmv_setops_sql() -> str:
+    u = sql_md5_uniform("key", _KMVS_SALT)
+    k = _KMVS_K
+    return f"""
+    WITH ab AS (
+        SELECT CAST(user_id AS VARCHAR) || '@'
+                   || CAST(CAST(ts AS DATE) AS VARCHAR) AS key,
+               max(CASE WHEN event_type = '{_KMVS_A}' THEN 1 ELSE 0 END)
+                   AS in_a,
+               max(CASE WHEN event_type = '{_KMVS_B}' THEN 1 ELSE 0 END)
+                   AS in_b
+        FROM events WHERE event_type IN ('{_KMVS_A}', '{_KMVS_B}')
+        GROUP BY 1
+    ), hashed AS (
+        SELECT key, in_a, in_b, {u} AS u FROM ab
+    ), ex AS (
+        SELECT CAST(sum(in_a) AS BIGINT) AS exact_a,
+               CAST(sum(in_b) AS BIGINT) AS exact_b,
+               CAST(count(*) AS BIGINT) AS exact_union,
+               CAST(sum(in_a * in_b) AS BIGINT) AS exact_intersection
+        FROM hashed
+    ), us AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_eff, max(u) AS kth,
+               CAST(sum(in_a * in_b) AS BIGINT) AS rho_both
+        FROM hashed
+        WHERE u <= (SELECT max(u)
+                    FROM (SELECT u FROM hashed ORDER BY u ASC LIMIT {k}))
+    ), sa AS (
+        SELECT CAST(count(*) AS BIGINT) AS ka, max(u) AS kth_a
+        FROM hashed
+        WHERE in_a = 1
+          AND u <= (SELECT max(u) FROM (SELECT u FROM hashed
+                    WHERE in_a = 1 ORDER BY u ASC LIMIT {k}))
+    ), sb AS (
+        SELECT CAST(count(*) AS BIGINT) AS kb, max(u) AS kth_b
+        FROM hashed
+        WHERE in_b = 1
+          AND u <= (SELECT max(u) FROM (SELECT u FROM hashed
+                    WHERE in_b = 1 ORDER BY u ASC LIMIT {k}))
+    )
+    SELECT CAST({k} AS BIGINT) AS k,
+           round(CASE WHEN sa.ka < {k} THEN CAST(ex.exact_a AS DOUBLE)
+                ELSE (sa.ka - 1) / sa.kth_a END, 4) AS est_a,
+           round(CASE WHEN sb.kb < {k} THEN CAST(ex.exact_b AS DOUBLE)
+                ELSE (sb.kb - 1) / sb.kth_b END, 4) AS est_b,
+           round(CASE WHEN us.k_eff < {k} THEN CAST(ex.exact_union AS DOUBLE)
+                ELSE (us.k_eff - 1) / us.kth END, 4) AS est_union,
+           us.rho_both,
+           round(CAST(us.rho_both AS DOUBLE) / us.k_eff, 8) AS jaccard_est,
+           round((CAST(us.rho_both AS DOUBLE) / us.k_eff)
+                 * (CASE WHEN us.k_eff < {k}
+                         THEN CAST(ex.exact_union AS DOUBLE)
+                         ELSE (us.k_eff - 1) / us.kth END), 4)
+               AS est_intersection,
+           ex.exact_a, ex.exact_b, ex.exact_union, ex.exact_intersection,
+           round(CAST(ex.exact_intersection AS DOUBLE) / ex.exact_union, 8)
+               AS jaccard_exact
+    FROM us CROSS JOIN sa CROSS JOIN sb CROSS JOIN ex
+    """
+
+
+@register(
+    "events_kmv_setops",
+    sql=_kmv_setops_sql(),
+    doc=f"Theta-sketch SET OPERATIONS over KMV sketches (Dasgupta et "
+    f"al., 'Theta-Sketch Framework'): active user-DAY sets of "
+    f"'{_KMVS_A}' vs '{_KMVS_B}' events, k={_KMVS_K} — union "
+    "cardinality from the union sketch's kth minimum, intersection "
+    "via the rho = |union-sketch members in both sets| / k_eff "
+    "Jaccard estimator (inclusion-exclusion-free, the way Theta "
+    "sketches compose in DataSketches). Extends events_user_kmv_"
+    "distinct (single-set cardinality + merge identity) to the "
+    "binary-set algebra a 100 TB audience-overlap / dedup-impact "
+    "analysis runs on sketches instead of raw keys. Exact "
+    "counterparts computed side-by-side so the estimator error is "
+    "visible in the row. Float policy: the sketch is a deterministic "
+    "function of the key set via the portable md5 uniform (DuckDB "
+    "replays it bit-exactly); memberships and counts are exact "
+    "integers; the estimate divisions run per-row on engine-identical "
+    "values. Scale shape: one grouped flag-agg at (user, day) grain, "
+    "one TakeOrdered(k) per sketch (no global sort), membership "
+    "filters against broadcast 1-row thresholds.",
+)
+def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track_cache
+    from ..operators.sampling import md5_uniform
+
+    k = _KMVS_K
+    events = load_table(spark, sf_dir, "events")
+    ab = (
+        events.filter(F.col("event_type").isin(_KMVS_A, _KMVS_B))
+        .select(
+            F.concat_ws(
+                "@",
+                F.col("user_id").cast("string"),
+                F.col("ts").cast("date").cast("string"),
+            ).alias("key"),
+            F.when(F.col("event_type") == _KMVS_A, 1).otherwise(0).alias("ia"),
+            F.when(F.col("event_type") == _KMVS_B, 1).otherwise(0).alias("ib"),
+        )
+        .groupBy("key")
+        .agg(F.max("ia").alias("in_a"), F.max("ib").alias("in_b"))
+    )
+    hashed = ab.select(
+        "key", "in_a", "in_b", md5_uniform(F.col("key"), _KMVS_SALT).alias("u")
+    ).persist()
+    ex = hashed.agg(
+        F.sum("in_a").cast("bigint").alias("exact_a"),
+        F.sum("in_b").cast("bigint").alias("exact_b"),
+        F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias(
+            "exact_intersection"
+        ),
+    )
+
+    def kth_cut(df):
+        return df.orderBy(F.asc("u")).limit(k).agg(F.max("u").alias("cut"))
+
+    us = (
+        hashed.crossJoin(F.broadcast(kth_cut(hashed)))
+        .filter(F.col("u") <= F.col("cut"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_eff"),
+            F.max("u").alias("kth"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias(
+                "rho_both"
+            ),
+        )
+    )
+    a_only = hashed.filter(F.col("in_a") == 1)
+    b_only = hashed.filter(F.col("in_b") == 1)
+    sa = (
+        a_only.crossJoin(F.broadcast(kth_cut(a_only)))
+        .filter(F.col("u") <= F.col("cut"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ka"), F.max("u").alias("kth_a"))
+    )
+    sb = (
+        b_only.crossJoin(F.broadcast(kth_cut(b_only)))
+        .filter(F.col("u") <= F.col("cut"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("kb"), F.max("u").alias("kth_b"))
+    )
+    est_union = F.when(
+        F.col("k_eff") < k, F.col("exact_union").cast("double")
+    ).otherwise((F.col("k_eff") - 1) / F.col("kth"))
+    out = (
+        us.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            F.round(
+                F.when(F.col("ka") < k, F.col("exact_a").cast("double"))
+                .otherwise((F.col("ka") - 1) / F.col("kth_a")),
+                4,
+            ).alias("est_a"),
+            F.round(
+                F.when(F.col("kb") < k, F.col("exact_b").cast("double"))
+                .otherwise((F.col("kb") - 1) / F.col("kth_b")),
+                4,
+            ).alias("est_b"),
+            F.round(est_union, 4).alias("est_union"),
+            "rho_both",
+            F.round(
+                F.col("rho_both").cast("double") / F.col("k_eff"), 8
+            ).alias("jaccard_est"),
+            F.round(
+                (F.col("rho_both").cast("double") / F.col("k_eff")) * est_union,
+                4,
+            ).alias("est_intersection"),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_intersection",
+            F.round(
+                F.col("exact_intersection").cast("double")
+                / F.col("exact_union"),
+                8,
+            ).alias("jaccard_exact"),
+        )
+    )
+    return track_cache(out, hashed)

@@ -696,3 +696,110 @@ def daily_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(post - pre, 6).alias("shift"),
         )
     )
+
+
+@register(
+    "events_burstiness",
+    sql="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), grid AS (
+        SELECT t.event_type, d.day, COALESCE(daily.c, 0) AS c
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (SELECT DISTINCT day FROM daily) d
+        LEFT JOIN daily ON daily.event_type = t.event_type
+                       AND daily.day = d.day
+    ), moments AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(c) AS BIGINT) AS total,
+               CAST(sum(c * c) AS BIGINT) AS s2
+        FROM grid GROUP BY event_type
+    )
+    SELECT event_type, n_days, total,
+           round(CAST(total AS DOUBLE) / n_days, 6) AS mean_daily,
+           round((CAST(s2 AS DOUBLE) * n_days
+                  - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+                 / (CAST(n_days AS DOUBLE) * (n_days - 1.0)), 6)
+               AS var_daily,
+           CASE WHEN total = 0 THEN NULL
+                ELSE round(((CAST(s2 AS DOUBLE) * n_days
+                       - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+                      / (CAST(n_days AS DOUBLE) * (n_days - 1.0)))
+                     / (CAST(total AS DOUBLE) / n_days), 6)
+           END AS fano,
+           CASE WHEN total = 0 THEN NULL
+                ELSE round((sqrt((CAST(s2 AS DOUBLE) * n_days
+                            - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+                           / (CAST(n_days AS DOUBLE) * (n_days - 1.0)))
+                       - CAST(total AS DOUBLE) / n_days)
+                      / (sqrt((CAST(s2 AS DOUBLE) * n_days
+                            - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+                           / (CAST(n_days AS DOUBLE) * (n_days - 1.0)))
+                       + CAST(total AS DOUBLE) / n_days), 6)
+           END AS burstiness
+    FROM moments
+    """,
+    doc="Traffic burstiness per event type: Fano factor (variance-to-"
+    "mean ratio of DAILY counts; 1 = Poisson, >1 = overdispersed/"
+    "bursty) and the Goh-Barabasi burstiness coefficient "
+    "B = (sigma - mu)/(sigma + mu) in [-1, 1] — the capacity-planning "
+    "read that says whether an event stream needs peak-provisioning "
+    "(and whether per-key salting will see hot days). Densified over "
+    "the observed global calendar so zero-days count (a type absent "
+    "half the month IS bursty). Float policy: cross-row reductions "
+    "are exact BIGINT sums (count, sum c, sum c^2) on the bounded "
+    "(|types| x |days|) grid; variance/mean/B are per-row IEEE on "
+    "engine-identical integers (sqrt exempt); zero-total types yield "
+    "NULL identically in both engines. Scale shape: one grouped "
+    "count at (type, day) grain with map-side combine, then ALL math "
+    "on the bounded grid (|types| x |days| rows, broadcast-joined).",
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track_cache
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.col("ts").cast("date").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    types = daily.select("event_type").distinct()
+    days = daily.select("day").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    m = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    nd = F.col("n_days").cast("double")
+    td = F.col("total").cast("double")
+    s2d = F.col("s2").cast("double")
+    var = (s2d * F.col("n_days") - td * td) / (nd * (F.col("n_days") - 1.0))
+    mean = td / F.col("n_days")
+    sigma = F.sqrt(var)
+    out = m.select(
+        "event_type",
+        "n_days",
+        "total",
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.when(F.col("total") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(var / mean, 6))
+        .alias("fano"),
+        F.when(F.col("total") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round((sigma - mean) / (sigma + mean), 6))
+        .alias("burstiness"),
+    )
+    return track_cache(out, daily)
