@@ -493,3 +493,73 @@ def resample_audio(
             )
 
     return src.mapInPandas(batches, schema=RESAMPLED_AUDIO_SCHEMA)
+
+
+IMAGE_AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+_AHASH_GRID = 8  # 8x8 -> 64-bit hash
+
+
+def _ahash_bits(data: bytes) -> tuple[int, int, int]:
+    """(width, height, 64-bit average-hash) for one decoded image.
+
+    Classic aHash (Krawetz): sample the image on an 8x8 grid
+    (nearest-neighbor at cell centers — exact and defined for ANY
+    image size, unlike block means on images smaller than the grid),
+    take per-sample luminance as the integer R+G+B sum (monotone in
+    luminance; avoids a rounding division), and set bit (y*8+x) when
+    the sample exceeds the 64-sample mean. Brightness-invariant by
+    construction: adding a constant to every pixel shifts samples and
+    mean together, leaving the bit pattern unchanged (pinned in
+    tests/test_multimodal.py)."""
+    w, h, ch, px = _decode_image(data)
+    g = _AHASH_GRID
+    samples = []
+    for y in range(g):
+        sy = (2 * y + 1) * h // (2 * g)
+        for x in range(g):
+            sx = (2 * x + 1) * w // (2 * g)
+            base = (sy * w + sx) * ch
+            samples.append(sum(px[base : base + ch]))
+    # integer threshold: bit set iff g*g*sample > sum(samples) — exact,
+    # no float mean
+    total = sum(samples)
+    n = g * g
+    bits = 0
+    for j, s in enumerate(samples):
+        if n * s > total:
+            bits |= 1 << j
+    if bits >= 1 << 63:  # two's-complement into int64
+        bits -= 1 << 64
+    return w, h, bits
+
+
+def image_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual average-hash per IMAGE row (non-image media rows are
+    filtered JVM-side BEFORE Python, so the Arrow boundary only
+    carries decodable payloads — the §2.8 type-filter-below-Python
+    rule). Returns (doc_id, width, height, ahash BIGINT)."""
+    src = df.filter(
+        F.col("media_meta.media_type").startswith("image/")
+    ).select(F.col(id_col).alias("doc_id"), F.col("content"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [_ahash_bits(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "ahash": pd.array([r[2] for r in rows], dtype="Int64"),
+                }
+            )
+
+    return src.mapInPandas(batches, schema=IMAGE_AHASH_SCHEMA)

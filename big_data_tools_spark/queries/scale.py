@@ -1279,3 +1279,37 @@ def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return track_cache(out, hashed)
+
+
+@register(
+    "multimodal_image_ahash_dedup",
+    sql=None,  # Arrow mapInPandas decode path; not SQL-expressible
+    doc="Perceptual image dedup via average-hash (Krawetz aHash — the "
+    "image-side member of the dedup family: exact dedup keys on "
+    "content bytes, THIS keys on decoded visual content, catching "
+    "re-encoded/brightness-shifted duplicates byte hashing misses): "
+    "decode PNG -> 8x8 nearest-neighbor luminance grid -> 64-bit "
+    "threshold-vs-mean hash (integer arithmetic end to end, "
+    "brightness-invariant by construction) -> one grouped agg per "
+    "hash. Output grain: one row per distinct ahash with group size "
+    "and doc-id span — group_size >= 2 IS the perceptual-dup report. "
+    "Scale shape: the type filter runs JVM-side BELOW the Arrow "
+    "boundary (only image payloads cross into Python), the hash is "
+    "8 bytes/image regardless of resolution, and the dedup agg is a "
+    "map-side-combining groupBy on that 8-byte key — the same "
+    "all-pairs-free shape as the text MinHash path. Rows-only driver "
+    "check; hash determinism, brightness invariance, and planted-"
+    "duplicate grouping pinned in tests/test_multimodal.py.",
+)
+def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_fake_media, image_ahash
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = image_ahash(attach_fake_media(docs.select("doc_id")))
+    return hashes.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.min("width").alias("min_width"),
+        F.max("width").alias("max_width"),
+    )

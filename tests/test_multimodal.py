@@ -203,3 +203,73 @@ def test_resample_audio_filters_non_audio_rows(spark, sf_smoke):
     n_audio = media.filter("media_meta.media_type = 'audio/wav'").count()
     assert len(out) == n_audio > 0
     assert all(r["dst_rate"] == 16000 for r in out)
+
+
+# ------------------------------------------------------- aHash (round 8)
+
+
+def test_ahash_deterministic_and_planted_duplicates(spark):
+    """Identical pixel content -> identical ahash; the grouped query
+    reports the planted duplicate as one group of size 2."""
+    from big_data_tools_spark.operators.imagecodec import encode_png
+    from big_data_tools_spark.operators.multimodal import image_ahash
+
+    w, h = 11, 9
+    px = bytes((x * 5 + y * 3 + c) % 256 for y in range(h) for x in range(w) for c in range(3))
+    other = bytes((x * 7 + y * 13 + c * 2) % 256 for y in range(h) for x in range(w) for c in range(3))
+    png, png_dup, png_other = encode_png(w, h, px, 3), encode_png(w, h, px, 3), encode_png(w, h, other, 3)
+    df = spark.createDataFrame(
+        [(1, png), (2, png_dup), (3, png_other)],
+        "doc_id long, content binary",
+    ).selectExpr(
+        "doc_id",
+        "content",
+        "named_struct('media_type', 'image/png', 'source_uri', 's', "
+        "'n_bytes', CAST(length(content) AS LONG)) AS media_meta",
+    )
+    out = {r["doc_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_ahash_brightness_invariance(spark):
+    """aHash keys on structure, not exposure: adding a constant to all
+    pixels (no wraparound) must not change the hash — the perceptual
+    property byte-hash dedup lacks."""
+    from big_data_tools_spark.operators.imagecodec import encode_png
+    from big_data_tools_spark.operators.multimodal import image_ahash
+
+    w, h = 10, 8
+    base = [(x * 9 + y * 7 + c) % 120 for y in range(h) for x in range(w) for c in range(3)]
+    brighter = [v + 80 for v in base]  # max 119 + 80 < 256: no wrap
+    df = spark.createDataFrame(
+        [(1, encode_png(w, h, bytes(base), 3)), (2, encode_png(w, h, bytes(brighter), 3))],
+        "doc_id long, content binary",
+    ).selectExpr(
+        "doc_id",
+        "content",
+        "named_struct('media_type', 'image/png', 'source_uri', 's', "
+        "'n_bytes', CAST(length(content) AS LONG)) AS media_meta",
+    )
+    out = {r["doc_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    assert out[1] == out[2]
+
+
+def test_ahash_dedup_query_filters_to_images(spark, sf_smoke):
+    """Only image rows cross the Arrow boundary; group stats cover
+    exactly the image subset of the synthetic media."""
+    from big_data_tools_spark.io.sources import load_table
+    from big_data_tools_spark.operators.multimodal import attach_fake_media
+    from big_data_tools_spark.queries.registry import all_queries
+
+    rows = all_queries()["multimodal_image_ahash_dedup"].fn(spark, sf_smoke).collect()
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id")
+    n_images = (
+        attach_fake_media(docs)
+        .filter("media_meta.media_type = 'image/png'")
+        .count()
+    )
+    assert sum(r["group_size"] for r in rows) == n_images > 0
+    for r in rows:
+        assert r["min_doc_id"] <= r["max_doc_id"]
+        assert 8 <= r["min_width"] <= r["max_width"] <= 16
