@@ -173,6 +173,15 @@ HEADLINE = [
     # fourth wave: the wedge-closure bridge census (the heaviest graph
     # one-shot beside triangles)
     "copurchase_local_bridges",
+    # round-8 wave: the token-grain drift JSD (corpus explode + two
+    # portable-ln KL folds — the widest new text plan), the rank-sum U
+    # (second two-level prefix-sum consumer), the KMV set-algebra
+    # triple sketch, and the perceptual aHash decode (the image-decode
+    # Arrow-boundary canary)
+    "corpus_token_drift",
+    "orders_mannwhitney",
+    "events_kmv_setops",
+    "multimodal_image_ahash_dedup",
 ]
 
 

@@ -104,6 +104,13 @@ SF1_QUERIES = [
     "corpus_ngram_entropy",
     "copurchase_local_bridges",
     "orders_price_quantile_sketch",
+    # round-8: the token-grain drift JSD (widest new text plan), the
+    # second two-level-prefix-sum consumer (rank-sum U), the KMV
+    # set-algebra sketch triple, and the image-decode Arrow boundary
+    "corpus_token_drift",
+    "orders_mannwhitney",
+    "events_kmv_setops",
+    "multimodal_image_ahash_dedup",
 ]
 MARK_SF1_A = "<!-- BENCH-SCALING-SF1:BEGIN -->"
 MARK_SF1_B = "<!-- BENCH-SCALING-SF1:END -->"
