@@ -79,10 +79,11 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: int | str = "auto",
     max_cluster_size: int | None = 100_000,
     round_digits: int | None = 4,
     fit_sample_cap: int | None = 100_000,
+    auto_rows_per_cluster: int = 2048,
 ) -> DataFrame:
     """(id_a < id_b, cos_sim) pairs with cosine >= ``threshold``,
     candidates restricted to same-KMeans-cluster pairs.
@@ -93,7 +94,8 @@ def semantic_dedup_pairs(
     so small-SF results are bit-identical to the full fit."""
     index = IvfIndex.fit(
         corpus, id_col, vec_col, n_clusters, max_iter=8, init_mode="random",
-        fit_sample_cap=fit_sample_cap,
+        fit_sample_cap=fit_sample_cap, auto_rows_per_cluster=auto_rows_per_cluster,
+        fit_rows_per_centroid=200,
     )
     pairs = _pairs_from_index(index, threshold, max_cluster_size, round_digits)
     return track_cache(pairs, index._assigned)
@@ -104,9 +106,10 @@ def semantic_dedup_groups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: int | str = "auto",
     max_cluster_size: int | None = 100_000,
     fit_sample_cap: int | None = 100_000,
+    auto_rows_per_cluster: int = 2048,
 ) -> DataFrame:
     """(id, keep_id) for every vector in a semantic-duplicate group;
     keep_id = min id in the group (transitive closure over pairs, so a
@@ -114,7 +117,8 @@ def semantic_dedup_groups(
     the threshold)."""
     index = IvfIndex.fit(
         corpus, id_col, vec_col, n_clusters, max_iter=8, init_mode="random",
-        fit_sample_cap=fit_sample_cap,
+        fit_sample_cap=fit_sample_cap, auto_rows_per_cluster=auto_rows_per_cluster,
+        fit_rows_per_centroid=200,
     )
     return semantic_dedup_groups_from_index(
         index, id_col=id_col, threshold=threshold,

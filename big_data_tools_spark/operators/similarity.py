@@ -128,10 +128,12 @@ class IvfIndex:
         corpus: DataFrame,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
-        n_clusters: int = 16,
+        n_clusters: int | str = 16,
         max_iter: int = 20,
         init_mode: str = "k-means||",
         fit_sample_cap: int | None = None,
+        auto_rows_per_cluster: int = 2048,
+        fit_rows_per_centroid: int | None = None,
     ) -> "IvfIndex":
         """``max_iter``/``init_mode`` trade centroid quality for fit
         cost. ANN search wants the defaults; bucketing uses (SemDeDup)
@@ -149,7 +151,22 @@ class IvfIndex:
         as well (IVF training and SemDeDup both standardly fit on a
         subset). ``None`` keeps the exact full-corpus fit; when the
         corpus is already under the cap the sample is the identity, so
-        behavior at test scale is unchanged."""
+        behavior at test scale is unchanged.
+
+        ``n_clusters="auto"`` sizes k WITH the corpus —
+        ``k = clamp(ceil(n / auto_rows_per_cluster), 4, 65536)`` — the
+        SemDeDup paper's own protocol (k=11k for 5B docs, i.e. fixed
+        expected cluster size). This is the scale-critical choice for
+        bucketing: with k ∝ n the in-cluster pair scan costs
+        ~ n × auto_rows_per_cluster (LINEAR in corpus size) instead of
+        the n²/k quadratic a fixed k degrades to; the fit cost rises
+        with k, which is exactly what ``fit_sample_cap`` bounds.
+
+        ``fit_rows_per_centroid`` (bucketing callers) tightens the
+        Lloyd sample to ``min(fit_sample_cap, that × k)`` — estimating
+        k centroids needs O(rows-per-centroid) samples, not the whole
+        corpus, so the fit stays O(k) while the assignment pass stays
+        the one full-corpus scan."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -160,9 +177,19 @@ class IvfIndex:
             F.col(vec_col).alias("c_vec"),
             array_to_vector(_as_double(F.col(vec_col))).alias("features"),
         )
+        n = None
+        if n_clusters == "auto":
+            n = c.count()
+            n_clusters = max(4, min(65536, -(-n // auto_rows_per_cluster)))
+        if fit_rows_per_centroid is not None:
+            per_k = fit_rows_per_centroid * n_clusters
+            fit_sample_cap = per_k if fit_sample_cap is None else min(
+                fit_sample_cap, per_k
+            )
         train = c
         if fit_sample_cap is not None:
-            n = c.count()
+            if n is None:
+                n = c.count()
             if n > fit_sample_cap:
                 # deterministic membership (portable md5 uniform on the
                 # id), not .sample(): stable across partitioning, so the

@@ -299,16 +299,22 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=None,  # seeded KMeans fit has no SQL twin
     doc="SemDeDup semantic dedup groups (Abbas et al. 2023): seeded "
     "KMeans buckets the corpus, exact cosine runs only within "
-    "clusters (n^2/k, bounded by max_cluster_size guard), transitive "
-    "closure via min-label components. Rows-only; subset-of-exact and "
-    "determinism pinned in tests/test_dedup.py. See "
-    "operators/semdedup.py.",
+    "clusters, transitive closure via min-label components. "
+    "n_clusters='auto' sizes k WITH the corpus (fixed ~2k rows per "
+    "cluster, the paper's own protocol — k=11k for 5B docs), so the "
+    "in-cluster pair scan costs n x rows_per_cluster — LINEAR in "
+    "corpus size — instead of the n^2/k a fixed k degrades to; "
+    "max_cluster_size still guards degenerate fits. Rows-only; "
+    "subset-of-exact and determinism pinned in tests/test_dedup.py. "
+    "See operators/semdedup.py.",
 )
 def dedup_semantic_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.semdedup import semantic_dedup_groups
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_groups(emb, "vec_id", "embedding", threshold=0.45, n_clusters=8)
+    return semantic_dedup_groups(
+        emb, "vec_id", "embedding", threshold=0.45, n_clusters="auto"
+    )
 
 
 _FUZZY_MAX_EDITS = 6
