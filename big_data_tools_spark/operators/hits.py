@@ -61,22 +61,31 @@ def hits(
     hubs = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1.0).alias("hub")
     )
+    # The hub half-step joins on dst; a caller-persisted src
+    # partitioning would re-shuffle the FULL edge list every
+    # iteration. One extra persisted copy, dst-partitioned, makes
+    # both half-steps' edge sides shuffle-free for all k iterations
+    # (k shuffles of |E| saved for one). Tagged onto the returned
+    # frames so callers composing track_cache release it.
+    edges_by_dst = (
+        edges.repartition("dst").persist() if checkpoint else edges
+    )
     auths = None
     for _ in range(iterations):
         # authority half-step: pull quantized hub mass along edges.
+        # Quantization happens on the |V|-sized score frame BEFORE
+        # the join (identical per-row result, |E| fewer floor/casts).
         # localCheckpoint is load-bearing: the raw-sum frame is
         # consumed TWICE (the max aggregate and the division), so an
         # unmaterialized lineage doubles per half-step — 2^(2k) edge
         # scans in the final plan. Checkpointing keeps the lineage
         # linear, same as the components fixpoint's per-round cut.
+        hq = hubs.select(
+            "node",
+            F.floor(F.col("hub") * F.lit(float(_QUANT))).cast("bigint").alias("c"),
+        )
         araw = (
-            edges.join(hubs.hint("shuffle_hash"), edges.src == hubs.node)
-            .select(
-                F.col("dst"),
-                F.floor(F.col("hub") * F.lit(float(_QUANT)))
-                .cast("bigint")
-                .alias("c"),
-            )
+            edges.join(hq.hint("shuffle_hash"), edges.src == hq.node)
             .groupBy("dst")
             .agg(F.sum("c").alias("araw"))
         )
@@ -88,14 +97,12 @@ def hits(
             (F.col("araw") / F.col("amax")).alias("auth"),
         )
         # hub half-step: pull the fresh quantized authority mass back
+        aq = auths.select(
+            "node",
+            F.floor(F.col("auth") * F.lit(float(_QUANT))).cast("bigint").alias("c"),
+        )
         hraw = (
-            edges.join(auths.hint("shuffle_hash"), edges.dst == auths.node)
-            .select(
-                F.col("src"),
-                F.floor(F.col("auth") * F.lit(float(_QUANT)))
-                .cast("bigint")
-                .alias("c"),
-            )
+            edges_by_dst.join(aq.hint("shuffle_hash"), edges_by_dst.dst == aq.node)
             .groupBy("src")
             .agg(F.sum("c").alias("hraw"))
         )
@@ -106,6 +113,11 @@ def hits(
             F.col("src").alias("node"),
             (F.col("hraw") / F.col("hmax")).alias("hub"),
         )
+    if checkpoint:
+        from .cache import track_cache
+
+        hubs = track_cache(hubs, edges_by_dst)
+        auths = track_cache(auths, edges_by_dst)
     return hubs, auths
 
 

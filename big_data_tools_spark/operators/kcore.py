@@ -74,7 +74,16 @@ def kcore_peel_trace(und: DataFrame, k: int, rounds: int) -> DataFrame:
     swap for a reliable checkpoint dir on a real cluster). The
     checkpointed RDD blocks are released by the ContextCleaner once
     the per-round frames go out of scope (same lifecycle as the
-    components fixpoint)."""
+    components fixpoint).
+
+    ONLY the edge frame materializes per round (one blocking job).
+    The survivor set is a plain degree-aggregate expression over the
+    checkpointed edges — its three consumers (both membership probes,
+    the trace's n_nodes) each recompute one cheap hash-agg over an
+    in-memory frame rather than paying a second job-submission
+    barrier per round, and lineage stays linear because every path
+    bottoms out at a checkpoint. Measured at sf0.1 this halves the
+    peel's job count (r8 bench pass)."""
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
     if rounds < 1:
@@ -84,7 +93,7 @@ def kcore_peel_trace(und: DataFrame, k: int, rounds: int) -> DataFrame:
     prev_nodes = _degrees(cur).select("node")
     for i in range(1, rounds + 1):
         deg = _degrees(cur)
-        surv = deg.filter(F.col("d") >= k).select("node").localCheckpoint(eager=True)
+        surv = deg.filter(F.col("d") >= k).select("node")
         nxt = (
             cur.join(surv.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(surv.withColumnRenamed("node", "b"), "b", "left_semi")

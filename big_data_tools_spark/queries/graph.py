@@ -52,16 +52,50 @@ _EDGES_CTE = """baskets AS (
     )"""
 
 
+def _basket_pair_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (order, unordered part pair): ``(pa, pb)``,
+    ``pa < pb``, repeated across orders — the raw material every
+    co-purchase graph in this module reduces from.
+
+    Built by collecting each order's distinct part set (one hash
+    shuffle on the order key, map-side combined) and expanding the
+    ``m*(m-1)/2`` pairs JVM-side with higher-order array functions —
+    replacing the textbook baskets self-join, whose ``distinct`` +
+    join spent two extra full-table shuffles to produce the exact
+    same rows. Pair fan-out per order is bounded by basket size
+    squared (single digits on lineitem; bounded by the widest basket
+    generally), so the expansion is embarrassingly parallel and the
+    output cardinality is identical to the self-join's. The DuckDB
+    twins keep the self-join formulation (`_EDGES_CTE` etc.) — set
+    semantics are the same, which the oracle hash-match proves every
+    round. ``collect_set`` drops NULL part keys where DISTINCT would
+    keep one; l_partkey is non-nullable in this schema."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    # sorted parts + tail-slice per index => each pair emitted once
+    # with pa < pb, no m^2 intermediate
+    pairs = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size("ps")),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("e"))
+        .select(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
+    )
+
+
 def _copurchase_transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-normalized symmetrized co-purchase edges, partitioned on
     src and persisted (shared by the PageRank query and its trace)."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = baskets.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = baskets.select("l_orderkey", F.col("l_partkey").alias("pb"))
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
+        _basket_pair_rows(spark, sf_dir)
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("w"))
     )
@@ -148,18 +182,19 @@ _LPA_EDGES_CTE = """baskets AS (
 def lpa_convergence_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.communities import label_propagation_trace
 
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = baskets.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = baskets.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") != F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .distinct()
-    )
-    edges = und.repartition("dst").persist()
+    edges = _symmetrized_distinct_edges(spark, sf_dir)
     return track_cache(label_propagation_trace(edges, 5), edges)
+
+
+def _symmetrized_distinct_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct directed (src, dst) co-purchase edges, both directions
+    (== the self-join's `pa != pb` DISTINCT set), dst-partitioned and
+    persisted — shared by the LPA community query and its trace."""
+    und = _basket_pair_rows(spark, sf_dir).distinct()
+    edges = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    return edges.repartition("dst").persist()
 
 
 _TRI_EDGES_CTE = """baskets AS (
@@ -254,14 +289,9 @@ def triangle_stats(und: DataFrame) -> DataFrame:
     "plus the degree aggregate.",
 )
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
-    b = baskets.select("l_orderkey", F.col("l_partkey").alias("b"))
     und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        _basket_pair_rows(spark, sf_dir)
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
         .distinct()
     )
     return triangle_stats(und)
@@ -284,17 +314,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.communities import label_propagation
 
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = baskets.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = baskets.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") != F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .distinct()
-    )
-    edges = und.repartition("dst").persist()
+    edges = _symmetrized_distinct_edges(spark, sf_dir)
     comms = label_propagation(edges, iterations=5)
     out = (
         comms.groupBy("community_id")
@@ -342,33 +362,16 @@ _KCORE_EDGES_CTE = f"""baskets AS (
 def copurchase_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kcore import kcore_peel_trace
 
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
-    b = baskets.select("l_orderkey", F.col("l_partkey").alias("b"))
-    und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _KCORE_MIN_W)
-        .select("a", "b")
-    )
-    return kcore_peel_trace(und, _KCORE_K, _KCORE_ROUNDS)
+    return kcore_peel_trace(_repeat_und(spark, sf_dir), _KCORE_K, _KCORE_ROUNDS)
 
 
 def _repeat_und(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The repeat-co-purchase graph (a < b, co-ordered >= _KCORE_MIN_W
     times) — the thresholded, genuinely sparse graph the k-core query
     established as the one with density structure."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
-    b = baskets.select("l_orderkey", F.col("l_partkey").alias("b"))
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        _basket_pair_rows(spark, sf_dir)
+        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _KCORE_MIN_W)
         .select("a", "b")
@@ -605,7 +608,9 @@ def purchase_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("node"))
         .limit(_HITS_TOPK)
     )
-    return track_cache(top_auth.unionByName(top_hub), edges)
+    # hubs/auths carry the operator's internal dst-partitioned edge
+    # cache tag — propagate it alongside the src copy
+    return track_cache(top_auth.unionByName(top_hub), edges, hubs, auths)
 
 
 _LCC_TOPK = 20
