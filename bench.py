@@ -228,6 +228,33 @@ def run_canary(spark) -> float:
     return round(min(one(), one(), one()), 3)
 
 
+def run_shuffle_canary(spark) -> float:
+    """Fixed shuffle-I/O probe, the cpu canary's missing half: a
+    two-Exchange repartition + hash-agg over 8M rows whose wall time
+    is dominated by shuffle write/read, not compute. The r8 bench
+    caught co-tenant DISK contention slowing shuffle-heavy queries
+    20-70% while the cpu canary showed the box FASTER — the two
+    canaries together separate "code got slower" from "which shared
+    resource got slower". With spark.local.dir on tmpfs
+    (session._scratch_dir) this probe should sit near its floor;
+    a spike means the scratch override is off or memory-pressured."""
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 8_000_000, 1, 32)
+            .selectExpr("id % 65536 AS k", "id AS v")
+            .repartition("k")
+            .groupBy("k")
+            .sum("v")
+            .count()
+        )
+        return time.perf_counter() - t0
+
+    one()  # warm
+    return round(min(one(), one(), one()), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bdt-bench")
@@ -238,7 +265,12 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     canary_sec = run_canary(spark)
-    print(f"# canary: {canary_sec:.3f}s", file=sys.stderr)
+    shuffle_canary_sec = run_shuffle_canary(spark)
+    print(
+        f"# canary: {canary_sec:.3f}s  shuffle-canary: "
+        f"{shuffle_canary_sec:.3f}s",
+        file=sys.stderr,
+    )
 
     # steady-state methodology: three warm runs (JIT/codegen compile —
     # C2 needs several passes for wide generated methods, e.g. the
@@ -256,6 +288,7 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf else None,
         "canary_sec": canary_sec,
+        "shuffle_canary_sec": shuffle_canary_sec,
         "queries": {},
         "complete": False,
     }
@@ -341,6 +374,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
         "canary_sec": canary_sec,
+        "shuffle_canary_sec": shuffle_canary_sec,
         "skew_check": skew_check,
     }
     summary.update(payload)

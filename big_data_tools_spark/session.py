@@ -27,6 +27,59 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def _scratch_dir() -> str | None:
+    """Fast local scratch for shuffle files and localCheckpoint spill.
+
+    Single-node shuffles write every Exchange to ``spark.local.dir``
+    (default /tmp, the shared system disk here); on a multi-tenant box
+    that disk's contention swings shuffle-heavy wall-clock 2-4x while
+    CPU-bound queries are unaffected — measured live in the r8 bench,
+    where untouched shuffle-heavy queries regressed 20-70% against a
+    FASTER cpu canary. A RAM-backed tmpfs (/dev/shm, 126 GiB on this
+    box, sized far above any local-mode spill this repo produces)
+    removes that variance. The cluster-scale analog is standard ops
+    guidance, not a local hack: put spark.local.dir on fast local
+    NVMe, never on a shared/network volume. Overridable (or disabled
+    with an empty value) via $SPARK_GRAFT_LOCAL_DIR."""
+    d = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if d is not None:
+        return d or None
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/spark-graft-local"
+        try:
+            os.makedirs(d, exist_ok=True)
+        except OSError:
+            return None
+        _sweep_stale_scratch(d)
+        return d
+    return None
+
+
+def _sweep_stale_scratch(root: str, max_age_sec: float = 3 * 3600.0) -> None:
+    """Best-effort removal of scratch subtrees from long-dead runs.
+
+    Spark removes its spark-*/blockmgr-* dirs on clean shutdown, but a
+    SIGKILLed process (harness timeouts) leaks them — and on tmpfs a
+    leak is resident RAM, not disk. Anything untouched for hours here
+    belongs to no live session (the longest-running consumer, the full
+    test suite, finishes well inside the window); errors are ignored
+    so a concurrent session racing the sweep is harmless."""
+    import shutil
+    import time as _time
+
+    try:
+        entries = os.scandir(root)
+    except OSError:
+        return
+    cutoff = _time.time() - max_age_sec
+    for e in entries:
+        try:
+            if e.stat().st_mtime < cutoff:
+                shutil.rmtree(e.path, ignore_errors=True)
+        except OSError:
+            continue
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     cpus: int | None = None,
@@ -52,6 +105,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    scratch = _scratch_dir()
+    if scratch:
+        # must be set before the JVM launches (like driver.memory)
+        builder = builder.config("spark.local.dir", scratch)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
