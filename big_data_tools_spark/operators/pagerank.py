@@ -48,11 +48,16 @@ _QUANT = 1_000_000  # contributions quantized to 1e-6 (see module docstring)
 def transition_edges(edges_w: DataFrame) -> DataFrame:
     """Weight-normalized directed transition edges from a weighted
     directed edge list ``(src, dst, w)``: adds ``p = w / out_weight``.
-    One shuffle for the out-weight aggregate; the division is exact-
-    input double division, identical across engines."""
-    deg = edges_w.groupBy("src").agg(F.sum("w").alias("wd"))
-    return edges_w.join(deg, "src").select(
-        "src", "dst", (F.col("w").cast("double") / F.col("wd")).alias("p")
+    The out-weight is a window sum over the src partition — one
+    shuffle and ONE scan of the input, where the aggregate-then-join
+    form read the (possibly expensive, un-materialized) edge subtree
+    twice. The division is exact-input double division, identical
+    across engines."""
+    from pyspark.sql import Window
+
+    wd = F.sum("w").over(Window.partitionBy("src"))
+    return edges_w.select(
+        "src", "dst", (F.col("w").cast("double") / wd).alias("p")
     )
 
 

@@ -61,6 +61,11 @@ def render() -> str:
     for rk in data:
         c = data[rk].get("canary_sec")
         hdr += [f"{rk} raw", f"{rk} /canary({c:.3f}s)"]
+    shuf = ", ".join(
+        f"{rk}={data[rk]['shuffle_canary_sec']:.3f}s"
+        for rk in data
+        if data[rk].get("shuffle_canary_sec") is not None
+    )
     lines = [
         MARK_A,
         "",
@@ -69,6 +74,13 @@ def render() -> str:
         "each run, so the normalized column is the one to diff across",
         "rounds). Archives live in bench_history/ — BENCH_SUMMARY.json",
         "is overwritten per run, the archive is the history.",
+        "The CPU canary misses DISK contention (shuffle writes), which",
+        "hit shuffle-heavy queries 2-4x in r8 while CPU-bound ones ran",
+        "FASTER; bench.py's second probe records it per archive"
+        + (f" (shuffle canary: {shuf})" if shuf else "")
+        + ". r8+ runs also pin spark.local.dir to tmpfs"
+        " (session.py _scratch_dir), which removes most of that"
+        " variance at the source.",
         "",
         "| " + " | ".join(hdr) + " |",
         "|" + "---|" * len(hdr),
