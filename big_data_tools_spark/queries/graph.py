@@ -222,9 +222,23 @@ def _symmetrized_distinct_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both directions are emitted by ONE per-order expansion (m*(m-1)
     ordered pairs) rather than unioning two projections of the a<b
     pair stream, which would compute the expansion subtree twice —
-    see _directed_pair_rows for the measured sf1 halving."""
-    edges = _directed_pair_rows(spark, sf_dir).distinct()
-    return edges.repartition("dst").persist()
+    see _directed_pair_rows for the measured sf1 halving.
+
+    The repartition runs BEFORE the distinct: HashPartitioning(dst)
+    satisfies the (src, dst) clustering the dedup aggregate requires,
+    so the whole build pays ONE full-width exchange instead of
+    distinct's (src, dst) exchange followed by the dst repartition
+    (verified: the second Exchange disappears from the plan). The
+    trade-off — raw pair rows cross the wire undeduplicated — is the
+    right one here because co-purchase pair streams dedup barely at
+    all (23.92M of 24.0M rows survive at sf1); flip the order for
+    edge streams with heavy duplication."""
+    return (
+        _directed_pair_rows(spark, sf_dir)
+        .repartition("dst")
+        .distinct()
+        .persist()
+    )
 
 
 _TRI_EDGES_CTE = """baskets AS (
@@ -614,6 +628,9 @@ def purchase_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # repartition BEFORE distinct: HashPartitioning(src) satisfies the
+    # (src, dst) dedup clustering, so one exchange serves both (the
+    # distinct-then-repartition order pays two full-width shuffles)
     edges = (
         orders.join(
             lineitem, lineitem.l_orderkey == orders.o_orderkey
@@ -621,8 +638,8 @@ def purchase_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
         )
-        .distinct()
         .repartition("src")
+        .distinct()
         .persist()
     )
     hubs, auths = hits(edges, _HITS_ITERS)
