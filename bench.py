@@ -203,12 +203,23 @@ def _write_summary(payload: dict) -> None:
     os.replace(tmp, SUMMARY_PATH)
 
 
-def run_canary(spark) -> float:
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def run_canary(spark) -> tuple[float, list[float]]:
     """Fixed machine-speed probe: a data-independent CPU fold over
     spark.range plus one 1M-row hash-agg shuffle. Its wall time
     normalizes round-over-round comparisons — this box swings 1.2-1.8x
     with co-tenant load (ROUND5_NOTES), so absolute walls from
-    different rounds are only comparable as query_sec / canary_sec."""
+    different rounds are only comparable as query_sec / canary_sec.
+    r9: median-of-5 with every sample committed — the single-sample
+    driver canary swung 0.54-1.45s between rounds on identical
+    hardware, flipping normalized round-over-round conclusions by >2x
+    (VERDICT r8 #5); the median bounds one co-tenant burst and the
+    samples let a reader judge the spread."""
 
     def one() -> float:
         t0 = time.perf_counter()
@@ -225,10 +236,11 @@ def run_canary(spark) -> float:
         return time.perf_counter() - t0
 
     one()  # warm (JIT)
-    return round(min(one(), one(), one()), 3)
+    samples = [round(one(), 3) for _ in range(5)]
+    return round(_median(samples), 3), samples
 
 
-def run_shuffle_canary(spark) -> float:
+def run_shuffle_canary(spark) -> tuple[float, list[float]]:
     """Fixed shuffle-I/O probe, the cpu canary's missing half: a
     two-Exchange repartition + hash-agg over 8M rows whose wall time
     is dominated by shuffle write/read, not compute. The r8 bench
@@ -237,7 +249,11 @@ def run_shuffle_canary(spark) -> float:
     canaries together separate "code got slower" from "which shared
     resource got slower". With spark.local.dir on tmpfs
     (session._scratch_dir) this probe should sit near its floor;
-    a spike means the scratch override is off or memory-pressured."""
+    a spike means the scratch override is off or memory-pressured.
+    The agg result is COLLECTED (not count()'d) so the optimizer
+    cannot prune the v payload below the repartition — with count()
+    the probe shuffled only the 8M k values, half the width the
+    docstring promises (r8 ADVICE)."""
 
     def one() -> float:
         t0 = time.perf_counter()
@@ -246,13 +262,15 @@ def run_shuffle_canary(spark) -> float:
             .selectExpr("id % 65536 AS k", "id AS v")
             .repartition("k")
             .groupBy("k")
-            .sum("v")
-            .count()
+            .agg({"v": "sum"})
+            .agg({"sum(v)": "sum"})
+            .collect()
         )
         return time.perf_counter() - t0
 
     one()  # warm
-    return round(min(one(), one(), one()), 3)
+    samples = [round(one(), 3) for _ in range(5)]
+    return round(_median(samples), 3), samples
 
 
 def main() -> None:
@@ -264,11 +282,12 @@ def main() -> None:
     # timed query doesn't absorb session spin-up
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    canary_sec = run_canary(spark)
-    shuffle_canary_sec = run_shuffle_canary(spark)
+    canary_sec, canary_samples = run_canary(spark)
+    shuffle_canary_sec, shuffle_canary_samples = run_shuffle_canary(spark)
     print(
-        f"# canary: {canary_sec:.3f}s  shuffle-canary: "
-        f"{shuffle_canary_sec:.3f}s",
+        f"# canary: {canary_sec:.3f}s (samples {canary_samples})  "
+        f"shuffle-canary: {shuffle_canary_sec:.3f}s "
+        f"(samples {shuffle_canary_samples})",
         file=sys.stderr,
     )
 
@@ -288,8 +307,11 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf else None,
         "canary_sec": canary_sec,
+        "canary_samples": canary_samples,
         "shuffle_canary_sec": shuffle_canary_sec,
+        "shuffle_canary_samples": shuffle_canary_samples,
         "queries": {},
+        "queries_normalized": {},
         "complete": False,
     }
 
@@ -324,6 +346,11 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         summary["queries"][name] = timings[name]
+        # canary-normalized units: the only number comparable across
+        # rounds on this co-tenant-noisy box (VERDICT r8 #5)
+        summary["queries_normalized"][name] = round(
+            timings[name] / canary_sec, 3
+        )
         summary["value"] = round(sum(timings.values()), 3)
         _write_summary(summary)
 
@@ -374,7 +401,12 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
         "canary_sec": canary_sec,
+        "canary_samples": canary_samples,
         "shuffle_canary_sec": shuffle_canary_sec,
+        "shuffle_canary_samples": shuffle_canary_samples,
+        "queries_normalized": {
+            k: round(v / canary_sec, 3) for k, v in timings.items()
+        },
         "skew_check": skew_check,
     }
     summary.update(payload)

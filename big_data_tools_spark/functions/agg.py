@@ -52,25 +52,35 @@ def dmean(col: Column, digits: int = 2, row_scale: int = 6) -> Column:
 
 
 # ------------------------------------------------------- DuckDB SQL twins
+#
+# r9 float policy: every twin appends `+ 0.0` after the terminal
+# round. Spark's round() drops the sign of a zero (BigDecimal HALF_UP
+# has no signed zero) while DuckDB's keeps it (round(-1e-9, 2) ->
+# -0.0), and the driver hash distinguishes -0.0 from 0.0 (the r8
+# corpus_heaps_beta FAIL). `x + 0.0` is the IEEE identity for every
+# value except -0.0 -> +0.0, so this reproduces Spark's semantics
+# exactly with a one-sided, no-op-for-nonzero edit.
 
 def sql_money_sum(x: str, digits: int = 2) -> str:
-    return f"round(CAST(sum(CAST({x} AS DECIMAL(18,2))) AS DOUBLE), {digits})"
+    return f"round(CAST(sum(CAST({x} AS DECIMAL(18,2))) AS DOUBLE), {digits}) + 0.0"
 
 
 def sql_money_avg(x: str, digits: int = 2) -> str:
     return (
         f"round(CAST(sum(CAST({x} AS DECIMAL(18,2))) AS DOUBLE) / count({x}), {digits})"
+        " + 0.0"
     )
 
 
 def sql_dsum(x: str, digits: int = 2, row_scale: int = 6) -> str:
     return (
         f"round(CAST(sum(CAST(round({x}, {row_scale}) AS DECIMAL(28,8))) AS DOUBLE), {digits})"
+        " + 0.0"
     )
 
 
 def sql_dmean(x: str, digits: int = 2, row_scale: int = 6) -> str:
     return (
         f"round(CAST(sum(CAST(round({x}, {row_scale}) AS DECIMAL(28,8))) AS DOUBLE)"
-        f" / count({x}), {digits})"
+        f" / count({x}), {digits}) + 0.0"
     )

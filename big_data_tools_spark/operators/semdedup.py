@@ -110,16 +110,24 @@ def semantic_dedup_groups(
     max_cluster_size: int | None = 100_000,
     fit_sample_cap: int | None = 100_000,
     auto_rows_per_cluster: int = 2048,
+    index: IvfIndex | None = None,
 ) -> DataFrame:
     """(id, keep_id) for every vector in a semantic-duplicate group;
     keep_id = min id in the group (transitive closure over pairs, so a
     chain a~b~c collapses to one survivor even if cos(a,c) dips below
-    the threshold)."""
-    index = IvfIndex.fit(
-        corpus, id_col, vec_col, n_clusters, max_iter=8, init_mode="random",
-        fit_sample_cap=fit_sample_cap, auto_rows_per_cluster=auto_rows_per_cluster,
-        fit_rows_per_centroid=200,
-    )
+    the threshold).
+
+    Pass a pre-fitted ``index`` (typically :meth:`IvfIndex.load`-ed
+    from a nightly fit) to skip the per-run KMeans entirely — the
+    fit dominates the one-shot wall at scale (SCALING.md, IvfIndex
+    amortization); identical output when given the index this call
+    would have fitted (pinned in tests/test_dedup.py)."""
+    if index is None:
+        index = IvfIndex.fit(
+            corpus, id_col, vec_col, n_clusters, max_iter=8, init_mode="random",
+            fit_sample_cap=fit_sample_cap, auto_rows_per_cluster=auto_rows_per_cluster,
+            fit_rows_per_centroid=200,
+        )
     return semantic_dedup_groups_from_index(
         index, id_col=id_col, threshold=threshold,
         max_cluster_size=max_cluster_size,

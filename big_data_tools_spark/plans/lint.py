@@ -109,10 +109,66 @@ def _sum_args(sql: str) -> list[str]:
     return out
 
 
+# --------------------------------------------------------------- r9
+# Third bug class (the r8 corpus_heaps_beta driver hash FAIL): a
+# TERMINAL round(<double>, k) emitted as a double output drops the
+# sign of a zero in Spark (BigDecimal HALF_UP has no signed zero) but
+# keeps it in DuckDB (round(-1e-9, 6) -> -0.0), and the driver's value
+# hash distinguishes -0.0 from 0.0. Appending `+ 0.0` in the twin SQL
+# reproduces Spark's semantics exactly (IEEE: x + 0.0 == x for every
+# x except -0.0 -> +0.0), so the fix is one-sided and a no-op for all
+# nonzero values. The lint requires it on every round(...) aliased
+# directly to a double column whose argument could be negative
+# (contains a binary minus or a signed base column); integer/decimal
+# casts of the round are exempt (the cast erases a zero's sign).
+
+# type keywords after `AS` that erase a signed zero (CAST targets)
+_SIGN_ERASING_TYPES = re.compile(
+    r"^(DECIMAL|BIGINT|HUGEINT|INT|INTEGER|SMALLINT|TINYINT)\b", re.I
+)
+_SIGNED_BASE_COLS = re.compile(r"\b(c_acctbal|s_acctbal)\b", re.I)
+
+
+def _round_calls(sql: str) -> list[tuple[str, str]]:
+    """(argument text, trailing text) of every round(...) call."""
+    out = []
+    for m in re.finditer(r"(?<![a-z_0-9])round\s*\(", sql, re.I):
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        out.append((sql[m.end() : i - 1], sql[i : i + 64]))
+    return out
+
+
+def _terminal_signed_round_problems(name: str, body: str) -> list[str]:
+    problems = []
+    for arg, after in _round_calls(body):
+        if re.match(r"\s*\+\s*0\.0", after):
+            continue  # zero-normalized: matches Spark round() exactly
+        alias = re.match(r"\s*AS\s+(\w+)", after, re.I)
+        if not alias or _SIGN_ERASING_TYPES.match(alias.group(1)):
+            continue  # not emitted as a double column
+        if "-" not in arg and not _SIGNED_BASE_COLS.search(arg):
+            continue  # argument cannot be negative
+        problems.append(
+            f"{name}: terminal round(...) AS {alias.group(1)} over a "
+            "possibly-negative double without `+ 0.0` normalization — "
+            "Spark round() drops a zero's sign, DuckDB keeps it "
+            "(r8 corpus_heaps_beta driver FAIL); append `+ 0.0` in "
+            "the twin SQL or move to the integer micro-unit idiom"
+        )
+    return problems
+
+
 def lint_twin_sql(name: str, sql: str) -> list[str]:
     """Float-policy violations in one oracle twin's SQL (empty = ok)."""
     body = _strip_sql_comments(sql)
     problems = []
+    problems.extend(_terminal_signed_round_problems(name, body))
     for m in _LIBM_FUNCS.finditer(body):
         problems.append(
             f"{name}: libm-dependent {m.group(1)}() in twinned SQL — "

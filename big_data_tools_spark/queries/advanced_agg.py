@@ -143,7 +143,7 @@ def doc_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n,
            round(sx / n, 2) AS mean_value,
-           round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_value
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) + 0.0 AS stddev_value
     FROM s
     """,
     doc="Mean/stddev per event_type from EXACT decimal sums (sum x, "
@@ -222,7 +222,7 @@ def lineitem_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
     )
     SELECT segment, n_orders,
-           round(CAST(rev_dec AS DOUBLE), 2) AS revenue,
+           round(CAST(rev_dec AS DOUBLE), 2) + 0.0 AS revenue,
            round(CAST(rev_dec AS DOUBLE)
                  / CAST(sum(rev_dec) OVER () AS DOUBLE), 4) AS revenue_share
     FROM seg
@@ -276,13 +276,13 @@ def segment_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sx AS DOUBLE) / n, 2) AS avg_qty,
            round(CAST(sy AS DOUBLE) / n, 2) AS avg_price,
            round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-                 / (n - 1), 2) AS covar_qty_price,
+                 / (n - 1), 2) + 0.0 AS covar_qty_price,
            round((n * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (sqrt(n * CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                     * sqrt(n * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
                AS corr_qty_price
     FROM s
     """,

@@ -424,7 +424,7 @@ def monthly_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT spend_decile,
            CAST(count(*) AS BIGINT) AS n_customers,
-           round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE), 2)
+           round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE), 2) + 0.0
                AS revenue,
            round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE)
                  / t.total, 6) AS revenue_share
@@ -513,7 +513,7 @@ _HOLT_HORIZON = 3
         SELECT 1 AS rn,
                (SELECT y FROM s WHERE rn = 1) AS l,
                round((SELECT y FROM s WHERE rn = 2)
-                     - (SELECT y FROM s WHERE rn = 1), 6) AS b
+                     - (SELECT y FROM s WHERE rn = 1), 6) + 0.0 AS b
         UNION ALL
         SELECT r.rn + 1,
                round(CAST({_HOLT_ALPHA!r} AS DOUBLE) * sy.y
@@ -615,7 +615,7 @@ _pln_mi = (
         SELECT t.prev,
                -- ln(n/pn) = pln(n) - pln(pn): portable no-libm ln (r7)
                round(-(t.n * 1.0 / x.pn)
-                     * round({_pln_n_pn}, 6) / {_LN2!r}, 8) AS term
+                     * round({_pln_n_pn}, 6) / {_LN2!r}, 8) + 0.0 AS term
         FROM trans t JOIN totals x USING (prev)
     ), state AS (
         SELECT terms.prev,
@@ -727,7 +727,7 @@ def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM terms GROUP BY c_mktsegment
     )
     SELECT c_mktsegment, n AS n_customers, round(s, 2) AS revenue_total,
-           round((2.0 * t - (n + 1) * s) / (n * s), 6) AS gini
+           round((2.0 * t - (n + 1) * s) / (n * s), 6) + 0.0 AS gini
     FROM seg
     """,
     doc="Revenue-concentration Gini coefficient per market segment via "
@@ -809,11 +809,11 @@ def segment_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n_lines,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) + 0.0
                AS intercept,
            round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS r2
     FROM sums
     """,
     doc="Grouped closed-form OLS: quantity regressed on discount per "
@@ -897,9 +897,9 @@ _AB_U = _sql_u("CAST(user_id AS VARCHAR)", _AB_SALT)
     SELECT event_type,
            CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
            round(sa / na, 6) AS mean_a, round(sb / nb, 6) AS mean_b,
-           round((sa / na - sb / nb) / sqrt(wa + wb), 6) AS t_stat,
+           round((sa / na - sb / nb) / sqrt(wa + wb), 6) + 0.0 AS t_stat,
            round((wa + wb) * (wa + wb)
-                 / (wa * wa / (na - 1) + wb * wb / (nb - 1)), 6) AS df_welch
+                 / (wa * wa / (na - 1) + wb * wb / (nb - 1)), 6) + 0.0 AS df_welch
     FROM welch
     """,
     doc="Welch two-sample t-test per event type — the A/B-experiment "
@@ -1124,9 +1124,9 @@ def segment_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, hr, n,
                round((n * 1.0 / t)
                      * round({_pln_mi}, 6)
-                     / {0.6931471805599453!r}, 8) AS term,
+                     / {0.6931471805599453!r}, 8) + 0.0 AS term,
                round(round({_pln_mi}, 6)
-                     / {0.6931471805599453!r}, 6) AS pmi_bits
+                     / {0.6931471805599453!r}, 6) + 0.0 AS pmi_bits
         FROM marg
     )
     SELECT event_type, hr, n, pmi_bits,
@@ -1570,9 +1570,9 @@ _HILL_K = 100
            t.xk1 AS threshold_cents,
            round(CAST(sum(CAST(round(
                {pln_ratio_sql("x", "xk1")}, 9) AS DECIMAL(28,10))) AS DOUBLE)
-               / {_HILL_K}, 6) AS hill_h,
+               / {_HILL_K}, 6) + 0.0 AS hill_h,
            round({_HILL_K}.0 / CAST(sum(CAST(round(
-               {pln_ratio_sql("x", "xk1")}, 9) AS DECIMAL(28,10))) AS DOUBLE), 4)
+               {pln_ratio_sql("x", "xk1")}, 9) AS DECIMAL(28,10))) AS DOUBLE), 4) + 0.0
                AS tail_alpha
     FROM top CROSS JOIN thresh t
     GROUP BY t.xk1

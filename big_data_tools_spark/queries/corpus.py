@@ -407,6 +407,60 @@ def bpe_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZIPF_TOP = 500  # head ranks used for the log-log fit
 
 
+def _ols_micro(pts: DataFrame, slope_name: str, intercept_name: str) -> DataFrame:
+    """Exact-integer OLS over (x, y) BIGINT points, emitted in micro
+    units (r9 float policy — kills the -0.0 terminal-round hash class
+    that failed `corpus_heaps_beta` in the r8 driver run).
+
+    Inputs are 1e-4-quantized portable-ln values; every sum, numerator
+    and denominator is exact DECIMAL(38,0) arithmetic and the three
+    outputs are BIGINTs produced by the truncating-division idiom
+    ``(a - a % b) / b`` (dividend-sign ``%`` in both Spark and DuckDB,
+    verified; same idiom as doc_quality_rules_kappa). Cauchy-Schwarz
+    bounds ``ns² <= ds·dy`` so ``1e6·ns²`` stays inside DECIMAL(38,0)
+    for any ln-domain input (see corpus_zipf_fit doc).
+    """
+    dec = "decimal(38,0)"
+    s = pts.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(dec).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    d = s.select(
+        "n",
+        "sx",
+        "sy",
+        (n * F.col("sxy") - sx * sy).alias("ns"),
+        (n * F.col("sxx") - sx * sx).alias("ds"),
+        (n * F.col("syy") - sy * sy).alias("dy"),
+    )
+    ns, ds, dy = F.col("ns"), F.col("ds"), F.col("dy")
+    zero = F.lit(0).cast(dec)
+
+    def tdiv(num, den):  # trunc(num/den), exact; caller guards den != 0
+        return ((num - num % den) / den).cast("long")
+
+    mega = F.lit(1_000_000).cast(dec)
+    return d.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.when(ds == zero, F.lit(0).cast("long"))
+        .otherwise(tdiv(mega * ns, ds))
+        .alias(slope_name),
+        F.when(ds == zero, F.lit(0).cast("long"))
+        .otherwise(
+            tdiv(F.lit(100).cast(dec) * (F.col("sy") * ds - ns * F.col("sx")), F.col("n") * ds)
+        )
+        .alias(intercept_name),
+        F.when((ds == zero) | (dy == zero), F.lit(0).cast("long"))
+        .otherwise(tdiv(mega * ns * ns, ds * dy))
+        .alias("r2_micro"),
+    )
+
+
 @register(
     "corpus_zipf_fit",
     sql=f"""
@@ -419,25 +473,36 @@ _ZIPF_TOP = 500  # head ranks used for the log-log fit
         SELECT freq, row_number() OVER (ORDER BY freq DESC, w ASC) AS rnk
         FROM counts ORDER BY freq DESC, w ASC LIMIT {_ZIPF_TOP}
     ), pts AS (
-        SELECT round({pln_sql("rnk")}, 6) AS x,
-               round({pln_sql("freq")}, 6) AS y
+        SELECT CAST(round({pln_sql("rnk")} * 10000.0, 0) AS BIGINT) AS x,
+               CAST(round({pln_sql("freq")} * 10000.0, 0) AS BIGINT) AS y
         FROM head
-    ), sums AS (
-        SELECT CAST(count(*) AS DOUBLE) AS n,
-               CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
-               CAST(sum(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
-               CAST(sum(CAST(round(x * y, 8) AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
-               CAST(sum(CAST(round(x * x, 8) AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(round(y * y, 8) AS DECIMAL(28,10))) AS DOUBLE) AS syy
+    ), s AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(x * y) AS HUGEINT) AS sxy,
+               CAST(sum(x * x) AS HUGEINT) AS sxx,
+               CAST(sum(y * y) AS HUGEINT) AS syy
         FROM pts
+    ), d AS (
+        SELECT n, sx, sy,
+               n * sxy - sx * sy AS ns,
+               n * sxx - sx * sx AS ds,
+               n * syy - sy * sy AS dy
+        FROM s
     )
     SELECT CAST(n AS BIGINT) AS n_points,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
-           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-               AS zipf_intercept,
-           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
-    FROM sums
+           CAST(CASE WHEN ds = 0 THEN 0 ELSE
+                (1000000 * ns - (1000000 * ns) % ds) // ds END AS BIGINT)
+               AS zipf_slope_micro,
+           CAST(CASE WHEN ds = 0 THEN 0 ELSE
+                (100 * (sy * ds - ns * sx)
+                 - (100 * (sy * ds - ns * sx)) % (n * ds)) // (n * ds)
+                END AS BIGINT) AS zipf_intercept_micro,
+           CAST(CASE WHEN ds = 0 OR dy = 0 THEN 0 ELSE
+                (1000000 * ns * ns - (1000000 * ns * ns) % (ds * dy))
+                // (ds * dy) END AS BIGINT) AS r2_micro
+    FROM d
     """,
     doc="Zipf's-law fit over the corpus vocabulary: OLS of ln(freq) "
     "on ln(rank) for the top-500 ranks — slope near -1 is the "
@@ -447,15 +512,20 @@ _ZIPF_TOP = 500  # head ranks used for the log-log fit
     "doc_quality_by_source. Scale shape: one token explode + grouped "
     "count (map-side combine) reduce the corpus to vocab grain; the "
     "head selection is a bounded TakeOrdered (freq desc, token asc "
-    "total order, engine-identical at the cut), and the closed-form "
-    "OLS runs over 500 quantized log-points via the exact "
-    "decimal-sum policy (functions/agg.py) so both engines compute "
-    "identical sums, identical slope bits, identical rounding. r7: "
-    "the log-points use the engine-portable ln "
-    "(operators/portablemath.py) — libm ln differs by 1 ulp between "
-    "engine builds, which can flip the 6dp quantization at a rounding "
-    "boundary (the r6 corpus_heaps_fit driver FAIL); pln feeds "
-    "bit-identical inputs to the rounding by construction.",
+    "total order, engine-identical at the cut). r9 float policy: the "
+    "OLS is EXACT INTEGER end-to-end — portable-ln points quantized "
+    "to 1e-4 BIGINT units (one IEEE multiply of a bit-identical pln "
+    "double, then round-half-away — identical in both engines — and "
+    "the BIGINT cast erases any zero sign), exact integer sums, "
+    "slope/intercept/r2 emitted as micro-unit BIGINTs via the "
+    "truncating-division idiom ((a - a %% b)/b, dividend-sign "
+    "remainder in both engines; doc_quality_rules_kappa precedent). "
+    "No double ever reaches the output row, so the r8 "
+    "corpus_heaps_beta -0.0 hash class is impossible by type. "
+    "Overflow-safe at any corpus size: Cauchy-Schwarz gives "
+    "ns^2 <= ds*dy, so 1e6*ns^2 <= 1e6*(n*sxx)*(n*syy) < 1e38 for "
+    "ln-domain inputs (x <= ln(500)*1e4, y <= ln(1e13)*1e4 even at "
+    "100 TB token counts) within DECIMAL(38,0)/HUGEINT.",
 )
 def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -470,36 +540,15 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = head.select(
         F.row_number().over(w).alias("rnk"), "freq"
     ).select(
-        F.round(F.expr(pln_sql("rnk")), 6).alias("x"),
-        F.round(F.expr(pln_sql("freq")), 6).alias("y"),
+        F.round(F.expr(pln_sql("rnk")) * F.lit(10000.0), 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.expr(pln_sql("freq")) * F.lit(10000.0), 0)
+        .cast("long")
+        .alias("y"),
     )
-    sums = pts.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.col("x").cast("decimal(28,8)")).cast("double").alias("sx"),
-        F.sum(F.col("y").cast("decimal(28,8)")).cast("double").alias("sy"),
-        F.sum(F.round(F.col("x") * F.col("y"), 8).cast("decimal(28,10)"))
-        .cast("double")
-        .alias("sxy"),
-        F.sum(F.round(F.col("x") * F.col("x"), 8).cast("decimal(28,10)"))
-        .cast("double")
-        .alias("sxx"),
-        F.sum(F.round(F.col("y") * F.col("y"), 8).cast("decimal(28,10)"))
-        .cast("double")
-        .alias("syy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    return sums.select(
-        n.cast("long").alias("n_points"),
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
-        F.round(
-            (n * sxy - sx * sy)
-            * (n * sxy - sx * sy)
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
-            6,
-        ).alias("r2"),
+    return _ols_micro(
+        pts, "zipf_slope_micro", "zipf_intercept_micro"
     )
 
 
@@ -606,81 +655,65 @@ def _heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=_HEAPS_CURVE_CTES
     + f"""
     , pts AS (
-        SELECT round({pln_sql("n_tokens")}, 6) AS x,
-               round({pln_sql("vocab")}, 6) AS y
+        SELECT CAST(round({pln_sql("n_tokens")} * 10000.0, 0) AS BIGINT) AS x,
+               CAST(round({pln_sql("vocab")} * 10000.0, 0) AS BIGINT) AS y
         FROM curve WHERE n_tokens > 0 AND vocab > 0
-    ), sums AS (
-        SELECT CAST(count(*) AS DOUBLE) AS n,
-               CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
-               CAST(sum(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
-               CAST(sum(CAST(round(x * y, 8) AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
-               CAST(sum(CAST(round(x * x, 8) AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(round(y * y, 8) AS DECIMAL(28,10))) AS DOUBLE) AS syy
+    ), s AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(x * y) AS HUGEINT) AS sxy,
+               CAST(sum(x * x) AS HUGEINT) AS sxx,
+               CAST(sum(y * y) AS HUGEINT) AS syy
         FROM pts
+    ), d AS (
+        SELECT n, sx, sy,
+               n * sxy - sx * sy AS ns,
+               n * sxx - sx * sx AS ds,
+               n * syy - sy * sy AS dy
+        FROM s
     )
     SELECT CAST(n AS BIGINT) AS n_points,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta,
-           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-               AS heaps_lnk,
-           CASE WHEN n * syy - sy * sy = 0 THEN 0.0E0
-                ELSE round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-           END AS r2
-    FROM sums
+           CAST(CASE WHEN ds = 0 THEN 0 ELSE
+                (1000000 * ns - (1000000 * ns) % ds) // ds END AS BIGINT)
+               AS heaps_beta_micro,
+           CAST(CASE WHEN ds = 0 THEN 0 ELSE
+                (100 * (sy * ds - ns * sx)
+                 - (100 * (sy * ds - ns * sx)) % (n * ds)) // (n * ds)
+                END AS BIGINT) AS heaps_lnk_micro,
+           CAST(CASE WHEN ds = 0 OR dy = 0 THEN 0 ELSE
+                (1000000 * ns * ns - (1000000 * ns * ns) % (ds * dy))
+                // (ds * dy) END AS BIGINT) AS r2_micro
+    FROM d
     """,
     doc="Heaps'-law OLS fit V(N) ~ K*N^beta (beta in [0.4, 0.6] for "
     "natural language, Heaps 1978) over the corpus_heaps_fit integer "
-    "curve. r7: the log-log points come from the engine-portable ln "
-    "(operators/portablemath.py — pure IEEE +-*/ arithmetic, no "
-    "libm), so the 6dp rounding receives BIT-IDENTICAL inputs in "
-    "Spark and DuckDB and the fit twin is environment-robust by "
-    "construction — the property whose absence made the r6 "
-    "corpus_heaps_fit twin fail the driver hash. OLS sums use the "
-    "quantized decimal-sum recipe (order-independent).",
+    "curve, emitted in micro units (heaps_beta_micro = 1e6*beta). "
+    "r9 redesign after the r8 driver hash FAIL: the old terminal "
+    "round(double, 6) emitted +0.0 in Spark (BigDecimal HALF_UP "
+    "drops a zero's sign) but -0.0 in DuckDB on the saturated-vocab "
+    "corpus whose OLS slope is a tiny negative — the driver hash "
+    "distinguishes them. Now the fit is EXACT INTEGER end-to-end "
+    "(_ols_micro): portable-ln points quantized to 1e-4 BIGINT "
+    "units, exact DECIMAL(38,0)/HUGEINT sums and cross-products, "
+    "truncating-division micro outputs — no double reaches the "
+    "output row, so the class is impossible by type. A saturated "
+    "vocabulary (y constant) gives ns = 0 exactly -> beta_micro = 0, "
+    "and dy = 0 -> r2_micro = 0 via the guard, no 0/0.",
 )
 def corpus_heaps_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve = _heaps_curve(spark, sf_dir)
     pts = curve.filter(
         (F.col("n_tokens") > 0) & (F.col("vocab") > 0)
     ).select(
-        F.round(F.expr(pln_sql("n_tokens")), 6).alias("x"),
-        F.round(F.expr(pln_sql("vocab")), 6).alias("y"),
+        F.round(F.expr(pln_sql("n_tokens")) * F.lit(10000.0), 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.expr(pln_sql("vocab")) * F.lit(10000.0), 0)
+        .cast("long")
+        .alias("y"),
     )
-    sums = pts.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.col("x").cast("decimal(28,8)")).cast("double").alias("sx"),
-        F.sum(F.col("y").cast("decimal(28,8)")).cast("double").alias("sy"),
-        F.sum(F.round(F.col("x") * F.col("y"), 8).cast("decimal(28,10)"))
-        .cast("double")
-        .alias("sxy"),
-        F.sum(F.round(F.col("x") * F.col("x"), 8).cast("decimal(28,10)"))
-        .cast("double")
-        .alias("sxx"),
-        F.sum(F.round(F.col("y") * F.col("y"), 8).cast("decimal(28,10)"))
-        .cast("double")
-        .alias("syy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    return sums.select(
-        n.cast("long").alias("n_points"),
-        F.round(slope, 6).alias("heaps_beta"),
-        F.round((sy - slope * sx) / n, 6).alias("heaps_lnk"),
-        # a vocabulary that saturates before the first checkpoint (the
-        # beta=0 degenerate corpus) zeroes the y-variance; define r2=0
-        # there instead of emitting 0/0 NaN
-        F.when(n * syy - sy * sy == 0, F.lit(0.0))
-        .otherwise(
-            F.round(
-                (n * sxy - sx * sy)
-                * (n * sxy - sx * sy)
-                / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
-                6,
-            )
-        )
-        .alias("r2"),
-    )
+    return _ols_micro(pts, "heaps_beta_micro", "heaps_lnk_micro")
 
 
 @register(
@@ -707,7 +740,7 @@ def corpus_heaps_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(tokens) AS BIGINT) AS tokens_total,
            CAST(sum(greatest(2000 - tokens, 0)) AS BIGINT) AS padding_waste,
            round(sum(tokens) * 1.0
-                 / (count(*) * 2000 + sum(greatest(tokens - 2000, 0))), 6)
+                 / (count(*) * 2000 + sum(greatest(tokens - 2000, 0))), 6) + 0.0
                AS fill_frac,
            CAST(sum(CASE WHEN tokens > 2000 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_overflow_shards
@@ -948,18 +981,21 @@ _LN2_LIT = 0.6931471805599453  # shared literal — one constant, both engines
     ), uni AS (
         SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w
     ), un AS (
+        -- one pass: totals AND the entropy fold together.
+        -- sum c*ln(N/c) = N*ln N - sum c*ln c, so the per-type term
+        -- needs only its OWN count (integer-argument portable ln,
+        -- 6dp quantization, exact decimal sum) — no second scan of
+        -- the count table against the totals row (r9: the r8 bench
+        -- regression was exactly that re-scan, 13 exchanges).
         SELECT CAST(sum(c) AS BIGINT) AS n,
-               CAST(count(*) AS BIGINT) AS v
+               CAST(count(*) AS BIGINT) AS v,
+               CAST(sum(CAST(round(c * ({pln_sql("c")}), 6)
+                    AS DECIMAL(28,8))) AS DOUBLE) AS sc
         FROM uni
-    ), uterms AS (
-        -- c * ln(N/c) = c * (pln(N) - pln(c)): integer-argument
-        -- portable ln, per-type quantization then exact decimal sum
-        SELECT round(uni.c * ({pln_sql("un.n")} - {pln_sql("uni.c")}), 6)
-                   AS term
-        FROM uni CROSS JOIN un
     ), uh AS (
-        SELECT round(CAST(sum(CAST(term AS DECIMAL(28,8))) AS DOUBLE), 4)
-                   AS s FROM uterms
+        SELECT n, v,
+               round(n * ({pln_sql("n")}) - sc, 4) + 0.0 AS s
+        FROM un
     ), bg AS (
         SELECT unnest(fl[1:len(fl) - 1]) AS w1,
                unnest(fl[2:len(fl)]) AS w2
@@ -969,23 +1005,22 @@ _LN2_LIT = 0.6931471805599453  # shared literal — one constant, both engines
         FROM bg GROUP BY w1, w2
     ), bn AS (
         SELECT CAST(sum(c) AS BIGINT) AS n,
-               CAST(count(*) AS BIGINT) AS v
+               CAST(count(*) AS BIGINT) AS v,
+               CAST(sum(CAST(round(c * ({pln_sql("c")}), 6)
+                    AS DECIMAL(28,8))) AS DOUBLE) AS sc
         FROM bi
-    ), bterms AS (
-        SELECT round(bi.c * ({pln_sql("bn.n")} - {pln_sql("bi.c")}), 6)
-                   AS term
-        FROM bi CROSS JOIN bn
     ), bh AS (
-        SELECT round(CAST(sum(CAST(term AS DECIMAL(28,8))) AS DOUBLE), 4)
-                   AS s FROM bterms
+        SELECT n, v,
+               round(n * ({pln_sql("n")}) - sc, 4) + 0.0 AS s
+        FROM bn
     )
-    SELECT un.n AS n_tokens, un.v AS n_types,
-           bn.n AS n_bigrams, bn.v AS n_bigram_types,
-           round(uh.s / un.n / {_LN2_LIT!r}, 6) AS unigram_bits,
-           round(bh.s / bn.n / {_LN2_LIT!r}, 6) AS bigram_bits,
-           round(bh.s / bn.n / {_LN2_LIT!r}
-                 - uh.s / un.n / {_LN2_LIT!r}, 6) AS conditional_bits
-    FROM un CROSS JOIN bn CROSS JOIN uh CROSS JOIN bh
+    SELECT uh.n AS n_tokens, uh.v AS n_types,
+           bh.n AS n_bigrams, bh.v AS n_bigram_types,
+           round(uh.s / uh.n / {_LN2_LIT!r}, 6) AS unigram_bits,
+           round(bh.s / bh.n / {_LN2_LIT!r}, 6) AS bigram_bits,
+           round(bh.s / bh.n / {_LN2_LIT!r}
+                 - uh.s / uh.n / {_LN2_LIT!r}, 6) + 0.0 AS conditional_bits
+    FROM uh CROSS JOIN bh
     """,
     doc="Corpus n-gram entropy in bits/token (Shannon 1951's "
     "printed-English estimate, the compressibility read): unigram "
@@ -995,12 +1030,15 @@ _LN2_LIT = 0.6931471805599453  # shared literal — one constant, both engines
     "synthetic corpora (near-equal: context tells nothing). Sits "
     "beside corpus_zipf_fit (rank law) and event_entropy_rate (the "
     "event-chain member) with the same per-term quantization "
-    "policy: c*ln(N/c) on integer-argument PORTABLE ln, rounded per "
-    "type, decimal-summed exactly, two final divisions of "
-    "engine-identical values. Scale shape: one corpus scan, bigrams "
-    "by in-row array slicing (no self-join), counts reduce at the "
-    "type/bigram-type grain (vocab-bounded, Heaps-sublinear); the "
-    "entropy folds run on those bounded tables.",
+    "policy: sum c*ln(N/c) computed as N*lnN - sum(c*ln c) so each "
+    "per-type term needs only its OWN count — integer-argument "
+    "PORTABLE ln, rounded per type, decimal-summed exactly, the "
+    "N*lnN correction applied once on the one-row totals. Scale "
+    "shape (r9 rework of the r8 bench regression): one corpus scan, "
+    "bigrams by in-row array slicing (no self-join), ONE aggregation "
+    "pass per gram level carrying totals and entropy fold together — "
+    "the old shape re-scanned each vocab-bounded count table against "
+    "the totals row (13 exchanges -> 6).",
 )
 def corpus_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
@@ -1008,10 +1046,6 @@ def corpus_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     fdocs = d.select(fl.alias("fl")).persist()
     toks = fdocs.select(F.explode("fl").alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    un = uni.agg(
-        F.sum("c").cast("bigint").alias("n"),
-        F.count(F.lit(1)).cast("bigint").alias("v"),
-    )
     bg = fdocs.select(
         F.explode(
             F.arrays_zip(
@@ -1027,48 +1061,54 @@ def corpus_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    bn = bi.agg(
-        F.sum("c").cast("bigint").alias("n"),
-        F.count(F.lit(1)).cast("bigint").alias("v"),
-    )
 
-    def _entropy_sum(counts: DataFrame, tot: DataFrame) -> DataFrame:
-        terms = counts.crossJoin(F.broadcast(tot)).select(
-            F.round(
-                F.col("c")
-                * (F.expr(pln_sql("n")) - F.expr(pln_sql("c"))),
-                6,
-            ).alias("term")
+    def _totals_and_entropy(counts: DataFrame) -> DataFrame:
+        """One pass: (n, v, s) where s = round(n*lnN - sum c*ln c, 4)
+        — the Shannon fold needs only per-type counts, so totals and
+        entropy share a single aggregation (no re-scan of the count
+        table against the totals row)."""
+        tot = counts.agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("v"),
+            F.sum(
+                F.round(F.col("c") * F.expr(pln_sql("c")), 6).cast(
+                    "decimal(28,8)"
+                )
+            )
+            .cast("double")
+            .alias("sc"),
         )
-        return terms.agg(
-            F.round(
-                F.sum(F.col("term").cast("decimal(28,8)")).cast("double"), 4
-            ).alias("s")
+        return tot.select(
+            "n",
+            "v",
+            (
+                F.round(
+                    F.col("n") * F.expr(pln_sql("n")) - F.col("sc"), 4
+                )
+                + F.lit(0.0)
+            ).alias("s"),
         )
 
-    uh = _entropy_sum(uni, un)
-    bh = _entropy_sum(bi, bn)
-    un2 = un.select(F.col("n").alias("n_tokens"), F.col("v").alias("n_types"))
-    bn2 = bn.select(
-        F.col("n").alias("n_bigrams"), F.col("v").alias("n_bigram_types")
+    uh = _totals_and_entropy(uni).select(
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        F.col("s").alias("us"),
     )
-    uh2 = uh.select(F.col("s").alias("us"))
-    bh2 = bh.select(F.col("s").alias("bs"))
+    bh = _totals_and_entropy(bi).select(
+        F.col("n").alias("n_bigrams"),
+        F.col("v").alias("n_bigram_types"),
+        F.col("s").alias("bs"),
+    )
     ubits = F.col("us") / F.col("n_tokens") / F.lit(_LN2_LIT)
     bbits = F.col("bs") / F.col("n_bigrams") / F.lit(_LN2_LIT)
-    out = (
-        un2.crossJoin(F.broadcast(bn2))
-        .crossJoin(F.broadcast(uh2))
-        .crossJoin(F.broadcast(bh2))
-        .select(
-            "n_tokens",
-            "n_types",
-            "n_bigrams",
-            "n_bigram_types",
-            F.round(ubits, 6).alias("unigram_bits"),
-            F.round(bbits, 6).alias("bigram_bits"),
-            F.round(bbits - ubits, 6).alias("conditional_bits"),
-        )
+    out = uh.crossJoin(F.broadcast(bh)).select(
+        "n_tokens",
+        "n_types",
+        "n_bigrams",
+        "n_bigram_types",
+        F.round(ubits, 6).alias("unigram_bits"),
+        F.round(bbits, 6).alias("bigram_bits"),
+        (F.round(bbits - ubits, 6) + F.lit(0.0)).alias("conditional_bits"),
     )
     from ..operators.cache import track_cache
 

@@ -551,7 +551,7 @@ _MH_BAND_LIST = ", ".join(
         GROUP BY c.id_a, c.id_b
     )
     SELECT id_a, id_b,
-           round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+           round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) + 0.0 AS jaccard
     FROM common
     JOIN sizes sa ON id_a = sa.doc
     JOIN sizes sb ON id_b = sb.doc

@@ -54,7 +54,7 @@ _KANON_K = 8
            round(max_cnt * 1.0 / n_rows, 6) AS max_share,
            round(topn_rows * 1.0 / n_rows, 6) AS topn_share,
            round(2.0 * rw / (n_keys * n_rows)
-                 - (n_keys + 1.0) / n_keys, 6) AS gini
+                 - (n_keys + 1.0) / n_keys, 6) + 0.0 AS gini
     FROM base CROSS JOIN topn
     """,
     doc="Key-skew summary for orders.o_custkey (operators/skewstats.py "
@@ -135,7 +135,7 @@ def customer_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN tot t
     )
     SELECT round(CAST(sum(CAST(round((o - e) * (o - e) / e, 6)
-                             AS DECIMAL(28,8))) AS DOUBLE), 4) AS chi2,
+                             AS DECIMAL(28,8))) AS DOUBLE), 4) + 0.0 AS chi2,
            CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
                * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof,
            CAST((SELECT n FROM tot) AS BIGINT) AS n_docs
@@ -328,7 +328,7 @@ _PSI_CUTOFF = "1997-01-01"
                      - {pln_sql(f"2 * tb + {_PSI_BINS}")})
                     - ({pln_sql("2 * n_after + 1")}
                        - {pln_sql(f"2 * ta + {_PSI_BINS}")})),
-                 6) AS psi_term
+                 6) + 0.0 AS psi_term
     FROM counts CROSS JOIN tot
     """,
     doc="Population-stability-index drift report over the order-value "
@@ -446,7 +446,7 @@ _LN2 = 0.6931471805599453  # shared literal: keep both engines on one constant
                                       - {pln_sql("u_int + v_int")}, 6)
                       + 0.5 * q * round(({LN2_LITERAL} + {pln_sql("v_int")})
                                         - {pln_sql("u_int + v_int")}, 6))
-                     / {_LN2!r}, 8) AS jsd_term
+                     / {_LN2!r}, 8) + 0.0 AS jsd_term
         FROM shares
     )
     SELECT bin, n_before, n_after, p_before, q_after, jsd_term,
@@ -642,7 +642,7 @@ _BENFORD_CASE = (
     SELECT digit, n,
            round(total * __BENFORD__, 2) AS expected_n,
            round((n - total * __BENFORD__) * (n - total * __BENFORD__)
-                 / (total * __BENFORD__), 6) AS chi2_term
+                 / (total * __BENFORD__), 6) + 0.0 AS chi2_term
     FROM tot
     """.replace("__BENFORD__", _BENFORD_CASE),
     doc="Benford's-law forensic audit of order totals: observed "
@@ -706,12 +706,12 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN tot t
     ), stat AS (
         SELECT round(CAST(sum(CAST(round((o - e) * (o - e) / e, 6)
-                                 AS DECIMAL(28,8))) AS DOUBLE), 4) AS chi2
+                                 AS DECIMAL(28,8))) AS DOUBLE), 4) + 0.0 AS chi2
         FROM cells
     )
     SELECT c.priority, c.status, c.o AS observed,
            round(c.e, 6) AS expected,
-           round((c.o - c.e) / sqrt(c.e), 6) AS std_residual,
+           round((c.o - c.e) / sqrt(c.e), 6) + 0.0 AS std_residual,
            s.chi2,
            -- degenerate 1xC / Rx1 table: V undefined => NULL on both
            -- engines (not a 0-divide whose inf/NULL differs per engine)
@@ -1261,7 +1261,7 @@ def customer_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * ((t.n1 + t.n2 + 1.0)
                         - CAST(s.tie_cubes AS DOUBLE)
                           / (CAST(t.n1 + t.n2 AS DOUBLE)
-                             * (t.n1 + t.n2 - 1.0))))), 6) AS z
+                             * (t.n1 + t.n2 - 1.0))))), 6) + 0.0 AS z
     FROM tot t CROSS JOIN stats s
     """,
     doc="Exact two-sample Mann-Whitney U (Wilcoxon rank-sum) on the "

@@ -119,7 +119,7 @@ def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_lines,
            round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                               AS DECIMAL(28,4))) AS DOUBLE), 2) AS revenue
+                               AS DECIMAL(28,4))) AS DOUBLE), 2) + 0.0 AS revenue
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderstatus = 'O'
     GROUP BY o_orderpriority
@@ -269,7 +269,7 @@ def _dp_release_sql() -> str:
         FROM documents GROUP BY source
     )
     SELECT source, true_count,
-           round({noise}, 6) AS noise,
+           round({noise}, 6) + 0.0 AS noise,
            CAST(true_count + CAST(round({noise}) AS BIGINT) AS BIGINT)
                AS released_count,
            CAST({_DP_EPS} AS DOUBLE) AS epsilon

@@ -439,7 +439,7 @@ _pln_d = pln_sql("d")
         SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY node
     ), il AS (
         -- portable no-libm ln on the integer degree (r7 float policy)
-        SELECT node, round(1.0 / round({_pln_d}, 6), 6) AS w
+        SELECT node, round(1.0 / round({_pln_d}, 6), 6) + 0.0 AS w
         FROM deg WHERE d >= 2
     ), wedges AS (
         SELECT x.nbr AS pa, y.nbr AS pb, il.w
@@ -535,7 +535,7 @@ def copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(m AS BIGINT) AS n_edge_ends,
            round((m * sjk - sj * sk)
                  / (sqrt(m * sjj - sj * sj) * sqrt(m * skk - sk * sk)),
-                 6) AS assortativity
+                 6) + 0.0 AS assortativity
     FROM sums
     """,
     doc="Degree assortativity of the repeat-co-purchase graph: "

@@ -81,12 +81,67 @@ def get(name: str) -> QuerySpec:
 # Everything past the window keeps its committed driver rows and is
 # still oracle-checked locally by tests/test_oracle_parity.py.
 _PRIORITY = [
-    # ---- round-8 window (50): 17 cadence-mandatory twins (the
-    # pending_r7 wave registrations, via tools/update_checked_rounds.py
-    # --plan), ALL 20 remaining never-driver-run rows-only entries
-    # (retiring the rows-only driver-evidence debt in one window,
-    # VERDICT r6 #4 completed), and 13 oldest-coverage (r4) twin
-    # re-rows to smooth the r9 mandatory load (37 r4 twins remain).
+    # ---- round-9 window (50): 45 cadence-mandatory twins (the full
+    # output of tools/update_checked_rounds.py --plan after r8: 37
+    # r4-coverage leftovers + the 8 pending_r8 wave twins getting
+    # their FIRST driver rows), plus 5 free seats:
+    # multimodal_image_ahash_dedup (the last never-driver-run
+    # rows-only entry, VERDICT r8 #3) and 4 oldest-coverage (r5)
+    # twin re-rows to smooth the r10 mandatory load.
+    "corpus_token_drift",
+    "customer_tcloseness",
+    "doc_length_quantiles",
+    "doc_token_stats",
+    "documents_dp_release",
+    "documents_temperature_mixture",
+    "embedding_centroids",
+    "event_sessions",
+    "event_transition_matrix",
+    "event_value_stats",
+    "events_burstiness",
+    "events_daily_completeness",
+    "events_hourly",
+    "events_kmv_setops",
+    "events_rolling_dau",
+    "frequent_big_spenders",
+    "gdpr_erasure_cascade",
+    "lang_source_chi2",
+    "monthly_revenue",
+    "nation_customer_value",
+    "nation_supplier_hhi",
+    "orders_above_customer_avg",
+    "orders_incremental_rollup",
+    "orders_mannwhitney",
+    "part_basket_lift",
+    "part_name_tokens",
+    "pricing_summary",
+    "priority_recode",
+    "priority_union",
+    "purchase_decay_attribution",
+    "returnflag_price_corr",
+    "revenue_rollup",
+    "revenue_tail_hill",
+    "segment_revenue_share",
+    "sentinel_audit_orders",
+    "signup_retention_cohorts",
+    "source_overlap_matrix",
+    "status_priority_cube",
+    "status_priority_mode",
+    "token_skipgram_counts",
+    "top100_orders",
+    "topk_orders_per_customer",
+    "user_value_anomalies",
+    "user_value_sliding_1h",
+    "vocab_oov_rate",
+    # -- free seats
+    "multimodal_image_ahash_dedup",
+    "benchmark_contamination",
+    "boilerplate_ngrams",
+    "bucketed_revenue_join",
+    "copurchase_triangles",
+    # ---- window boundary (50) ----
+    # past-window: driver-rowed in r1..r8, still oracle-checked
+    # locally by tests/test_oracle_parity.py every round.
     "bloom_semijoin_audit",
     "bm25_ndcg_eval",
     "copurchase_clustering_coefficient",
@@ -104,7 +159,6 @@ _PRIORITY = [
     "orders_price_ks",
     "orders_price_quantile_sketch",
     "vocab_coverage_curve",
-    # -- rows-only seating: every remaining never-driver-run entry
     "ann_recall_report",
     "approx_distinct_sketch",
     "bpe_corpus_stats",
@@ -125,7 +179,6 @@ _PRIORITY = [
     "streaming_upsert_rollup",
     "streaming_value_drift",
     "synthetic_source_rollup",
-    # -- r4 twin re-rows (free seats; oldest driver coverage first)
     "bulk_rename",
     "customer_order_coverage",
     "customer_rfm_segments",
@@ -139,9 +192,6 @@ _PRIORITY = [
     "distinct_status_priority",
     "doc_bpe_token_estimate",
     "doc_fingerprints",
-    # ---- window boundary (50) ----
-    # past-window: driver-rowed in r1..r7, still oracle-checked
-    # locally by tests/test_oracle_parity.py every round.
     "corpus_shuffle_shards",
     "corpus_vocabulary",
     "customer_kanonymity",
@@ -240,10 +290,6 @@ _PRIORITY = [
     "knn_pq_ann",
     "ml_cv_select",
     "streaming_rolling_dau",
-    "benchmark_contamination",
-    "boilerplate_ngrams",
-    "bucketed_revenue_join",
-    "copurchase_triangles",
     "corpus_ngram_novelty",
     "customer_revenue_pareto",
     "customer_reorder_survival",
@@ -290,43 +336,6 @@ _PRIORITY = [
     "token_shard_packing",
     "user_value_hourly_ffill",
     "waiting_supplier_lines",
-    "documents_temperature_mixture",
-    "event_transition_matrix",
-    "events_daily_completeness",
-    "lang_source_chi2",
-    "part_basket_lift",
-    "purchase_decay_attribution",
-    "signup_retention_cohorts",
-    "user_value_anomalies",
-    "pricing_summary",
-    "priority_recode",
-    "sentinel_audit_orders",
-    "nation_customer_value",
-    "topk_orders_per_customer",
-    "top100_orders",
-    "priority_union",
-    "monthly_revenue",
-    "revenue_rollup",
-    "event_sessions",
-    "orders_above_customer_avg",
-    "status_priority_cube",
-    "user_value_sliding_1h",
-    "embedding_centroids",
-    "frequent_big_spenders",
-    "doc_length_quantiles",
-    "event_value_stats",
-    "segment_revenue_share",
-    "returnflag_price_corr",
-    "status_priority_mode",
-    "events_hourly",
-    "part_name_tokens",
-    "doc_token_stats",
-    "events_rolling_dau",
-    "orders_incremental_rollup",
-    "gdpr_erasure_cascade",
-    "source_overlap_matrix",
-    "vocab_oov_rate",
-    "token_skipgram_counts",
     "doc_length_quantiles_approx",
     "dedup_minhash_pairs",
     "dedup_semantic_groups",

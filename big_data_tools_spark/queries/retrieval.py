@@ -204,7 +204,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(sum(CAST(round(
                    {pln_sql("t.n_tokens")} - {pln_sql("m.tc")}, 6)
                        AS DECIMAL(28,8)))
-                          AS DOUBLE) / count(*), 6) AS nll
+                          AS DOUBLE) / count(*), 6) + 0.0 AS nll
         FROM filtered f JOIN model m USING (w) CROSS JOIN tot t
         GROUP BY doc_id, source
     )
@@ -420,7 +420,7 @@ _SB_SALT = "lm"
     ), per_doc AS (
         SELECT doc_id, lang,
                round(CAST(sum(CAST(round(nll_t, 6) AS DECIMAL(28,8)))
-                          AS DOUBLE) / count(*), 6) AS nll,
+                          AS DOUBLE) / count(*), 6) + 0.0 AS nll,
                CAST(count(*) AS BIGINT) AS nb,
                CAST(sum(backoff) AS BIGINT) AS nbo
         FROM scored GROUP BY doc_id, lang

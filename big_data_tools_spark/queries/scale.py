@@ -24,7 +24,7 @@ from .registry import register
     sql="""
     SELECT o_orderstatus,
            CAST(count(o_totalprice) AS BIGINT) AS n_orders,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) + 0.0 AS revenue,
            max(o_totalprice) AS max_price
     FROM orders GROUP BY o_orderstatus
     """,
@@ -315,7 +315,7 @@ _tm_praw = _pexp("__x")
     SELECT doc_id, n_chars,
            round(({_pln(_sql_md5_hp("CAST(doc_id AS VARCHAR)", _WS_SALT))}
                   - {_pln(str(_MD5_DENOM))})
-                 / n_chars, 10) AS sample_key
+                 / n_chars, 10) + 0.0 AS sample_key
     FROM documents WHERE n_chars > 0
     ORDER BY sample_key DESC, doc_id ASC LIMIT {_WS_K}
     """,
@@ -919,7 +919,7 @@ _QSK_PREFIX_BKT_C = 1_000_000   # $10k prefix-sum buckets for the exact side
         SELECT e.q_permille, e.n_rows, e.target_rank,
                round(e.ebin * {_QSK_WIDTH_C}
                      + {_QSK_WIDTH_C} * 1.0
-                       * (e.target_rank - (h.cum - h.cnt)) / h.cnt, 4)
+                       * (e.target_rank - (h.cum - h.cnt)) / h.cnt, 4) + 0.0
                    AS est_cents
         FROM est e JOIN hcum h ON h.bin = e.ebin
     ), vcnt AS (
@@ -947,7 +947,7 @@ _QSK_PREFIX_BKT_C = 1_000_000   # $10k prefix-sum buckets for the exact side
     )
     SELECT e2.q_permille, e2.n_rows, e2.target_rank,
            x.exact_cents, e2.est_cents,
-           round(abs(e2.est_cents - x.exact_cents), 4) AS abs_err_cents,
+           round(abs(e2.est_cents - x.exact_cents), 4) + 0.0 AS abs_err_cents,
            mi.merge_identity_ok
     FROM est2 e2 JOIN exact x USING (q_permille) CROSS JOIN mi
     """,
@@ -1140,17 +1140,17 @@ def _kmv_setops_sql() -> str:
     )
     SELECT CAST({k} AS BIGINT) AS k,
            round(CASE WHEN sa.ka < {k} THEN CAST(ex.exact_a AS DOUBLE)
-                ELSE (sa.ka - 1) / sa.kth_a END, 4) AS est_a,
+                ELSE (sa.ka - 1) / sa.kth_a END, 4) + 0.0 AS est_a,
            round(CASE WHEN sb.kb < {k} THEN CAST(ex.exact_b AS DOUBLE)
-                ELSE (sb.kb - 1) / sb.kth_b END, 4) AS est_b,
+                ELSE (sb.kb - 1) / sb.kth_b END, 4) + 0.0 AS est_b,
            round(CASE WHEN us.k_eff < {k} THEN CAST(ex.exact_union AS DOUBLE)
-                ELSE (us.k_eff - 1) / us.kth END, 4) AS est_union,
+                ELSE (us.k_eff - 1) / us.kth END, 4) + 0.0 AS est_union,
            us.rho_both,
            round(CAST(us.rho_both AS DOUBLE) / us.k_eff, 8) AS jaccard_est,
            round((CAST(us.rho_both AS DOUBLE) / us.k_eff)
                  * (CASE WHEN us.k_eff < {k}
                          THEN CAST(ex.exact_union AS DOUBLE)
-                         ELSE (us.k_eff - 1) / us.kth END), 4)
+                         ELSE (us.k_eff - 1) / us.kth END), 4) + 0.0
                AS est_intersection,
            ex.exact_a, ex.exact_b, ex.exact_union, ex.exact_intersection,
            round(CAST(ex.exact_intersection AS DOUBLE) / ex.exact_union, 8)

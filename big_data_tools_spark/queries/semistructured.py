@@ -21,7 +21,7 @@ from .registry import register
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
-           round(avg(CAST(props->>'$.k' AS BIGINT)), 2) AS k_avg
+           round(avg(CAST(props->>'$.k' AS BIGINT)), 2) + 0.0 AS k_avg
     FROM events GROUP BY event_type
     """,
     doc="JSON-string column -> typed values via one from_json to "

@@ -545,7 +545,7 @@ _SHIFT_DIMS = 64
         FROM cells GROUP BY label, dim
     ), diffs AS (
         SELECT label, na, nb,
-               round((sa / na - sb / nb) * (sa / na - sb / nb), 10) AS sq
+               round((sa / na - sb / nb) * (sa / na - sb / nb), 10) + 0.0 AS sq
         FROM moments WHERE na > 0 AND nb > 0
     )
     SELECT label,

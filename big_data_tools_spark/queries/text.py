@@ -36,7 +36,7 @@ _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
     sql=f"""
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(avg(len(string_split(lower(text), ' '))), 2) AS avg_tokens,
+           round(avg(len(string_split(lower(text), ' '))), 2) + 0.0 AS avg_tokens,
            round(avg(length(text)), 2) AS avg_chars,
            {sql_dmean("list_aggregate(list_transform(string_split(lower(text), ' '), "
                       "t -> length(t)), 'sum') * 1.0 "
@@ -174,10 +174,10 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS BIGINT)
                AS total_tokens,
-           round(avg(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))), 2)
+           round(avg(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))), 2) + 0.0
                AS avg_tokens,
            round(CAST(sum(length(text)) AS DOUBLE)
-                 / sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))), 3)
+                 / sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))), 3) + 0.0
                AS chars_per_token
     FROM documents GROUP BY source
     """,
@@ -228,7 +228,7 @@ def doc_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.df * 2 < n.n_docs
     )
     SELECT lang, CAST(rank AS INT) AS rank, term, cnt,
-           round(__PLN_IDF__, 4) AS idf
+           round(__PLN_IDF__, 4) + 0.0 AS idf
     FROM r WHERE rank <= 5
     """.replace(
         # smoothed idf = ln((N+1)/(df+1)) on integer args, via the
@@ -479,7 +479,7 @@ def doc_repetition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(least(n_tok / 100.0, 1.0) * 0.4
                    + least((sw_hits * 1.0 / n_tok) * 4, 1.0) * 0.3
                    + greatest(0.0, 1.0 - (n_bad * 1.0 / n_chars) * 5) * 0.3,
-                   4) AS q
+                   4) + 0.0 AS q
         FROM (
             SELECT lang,
                    len(string_split(lower(text), ' ')) AS n_tok,

@@ -40,7 +40,7 @@ _DECAY_WINDOW_S = 3600
     ), z AS (
         SELECT user_id, ts, value,
                round((value - s1 / n)
-                     / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS zscore
+                     / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) + 0.0 AS zscore
         FROM scored
         WHERE n >= {_Z_MIN_N}
           AND (s2 - s1 * s1 / n) / (n - 1) > 0
@@ -310,12 +310,12 @@ _CUSUM_H = 5.0   # alarm threshold (std units), the classic (k, h) pairing
     ), z AS (
         SELECT row_number() OVER (ORDER BY day) AS rn, day,
                round((y - s1 / n)
-                     / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z
+                     / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) + 0.0 AS z
         FROM daily CROSS JOIN stats
     ), c AS (
         SELECT rn, day, z,
-               round(greatest(0, z - {_CUSUM_K}), 6) AS sp,
-               round(greatest(0, -z - {_CUSUM_K}), 6) AS sn
+               round(greatest(0, z - {_CUSUM_K}), 6) + 0.0 AS sp,
+               round(greatest(0, -z - {_CUSUM_K}), 6) + 0.0 AS sn
         FROM z WHERE rn = 1
         UNION ALL
         SELECT d.rn, d.day, d.z,
@@ -535,7 +535,7 @@ def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)
                WHEN s_stat < 0 THEN (s_stat + 1)
                    / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)
-               ELSE 0.0 END, 6) AS mk_z,
+               ELSE 0.0 END, 6) + 0.0 AS mk_z,
            slopes[CAST((m + 1) // 2 AS INTEGER)] / 1000000.0
                AS theil_sen_slope
     FROM s, ties, nn
@@ -640,8 +640,8 @@ def daily_revenue_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
            t AS t_index, n AS n_days,
            CAST(tstat AS BIGINT) AS cusum_stat,
            round(p / (t * 100.0), 6) AS pre_mean,
-           round((g - p) / ((n - t) * 100.0), 6) AS post_mean,
-           round((g - p) / ((n - t) * 100.0) - p / (t * 100.0), 6) AS shift
+           round((g - p) / ((n - t) * 100.0), 6) + 0.0 AS post_mean,
+           round((g - p) / ((n - t) * 100.0) - p / (t * 100.0), 6) + 0.0 AS shift
     FROM scored ORDER BY tstat DESC, day ASC LIMIT 1
     """,
     doc="Single most-likely level changepoint in the daily-revenue "
@@ -722,7 +722,7 @@ def daily_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(total AS DOUBLE) / n_days, 6) AS mean_daily,
            round((CAST(s2 AS DOUBLE) * n_days
                   - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
-                 / (CAST(n_days AS DOUBLE) * (n_days - 1.0)), 6)
+                 / (CAST(n_days AS DOUBLE) * (n_days - 1.0)), 6) + 0.0
                AS var_daily,
            CASE WHEN total = 0 THEN NULL
                 ELSE round(((CAST(s2 AS DOUBLE) * n_days

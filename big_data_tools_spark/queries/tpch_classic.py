@@ -237,7 +237,7 @@ def supplier_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.c_nationkey,
            CAST(count(*) AS BIGINT) AS n_custs,
-           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) + 0.0
                AS total_bal
     FROM customer c CROSS JOIN pos_avg a
     WHERE c.c_acctbal > a.avg_bal
@@ -289,7 +289,7 @@ _TRADE_BALANCE_SQL = f"""
         GROUP BY s.s_nationkey
     )
     SELECT n.n_name, b.buy_value, s.sell_value,
-           round(b.buy_value - s.sell_value, 2) AS trade_balance
+           round(b.buy_value - s.sell_value, 2) + 0.0 AS trade_balance
     FROM nation n
     JOIN cust_rev b ON n.n_nationkey = b.nationkey
     JOIN supp_rev s ON n.n_nationkey = s.nationkey

@@ -438,7 +438,7 @@ _Q14_START, _Q14_END = "1997-03-01", "1997-04-01"
                            THEN CAST(round(l.l_extendedprice * (1.0 - l.l_discount), 6)
                                      AS DECIMAL(28,8)) END) AS DOUBLE)
              / CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount), 6)
-                             AS DECIMAL(28,8))) AS DOUBLE), 4) AS promo_share_pct,
+                             AS DECIMAL(28,8))) AS DOUBLE), 4) + 0.0 AS promo_share_pct,
            {sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)')} AS total_revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey

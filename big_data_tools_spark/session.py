@@ -45,6 +45,17 @@ def _scratch_dir() -> str | None:
     if d is not None:
         return d or None
     if os.path.isdir("/dev/shm"):
+        # Only opt in when the tmpfs actually has headroom: on hosts
+        # where /dev/shm is small (64 MB–50% RAM is common in
+        # containers) shuffle writes would ENOSPC where the /tmp
+        # default succeeds (r8 ADVICE). 4 GiB floor ~ the largest
+        # local-mode shuffle this repo produces at sf1, with margin.
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize < 4 << 30:
+                return None
+        except OSError:
+            return None
         d = "/dev/shm/spark-graft-local"
         try:
             os.makedirs(d, exist_ok=True)
@@ -60,21 +71,42 @@ def _sweep_stale_scratch(root: str, max_age_sec: float = 3 * 3600.0) -> None:
 
     Spark removes its spark-*/blockmgr-* dirs on clean shutdown, but a
     SIGKILLed process (harness timeouts) leaks them — and on tmpfs a
-    leak is resident RAM, not disk. Anything untouched for hours here
-    belongs to no live session (the longest-running consumer, the full
-    test suite, finishes well inside the window); errors are ignored
-    so a concurrent session racing the sweep is harmless."""
+    leak is resident RAM, not disk. Staleness is keyed on the NEWEST
+    mtime found anywhere under the subtree, not the top-level dir's:
+    a directory's mtime reflects creation of its direct children
+    (session start), while ongoing shuffle writes land in nested
+    blockmgr-*/NN/ subdirs — keying on the top level would delete a
+    live >3h session's shuffle blocks out from under it (r8 ADVICE).
+    The walk early-exits at the first recent file, so live trees cost
+    one short scan. Errors are ignored so a concurrent session racing
+    the sweep is harmless."""
     import shutil
     import time as _time
 
     try:
-        entries = os.scandir(root)
+        entries = list(os.scandir(root))
     except OSError:
         return
     cutoff = _time.time() - max_age_sec
+
+    def subtree_is_stale(top: str) -> bool:
+        try:
+            if os.stat(top).st_mtime >= cutoff:
+                return False
+            for dirpath, dirnames, filenames in os.walk(top):
+                for name in dirnames + filenames:
+                    try:
+                        if os.lstat(os.path.join(dirpath, name)).st_mtime >= cutoff:
+                            return False
+                    except OSError:
+                        continue
+        except OSError:
+            return False  # can't prove staleness -> leave it
+        return True
+
     for e in entries:
         try:
-            if e.stat().st_mtime < cutoff:
+            if subtree_is_stale(e.path):
                 shutil.rmtree(e.path, ignore_errors=True)
         except OSError:
             continue

@@ -28,8 +28,11 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0/0.0 and print at full repr precision
-        return repr(v + 0.0)
+        # full repr precision, sign of zero PRESERVED: the driver's
+        # value hash distinguishes -0.0 from 0.0 (r8 corpus_heaps_beta
+        # FAIL — Spark round() drops a zero's sign, DuckDB keeps it),
+        # so collapsing here would keep that class invisible locally.
+        return repr(v)
     return repr(v)
 
 

@@ -96,13 +96,14 @@ def test_bigram_backoff_properties(spark, sf_smoke):
 
 
 def test_zipf_fit_properties(spark, sf_smoke):
+    # r9: micro-unit integer outputs (1e6 * value) — no doubles
     row = get("corpus_zipf_fit").fn(spark, sf_smoke).collect()[0]
     assert row["n_points"] >= 10
-    assert row["zipf_slope"] < 0.0  # frequency decreases with rank
-    assert 0.0 <= row["r2"] <= 1.0
+    assert row["zipf_slope_micro"] < 0  # frequency decreases with rank
+    assert 0 <= row["r2_micro"] <= 1_000_000
     # the synthetic corpus draws words near-uniformly, so the fit must
     # NOT look Zipfian — exactly the diagnostic the query exists for
-    assert row["zipf_slope"] > -0.5
+    assert row["zipf_slope_micro"] > -500_000
 
 
 def test_adamic_adar_planted_graph(spark):
@@ -198,10 +199,9 @@ def test_heaps_fit_properties(spark, sf_smoke):
     # draws from a ~31-word vocabulary that saturates before the first
     # checkpoint, so the fit must diagnose NO growth — beta ~= 0 with
     # the guarded-degenerate r2 = 0 (exactly the signal the query
-    # exists to surface)
-    assert 0.0 <= row["heaps_beta"] < 0.1
-    assert 0.0 <= row["r2"] <= 1.0
-    assert row["r2"] == row["r2"]  # not NaN
+    # exists to surface). r9: micro-unit integers (1e6 * value).
+    assert 0 <= row["heaps_beta_micro"] < 100_000
+    assert 0 <= row["r2_micro"] <= 1_000_000
 
 
 def test_quality_auc_matches_naive_rank_sum(spark, sf_smoke):

@@ -93,6 +93,13 @@ def test_heaps_beta_band(spark, sf_oracle):
     # the synthetic corpus saturates its fixed vocabulary by the first
     # checkpoint, so beta == 0 here (a real crawl sits in [0.4, 0.6]);
     # the fit itself is pinned by the band + the partition-invariance
-    # and oracle-parity checks
-    assert 0.0 <= row.heaps_beta < 1.0
-    assert 0.0 <= row.r2 <= 1.0
+    # and oracle-parity checks. r9: micro-unit integer surface — the
+    # r8 driver FAIL was Spark round() emitting +0.0 where DuckDB
+    # emitted -0.0; integers cannot carry a signed zero.
+    types = dict(
+        all_queries()["corpus_heaps_beta"].fn(spark, sf_oracle).dtypes
+    )
+    assert types["heaps_beta_micro"] == "bigint"
+    assert types["r2_micro"] == "bigint"
+    assert 0 <= row.heaps_beta_micro < 1_000_000
+    assert 0 <= row.r2_micro <= 1_000_000

@@ -377,7 +377,7 @@ def ivf_amortized() -> None:
     def one_shot() -> float:
         t0 = time.perf_counter()
         df = semantic_dedup_groups(emb, "vec_id", "embedding",
-                                   threshold=0.45, n_clusters=8)
+                                   threshold=0.45, n_clusters="auto")
         df.count()
         dt = time.perf_counter() - t0
         release_caches(df)
@@ -389,9 +389,14 @@ def ivf_amortized() -> None:
 
     d = tempfile.mkdtemp(prefix="bdt_ivf_")
     try:
+        # identical fit parameters to the one inside
+        # semantic_dedup_groups (auto-k, r8), so the A/B isolates
+        # exactly the fit+save vs load trade
         t0 = time.perf_counter()
-        index = IvfIndex.fit(emb, "vec_id", "embedding", 8, max_iter=8,
-                             init_mode="random", fit_sample_cap=100_000)
+        index = IvfIndex.fit(emb, "vec_id", "embedding", "auto", max_iter=8,
+                             init_mode="random", fit_sample_cap=100_000,
+                             auto_rows_per_cluster=2048,
+                             fit_rows_per_centroid=200)
         index.save(d)
         t_fit_save = time.perf_counter() - t0
         index.unpersist()
