@@ -222,6 +222,108 @@ def jaccard_pairs(
     return track_cache(out, raw_idx, idx)
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold_micro: int = 900_000,
+    min_shingles: int = 5,
+    max_doc_freq: int | str | None = "auto",
+) -> DataFrame:
+    """Overlap-coefficient (Szymkiewicz–Simpson) containment pairs:
+    |sh(A) ∩ sh(B)| / min(|sh(A)|, |sh(B)|) >= threshold — the dedup
+    tier Jaccard structurally misses. A short document quoted whole
+    inside a much longer one has Jaccard ~ |A|/|B| (arbitrarily low)
+    but containment ~ 1; for LLM corpora this is the
+    quote/excerpt/boilerplate-inclusion detector (the "document
+    embedded in another document" case Lee et al. 2022's substring
+    dedup targets, here at shingle granularity over the same inverted
+    index the Jaccard tier already builds).
+
+    Float policy: fully integer — the threshold is applied as the
+    cross-multiplication ``1e6*common >= threshold_micro*min_sh`` (no
+    division in the predicate) and the emitted score is
+    ``containment_micro`` via the truncating-division idiom, so no
+    double ever exists. ``min_shingles`` drops trivially-small sets
+    whose containment is noise.
+
+    100 TB shape: identical to :func:`jaccard_pairs` — one persisted
+    (doc, shingle) index, relative df cap (sqrt(N)) bounding the
+    posting-list expansion, candidate pairs from grouped posting
+    lists (one shuffle on the 8-byte shingle hash), shuffle-hash size
+    joins. The df cap trades the same recall the Jaccard tier trades;
+    a capped-out shingle is boilerplate by definition and carries no
+    containment signal.
+    """
+    from .cache import track_cache
+
+    raw_idx = idx = shingle_index(df, text_col, id_col, n, hashed=True).persist()
+    if max_doc_freq is not None:
+        freq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        if max_doc_freq == "auto":
+            cap_frame = df.agg(
+                F.least(
+                    F.lit(JACCARD_AUTO_CAP_MAX),
+                    F.greatest(
+                        F.lit(JACCARD_AUTO_CAP_MIN),
+                        F.ceil(F.sqrt(F.count(F.lit(1)))),
+                    ),
+                ).alias("cap")
+            )
+            freq = freq.crossJoin(F.broadcast(cap_frame))
+        else:
+            freq = freq.withColumn("cap", F.lit(int(max_doc_freq)))
+        idx = (
+            idx.join(
+                freq.filter(F.col("df") <= F.col("cap"))
+                .select("shingle")
+                .hint("shuffle_hash"),
+                "shingle",
+            )
+        ).persist()
+    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    posting = idx.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc")).alias("docs")
+    )
+    pair_expr = (
+        "flatten(transform(docs, (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), y -> struct(x AS id_a, y AS id_b))))"
+    )
+    common = (
+        posting.filter(F.size("docs") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
+    scored = (
+        common.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
+        .withColumn("min_sh", F.least(F.col("n_a"), F.col("n_b")).cast("bigint"))
+    )
+    mega = F.lit(1_000_000).cast("bigint")
+    num = mega * F.col("common")
+    out = (
+        scored.filter(
+            (F.col("min_sh") >= F.lit(int(min_shingles)))
+            & (num >= F.lit(int(threshold_micro)) * F.col("min_sh"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            "min_sh",
+            ((num - num % F.col("min_sh")) / F.col("min_sh"))
+            .cast("bigint")
+            .alias("containment_micro"),
+        )
+    )
+    return track_cache(out, raw_idx, idx)
+
+
 def jaccard_prefix_pairs(
     df: DataFrame,
     text_col: str,

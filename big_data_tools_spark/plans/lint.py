@@ -126,7 +126,13 @@ def _sum_args(sql: str) -> list[str]:
 _SIGN_ERASING_TYPES = re.compile(
     r"^(DECIMAL|BIGINT|HUGEINT|INT|INTEGER|SMALLINT|TINYINT)\b", re.I
 )
-_SIGNED_BASE_COLS = re.compile(r"\b(c_acctbal|s_acctbal)\b", re.I)
+# signed-capable without any textual minus: the two TPC-H columns
+# that go negative, and dot products (cosine numerators) — embeddings
+# have signed components, so a cosine can be a tiny negative with no
+# `-` anywhere in the expression text
+_SIGNED_BASE_COLS = re.compile(
+    r"\b(c_acctbal|s_acctbal|list_dot_product)\b", re.I
+)
 
 
 def _round_calls(sql: str) -> list[tuple[str, str]]:

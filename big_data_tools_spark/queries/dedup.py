@@ -169,7 +169,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.e, b.e)
                  / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
-                 4) AS cos_sim
+                 4) + 0.0 AS cos_sim
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE round(list_dot_product(a.e, b.e)
                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
@@ -276,6 +276,66 @@ def _winnow_pairs_sql() -> str:
     GROUP BY 1, 2
     HAVING count(*) >= 3
     """
+
+
+@register(
+    "dedup_containment_pairs",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id AS doc,
+               unnest(list_transform(generate_series(1, len(tokens) - 2),
+                      i -> array_to_string(tokens[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(tokens) >= 3
+    ), cap AS (
+        SELECT least(1000, greatest(100,
+                   CAST(ceil(sqrt(count(*))) AS BIGINT))) AS cap
+        FROM documents
+    ), idx AS (
+        SELECT sh.doc, sh.shingle FROM sh
+        JOIN (SELECT shingle FROM sh GROUP BY shingle
+              HAVING count(*) <= (SELECT cap FROM cap)) ok
+          ON sh.shingle = ok.shingle
+    ), sizes AS (
+        SELECT doc, CAST(count(*) AS BIGINT) AS n_sh FROM idx GROUP BY doc
+    ), common AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, CAST(count(*) AS BIGINT) AS common
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, common,
+           least(sa.n_sh, sb.n_sh) AS min_sh,
+           CAST((1000000 * common - (1000000 * common) % least(sa.n_sh, sb.n_sh))
+                // least(sa.n_sh, sb.n_sh) AS BIGINT) AS containment_micro
+    FROM common
+    JOIN sizes sa ON id_a = sa.doc
+    JOIN sizes sb ON id_b = sb.doc
+    WHERE least(sa.n_sh, sb.n_sh) >= 5
+      AND 1000000 * common >= 900000 * least(sa.n_sh, sb.n_sh)
+    """,
+    doc="Overlap-coefficient containment pairs (r9 wave): "
+    "|sh(A) ∩ sh(B)| / min(|sh(A)|, |sh(B)|) >= 0.9 over the same "
+    "3-gram inverted index the Jaccard tier builds — the "
+    "quote/excerpt/doc-embedded-in-doc detector Jaccard structurally "
+    "misses when sizes differ (a doc quoted whole inside one 10x "
+    "longer has Jaccard ~0.1 but containment ~1; cf. Lee et al. 2022 "
+    "substring dedup). Float policy: FULLY INTEGER — threshold via "
+    "cross-multiplication, score as containment_micro through the "
+    "truncating-division idiom; no double exists anywhere. Scale "
+    "shape: identical to dedup_jaccard_pairs (persisted hashed "
+    "index, relative sqrt(N) df cap, posting-list pair expansion, "
+    "shuffle-hash size joins). See operators/dedup.py "
+    "containment_pairs.",
+)
+def dedup_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        d, "text", "doc_id", n=3, threshold_micro=900_000, min_shingles=5,
+        max_doc_freq="auto",
+    )
 
 
 @register(

@@ -1363,3 +1363,79 @@ def orders_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((u2d - n1d * n2d) / (2.0 * F.sqrt(var)), 6).alias("z"),
     )
     return track_cache(out, pts)
+
+
+_FD_CANDIDATES = [
+    # (lhs, rhs): declared functional-dependency candidates over the
+    # orders table — one true key (must certify) and three
+    # expected-violated business hypotheses. The violation COUNTS are
+    # the audit output; "0 violating groups" certifies the FD.
+    ("o_orderkey", "o_custkey"),
+    ("o_orderstatus", "o_orderpriority"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderdate", "o_orderstatus"),
+]
+
+
+def _fd_sql() -> str:
+    parts = []
+    for lhs, rhs in _FD_CANDIDATES:
+        parts.append(f"""
+    SELECT '{lhs}->{rhs}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(*) FILTER (WHERE d > 1) AS BIGINT) AS violating_groups,
+           CAST(max(d) AS BIGINT) AS max_rhs_values,
+           CAST(COALESCE(sum(n_rows) FILTER (WHERE d > 1), 0) AS BIGINT)
+               AS violating_rows
+    FROM (
+        SELECT {lhs}, count(DISTINCT {rhs}) AS d,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders GROUP BY {lhs}
+    )""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "orders_fd_violations",
+    sql=_fd_sql(),
+    doc="Functional-dependency audit over declared candidate FDs "
+    "(r9 wave; the profiling primitive behind FD-discovery systems "
+    "like HyFD, Papenbrock & Naumann SIGMOD'16 — here the CHECK side "
+    "over a declared candidate list, which is what a production DQ "
+    "gate actually runs): for each lhs->rhs, the number of lhs "
+    "groups, groups with >1 distinct rhs (violations; 0 certifies "
+    "the FD), the worst group's distinct-rhs count, and the rows "
+    "inside violating groups. o_orderkey->o_custkey must certify (a "
+    "key determines everything); o_custkey->o_orderpriority must NOT "
+    "(customers spread across priorities). Float policy: all-integer "
+    "surface. Scale shape: one grouped count-distinct per candidate "
+    "FD (map-side partial agg on the lhs key) + a one-row rollup — "
+    "each candidate is an independent scan, so a 100 TB audit "
+    "parallelizes per-FD and per-partition; no joins, no windows.",
+)
+def orders_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    outs = []
+    for lhs, rhs in _FD_CANDIDATES:
+        g = o.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("d"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        outs.append(
+            g.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("violating_groups"),
+                F.max("d").cast("bigint").alias("max_rhs_values"),
+                F.coalesce(
+                    F.sum(F.when(F.col("d") > 1, F.col("n_rows"))), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("violating_rows"),
+            ).select(F.lit(f"{lhs}->{rhs}").alias("fd"), "*")
+        )
+    out = outs[0]
+    for other in outs[1:]:
+        out = out.unionByName(other)
+    return out

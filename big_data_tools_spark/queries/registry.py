@@ -86,8 +86,9 @@ _PRIORITY = [
     # r4-coverage leftovers + the 8 pending_r8 wave twins getting
     # their FIRST driver rows), plus 5 free seats:
     # multimodal_image_ahash_dedup (the last never-driver-run
-    # rows-only entry, VERDICT r8 #3) and 4 oldest-coverage (r5)
-    # twin re-rows to smooth the r10 mandatory load.
+    # rows-only entry, VERDICT r8 #3), the 3 r9-wave twins
+    # (containment dedup, FD audit, hubness — first driver rows),
+    # and 1 oldest-coverage (r5) twin re-row.
     "corpus_token_drift",
     "customer_tcloseness",
     "doc_length_quantiles",
@@ -135,13 +136,16 @@ _PRIORITY = [
     "vocab_oov_rate",
     # -- free seats
     "multimodal_image_ahash_dedup",
+    "dedup_containment_pairs",
+    "orders_fd_violations",
+    "embedding_hubness_audit",
     "benchmark_contamination",
-    "boilerplate_ngrams",
-    "bucketed_revenue_join",
-    "copurchase_triangles",
     # ---- window boundary (50) ----
     # past-window: driver-rowed in r1..r8, still oracle-checked
     # locally by tests/test_oracle_parity.py every round.
+    "boilerplate_ngrams",
+    "bucketed_revenue_join",
+    "copurchase_triangles",
     "bloom_semijoin_audit",
     "bm25_ndcg_eval",
     "copurchase_clustering_coefficient",

@@ -275,7 +275,7 @@ _RRF_QUERY_VEC = 0  # embedding row used as the dense query vector
                round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
                      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                               CAST(e.embedding AS DOUBLE[])))
-                        * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+                        * sqrt(list_dot_product(q.qv, q.qv))), 4) + 0.0 AS cos_sim
         FROM embeddings e CROSS JOIN qv q
         WHERE e.vec_id <> {_RRF_QUERY_VEC}
     ), dense AS (

@@ -25,7 +25,7 @@ from .registry import register
         SELECT query_id, neighbor_id,
                round(list_dot_product(qv, cv)
                      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
-                     4) AS cos_sim
+                     4) + 0.0 AS cos_sim
         FROM q CROSS JOIN c WHERE query_id != neighbor_id
     )
     SELECT * FROM (
@@ -163,7 +163,7 @@ def embedding_int8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q8
     ), scored AS (
         SELECT query_id, neighbor_id,
-               round(list_dot_product(q_q, c_q) / (q_norm * c_norm), 4) AS cos_sim
+               round(list_dot_product(q_q, c_q) / (q_norm * c_norm), 4) + 0.0 AS cos_sim
         FROM q CROSS JOIN c WHERE query_id != neighbor_id
     )
     SELECT * FROM (
@@ -203,7 +203,7 @@ def knn_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT query_id, neighbor_id,
                round(list_dot_product(qv, cv)
                      / (sqrt(list_dot_product(qv, qv))
-                        * sqrt(list_dot_product(cv, cv))), 4) AS cos_sim
+                        * sqrt(list_dot_product(cv, cv))), 4) + 0.0 AS cos_sim
         FROM q CROSS JOIN c
         WHERE query_id != neighbor_id AND q_label != c_label
     )
@@ -302,7 +302,7 @@ _OUTLIER_TOPN = 10
                round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c)
                      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                               CAST(e.embedding AS DOUBLE[])))
-                        * sqrt(list_dot_product(c.c, c.c))), 4)
+                        * sqrt(list_dot_product(c.c, c.c))), 4) + 0.0
                    AS cos_centroid
         FROM embeddings e JOIN cent c ON e.label = c.label
     )
@@ -621,4 +621,72 @@ def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(F.sum(F.col("sq").cast("decimal(28,12)")).cast("double")), 6
         ).alias("centroid_shift"),
+    )
+
+
+_HUB_K = 10
+
+
+@register(
+    "embedding_hubness_audit",
+    sql=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings
+    ), c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                     4) + 0.0 AS cos_sim
+        FROM q CROSS JOIN c WHERE query_id != neighbor_id
+    ), topk AS (
+        SELECT neighbor_id FROM (
+            SELECT neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rn
+            FROM scored
+        ) WHERE rn <= {_HUB_K}
+    ), kocc AS (
+        SELECT e.vec_id, CAST(COALESCE(t.cnt, 0) AS BIGINT) AS k_occ
+        FROM embeddings e LEFT JOIN (
+            SELECT neighbor_id, CAST(count(*) AS BIGINT) AS cnt
+            FROM topk GROUP BY 1
+        ) t ON e.vec_id = t.neighbor_id
+    )
+    SELECT k_occ, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM kocc GROUP BY k_occ
+    """,
+    doc="Embedding hubness audit (r9 wave; Radovanovic et al. JMLR "
+    "2010): the k-occurrence distribution — for each vector, how "
+    "often it appears in OTHER vectors' exact cosine top-10 — "
+    "including the k_occ=0 anti-hub bucket via the left join. "
+    "High-dimensional spaces concentrate nearest-neighbor lists onto "
+    "a few hub vectors; a heavy right tail here predicts degraded "
+    "ANN recall and semantic-dedup over-grouping, which makes this "
+    "the pre-flight check before trusting knn_lsh_ann/knn_ivf_ann "
+    "buckets. Float policy: cosine is only an ORDERING key (rounded "
+    "4dp portable recipe, zero-normalized); every emitted column is "
+    "BIGINT. Scale shape: the exact all-pairs scoring is the "
+    "deliberate small-SF oracle (same O(n^2 d) tier as "
+    "knn_cosine_brute); at corpus scale the same audit runs over the "
+    "IVF/LSH candidate lists (operators/similarity.py) or an "
+    "md5-uniform query sample — in-degree under a q-fraction query "
+    "sample is an unbiased k_occ/q estimator.",
+)
+def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = brute_force_topk(emb, emb, k=_HUB_K, max_queries=None)
+    indeg = topk.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    kocc = (
+        emb.select("vec_id")
+        .join(indeg, emb["vec_id"] == indeg["neighbor_id"], "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("k_occ"))
+    )
+    return kocc.groupBy("k_occ").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
     )

@@ -1,0 +1,162 @@
+"""Planted fixtures for the round-9 operator wave: containment
+(overlap-coefficient) dedup, functional-dependency audit, embedding
+hubness. Each gets (a) a behavioral pin on a constructed input whose
+correct answer is known by design, and (b) the full driver-style
+DuckDB compare on that same fixture."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from big_data_tools_spark.queries.registry import all_queries
+
+from .oracle import compare
+
+
+def _fixture_dir(tmp_path, tables: dict[str, pa.Table]) -> str:
+    from big_data_tools_spark.io.schemas import TABLE_NAMES
+
+    from .conftest import SF_SMOKE
+
+    for name, tbl in tables.items():
+        pq.write_table(tbl, str(tmp_path / f"{name}.parquet"))
+    for name in TABLE_NAMES:
+        if name not in tables:
+            os.symlink(
+                os.path.join(SF_SMOKE, f"{name}.parquet"),
+                str(tmp_path / f"{name}.parquet"),
+            )
+    return str(tmp_path)
+
+
+def _docs_table(texts: list[str]) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------------- containment
+def test_containment_finds_quote_jaccard_misses(spark, tmp_path):
+    """Doc 0 is quoted WHOLE inside the much longer doc 1: containment
+    of the smaller side is 1.0 while Jaccard is far below any dedup
+    threshold — the exact case this tier exists for."""
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"filler{i} pad{i} word{i}" for i in range(40))
+    texts = [
+        quote,  # doc 0: the short original
+        filler + " " + quote,  # doc 1: long doc embedding the quote
+        "completely unrelated text about spark shuffles and parquet files here",
+    ]
+    sf = _fixture_dir(tmp_path, {"documents": _docs_table(texts)})
+    spec = all_queries()["dedup_containment_pairs"]
+    rows = {(r.id_a, r.id_b): r for r in spec.fn(spark, sf).collect()}
+    assert (0, 1) in rows, f"quote pair missing: {list(rows)}"
+    r = rows[(0, 1)]
+    assert r.containment_micro == 1_000_000  # full containment, exact
+    assert r.common == r.min_sh
+    # Jaccard on the same pair is low — the structural contrast
+    jac = r.common / (r.min_sh + (r.common + 120) - r.common)
+    assert jac < 0.5
+    ok, msg = compare(spark, spec, sf)
+    assert ok, msg
+
+
+def test_containment_integer_surface(spark, sf_smoke):
+    df = all_queries()["dedup_containment_pairs"].fn(spark, sf_smoke)
+    types = dict(df.dtypes)
+    assert types["containment_micro"] == "bigint"
+    assert types["common"] == "bigint"
+    for r in df.limit(50).collect():
+        assert 900_000 <= r.containment_micro <= 1_000_000
+        assert r.common <= r.min_sh
+
+
+# ---------------------------------------------------------- FD audit
+def test_fd_audit_planted_violations(spark, tmp_path):
+    """Planted orders: the key FD certifies (0 violating groups);
+    o_custkey->o_orderpriority violates in exactly one group."""
+    d = datetime.datetime(2024, 1, 1)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([10, 10, 20, 20], pa.int64()),
+            "o_orderstatus": pa.array(["O", "O", "F", "F"]),
+            "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0]),
+            "o_orderdate": pa.array([d, d, d, d], pa.timestamp("us")),
+            # custkey 10 spans two priorities (violates), 20 does not
+            "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "3-MEDIUM"]),
+        }
+    )
+    sf = _fixture_dir(tmp_path, {"orders": orders})
+    spec = all_queries()["orders_fd_violations"]
+    rows = {r.fd: r for r in spec.fn(spark, sf).collect()}
+    key = rows["o_orderkey->o_custkey"]
+    assert key.violating_groups == 0 and key.n_groups == 4
+    cust = rows["o_custkey->o_orderpriority"]
+    assert cust.n_groups == 2
+    assert cust.violating_groups == 1
+    assert cust.max_rhs_values == 2
+    assert cust.violating_rows == 2
+    ok, msg = compare(spark, spec, sf)
+    assert ok, msg
+
+
+# ----------------------------------------------------------- hubness
+def test_hubness_planted_hub_and_antihub(spark, tmp_path):
+    """3 orthogonal 9-member clusters + a hub at the mean direction
+    (cos ~0.577 to every member -> fills every member's 10th slot) +
+    an anti-hub on its own axis (cos 0 to everything -> in nobody's
+    list). k-occurrence must show k_occ=27 for the hub and a nonzero
+    k_occ=0 bucket."""
+    dim = 8
+    vecs, labels = [], []
+    for c in range(3):  # clusters on axes 0,1,2
+        base = [0.0] * dim
+        base[c] = 1.0
+        for _ in range(9):
+            vecs.append(list(base))
+            labels.append(c)
+    hub = [0.0] * dim
+    s = 1.0 / (3 ** 0.5)
+    hub[0] = hub[1] = hub[2] = s
+    vecs.append(hub)
+    labels.append(3)
+    anti = [0.0] * dim
+    anti[7] = 1.0
+    vecs.append(anti)
+    labels.append(4)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    sf = _fixture_dir(tmp_path, {"embeddings": emb})
+    spec = all_queries()["embedding_hubness_audit"]
+    hist = {r.k_occ: r.n_vectors for r in spec.fn(spark, sf).collect()}
+    assert sum(hist.values()) == 29  # every vector lands in one bucket
+    assert hist.get(27) == 1, f"hub bucket wrong: {hist}"  # the hub
+    assert hist.get(0, 0) >= 1  # the anti-hub
+    ok, msg = compare(spark, spec, sf)
+    assert ok, msg
+
+
+def test_hubness_buckets_partition_corpus(spark, sf_smoke):
+    df = all_queries()["embedding_hubness_audit"].fn(spark, sf_smoke)
+    rows = df.collect()
+    total = sum(r.n_vectors for r in rows)
+    n = spark.read.parquet(f"{sf_smoke}/embeddings.parquet").count()
+    assert total == n
+    assert all(r.k_occ >= 0 for r in rows)
