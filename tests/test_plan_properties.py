@@ -468,3 +468,51 @@ def test_kmv_kmin_is_take_ordered_not_global_sort(spark, sf_smoke):
     assert "TakeOrderedAndProject" in plan
     from big_data_tools_spark.operators.cache import release_all_caches
     release_all_caches()
+
+
+def test_ngram_entropy_bounded_exchanges(spark, sf_smoke):
+    """r9 rework: totals + entropy fold share one aggregation per gram
+    level (sum c*ln(N/c) = N*lnN - sum c*ln c), so the plan carries at
+    most 6 exchanges — the r8 shape re-scanned each count table
+    against its totals row (13 exchanges, the one driver-bench
+    regression that round)."""
+    from big_data_tools_spark.operators.cache import release_all_caches
+
+    df = get("corpus_ngram_entropy").fn(spark, sf_smoke)
+    try:
+        assert count_exchanges(df) <= 6
+    finally:
+        release_all_caches()
+
+
+def test_fd_audit_no_joins(spark, sf_smoke):
+    """The FD audit is pure aggregation: one grouped count-distinct
+    per candidate + a one-row rollup each — any join in this plan
+    would be a regression toward a self-join FD checker that cannot
+    scale."""
+    df = get("orders_fd_violations").fn(spark, sf_smoke)
+    txt = _txt(df)
+    assert "Join" not in txt, txt[:2000]
+
+
+def test_containment_no_cartesian(spark, sf_smoke):
+    """Candidate pairs must come from bounded posting-list expansion,
+    never a corpus cross join."""
+    from big_data_tools_spark.operators.cache import release_all_caches
+
+    df = get("dedup_containment_pairs").fn(spark, sf_smoke)
+    try:
+        txt = _txt(df)
+        assert "CartesianProduct" not in txt
+        # exactly one BroadcastNestedLoopJoin node is expected: the
+        # broadcast ONE-ROW df-cap frame (df <= cap), same shape as
+        # jaccard_pairs — anything more would be a corpus cross join
+        # (formatted explain prints each node twice: once in the tree
+        # as `Name (n)`, once in details as `(n) Name` — count the
+        # detail headers)
+        import re
+
+        nodes = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", txt, re.M)
+        assert len(nodes) <= 1, txt[:2000]
+    finally:
+        release_all_caches()
