@@ -385,9 +385,13 @@ _SB_SALT = "lm"
     ), uni AS (
         SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM train_toks GROUP BY w
     ), stats AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(count(DISTINCT w) AS BIGINT) AS v
-        FROM train_toks
+        -- totals from the unigram model itself (n = sum c1, v = rows):
+        -- one aggregation over the vocab-bounded table instead of a
+        -- second pass over the train token stream (r9, the
+        -- corpus_ngram_entropy one-pass lesson)
+        SELECT CAST(sum(c1) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS v
+        FROM uni
     ), train_bg AS (
         SELECT unnest(fl[1:len(fl) - 1]) AS w1,
                unnest(fl[2:len(fl)]) AS w2
@@ -461,9 +465,14 @@ def doc_bigram_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     train = fdocs.filter(F.col("u") <= _SB_TRAIN_FRAC)
     train_toks = train.select(F.explode("fl").alias("w"))
-    uni = train_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
-    stats = train_toks.agg(
-        F.count(F.lit(1)).alias("n"), F.count_distinct("w").alias("v")
+    # the unigram model feeds BOTH broadcast sides of the scoring join
+    # plus the totals row — persist it so the train-token explode +
+    # shuffle runs once, not three times (vocab-bounded, tiny)
+    uni = train_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1")).persist()
+    # totals from the model itself: n = sum c1, v = rows (identical to
+    # counting the token stream, one cheap agg over the cached vocab)
+    stats = uni.agg(
+        F.sum("c1").alias("n"), F.count(F.lit(1)).alias("v")
     )
 
     def _bigrams(df: DataFrame, *extra: str) -> DataFrame:
@@ -519,7 +528,7 @@ def doc_bigram_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.cache import track_cache
 
-    return track_cache(out, fdocs)
+    return track_cache(out, fdocs, uni)
 
 
 # ---------------------------------------------------------------------------
