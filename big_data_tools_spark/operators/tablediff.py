@@ -95,15 +95,21 @@ def diff_summary(diff: DataFrame, compare_cols: Sequence[str]) -> DataFrame:
     """One-row rollup of a :func:`snapshot_diff`: n_inserted /
     n_deleted / n_updated plus a changed-row count per compared
     column — a single aggregate pass."""
+    # coalesce to 0: sum() over an EMPTY diff (identical snapshots —
+    # the most common deploy-gate outcome) is NULL, and a gate that
+    # prints "n_updated": null instead of 0 reads as broken (r9)
+    def zsum(cond, name):
+        return F.coalesce(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias(name)
+
     aggs = [
-        F.sum(F.when(F.col("change_type") == "I", 1).otherwise(0)).alias("n_inserted"),
-        F.sum(F.when(F.col("change_type") == "D", 1).otherwise(0)).alias("n_deleted"),
-        F.sum(F.when(F.col("change_type") == "U", 1).otherwise(0)).alias("n_updated"),
+        zsum(F.col("change_type") == "I", "n_inserted"),
+        zsum(F.col("change_type") == "D", "n_deleted"),
+        zsum(F.col("change_type") == "U", "n_updated"),
     ]
     aggs += [
-        F.sum(
-            F.when(F.array_contains(F.col("changed_cols"), c), 1).otherwise(0)
-        ).alias(f"n_changed_{c}")
+        zsum(F.array_contains(F.col("changed_cols"), c), f"n_changed_{c}")
         for c in compare_cols
     ]
     return diff.agg(*aggs)

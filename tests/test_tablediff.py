@@ -118,3 +118,22 @@ def test_diff_tables_cli(spark, sf_smoke, tmp_path):
     assert s["n_inserted"] == 0
     assert s["n_changed_o_orderstatus"] == 0
     assert s["n_changed_o_totalprice"] == s["n_updated"]
+
+
+def test_diff_summary_identical_snapshots_is_all_zeros(spark):
+    """Identical snapshots produce an EMPTY diff; the summary must
+    report integer zeros, not NULL sums (the deploy-gate's most
+    common outcome — "nothing changed" — printed as null reads as a
+    broken gate; r9 CLI smoke finding)."""
+    from big_data_tools_spark.operators.tablediff import diff_summary, snapshot_diff
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["k", "s", "v"]
+    )
+    diff = snapshot_diff(df, df, ["k"], ["s", "v"])
+    row = diff_summary(diff, ["s", "v"]).first()
+    assert row.n_inserted == 0
+    assert row.n_deleted == 0
+    assert row.n_updated == 0
+    assert row.n_changed_s == 0
+    assert row.n_changed_v == 0
