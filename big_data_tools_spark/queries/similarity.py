@@ -393,8 +393,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    exact = brute_force_topk(emb, queries, k=5).select(
-        "query_id", "neighbor_id"
+    # the exact top-k frame (queries x k rows, tiny) feeds one
+    # semi-join and one groupBy PER TIER — persist it so the
+    # brute-force corpus scan runs once, not 2 x n_tiers times (r9)
+    exact = (
+        brute_force_topk(emb, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .persist()
     )
     tiers = {
         "lsh": lsh_ann_topk(emb, queries, k=5).select("query_id", "neighbor_id"),
@@ -426,7 +431,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("recall"), 4).alias("min_recall_at_5"),
         )
         out = row if out is None else out.unionByName(row)
-    return out
+    from ..operators.cache import track_cache
+
+    return track_cache(out, exact)
 
 
 _MATRYOSHKA_DIM = 16
