@@ -1622,3 +1622,99 @@ def revenue_tail_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tail_alpha",
         )
     )
+
+
+@register(
+    "events_value_anova",
+    sql="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_g,
+               sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS s_g,
+               sum(CAST(round(value * value, 6) AS DECIMAL(28,8))) AS q_g
+        FROM events GROUP BY event_type
+    ), t AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(sum(s_g) AS DOUBLE) AS s,
+               CAST(sum(q_g) AS DOUBLE) AS q,
+               -- per-group between-term quantized THEN decimal-summed,
+               -- so the k-row reduction is add-order independent like
+               -- every other cross-row sum in the float policy
+               CAST(sum(CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                                   / n_g, 6) AS DECIMAL(28,8))) AS DOUBLE) AS tt
+        FROM g WHERE n_g > 0
+    ), f AS (
+        SELECT k, n,
+               tt - s * s / n AS ssb,
+               q - tt AS ssw
+        FROM t WHERE k > 1 AND n > k
+    )
+    SELECT k AS n_groups, n AS n_events,
+           round(ssb, 4) + 0.0 AS ss_between,
+           round(ssw, 4) + 0.0 AS ss_within,
+           CASE WHEN ssw <= 0 THEN 0.0E0 ELSE
+                round((ssb / (k - 1)) / (ssw / (n - k)), 6) + 0.0 END AS f_stat,
+           CASE WHEN ssb + ssw <= 0 THEN 0.0E0 ELSE
+                round(ssb / (ssb + ssw), 6) + 0.0 END AS eta_sq
+    FROM f
+    """,
+    doc="One-way ANOVA of event value across ALL event types (r9 wave "
+    "— generalizes event_value_welch_ab's two arms to k groups; "
+    "Fisher's F = between-group / within-group mean square, plus "
+    "eta-squared effect size, the does-this-segmentation-matter "
+    "screen run before per-pair tests). Float policy: per-row "
+    "quantized decimal sums per group (functions/agg.py recipe), and "
+    "the k-row between-term reduction is ITSELF quantized then "
+    "decimal-summed, so no cross-row double addition exists at "
+    "either grain; closed-form F from bit-identical doubles, "
+    "terminal rounds zero-normalized. Scale shape: one map-side-"
+    "combining aggregate at event_type grain, one k-row rollup — "
+    "the fact table shuffles once at group grain regardless of "
+    "cardinality; degenerate cases (one group, zero within-variance) "
+    "emit guarded zeros instead of divide-by-zero.",
+)
+def events_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    g = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(F.round(v, 2).cast("decimal(18,2)")).alias("s_g"),
+        F.sum(F.round(v * v, 6).cast("decimal(28,8)")).alias("q_g"),
+    )
+    t = g.filter(F.col("n_g") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("double").alias("s"),
+        F.sum("q_g").cast("double").alias("q"),
+        F.sum(
+            F.round(
+                F.col("s_g").cast("double")
+                * F.col("s_g").cast("double")
+                / F.col("n_g"),
+                6,
+            ).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("tt"),
+    )
+    k, n = F.col("k"), F.col("n")
+    fr = t.filter((k > 1) & (n > k)).select(
+        k,
+        n,
+        (F.col("tt") - F.col("s") * F.col("s") / n).alias("ssb"),
+        (F.col("q") - F.col("tt")).alias("ssw"),
+    )
+    ssb, ssw = F.col("ssb"), F.col("ssw")
+    return fr.select(
+        k.alias("n_groups"),
+        n.alias("n_events"),
+        (F.round(ssb, 4) + F.lit(0.0)).alias("ss_between"),
+        (F.round(ssw, 4) + F.lit(0.0)).alias("ss_within"),
+        F.when(ssw <= 0, F.lit(0.0))
+        .otherwise(F.round((ssb / (k - 1)) / (ssw / (n - k)), 6) + F.lit(0.0))
+        .alias("f_stat"),
+        F.when(ssb + ssw <= 0, F.lit(0.0))
+        .otherwise(F.round(ssb / (ssb + ssw), 6) + F.lit(0.0))
+        .alias("eta_sq"),
+    )

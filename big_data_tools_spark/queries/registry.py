@@ -86,9 +86,9 @@ _PRIORITY = [
     # r4-coverage leftovers + the 8 pending_r8 wave twins getting
     # their FIRST driver rows), plus 5 free seats:
     # multimodal_image_ahash_dedup (the last never-driver-run
-    # rows-only entry, VERDICT r8 #3), the 3 r9-wave twins
-    # (containment dedup, FD audit, hubness — first driver rows),
-    # and 1 oldest-coverage (r5) twin re-row.
+    # rows-only entry, VERDICT r8 #3) and the 4 r9-wave twins
+    # (containment dedup, FD audit, hubness, ANOVA — first driver
+    # rows).
     "corpus_token_drift",
     "customer_tcloseness",
     "doc_length_quantiles",
@@ -139,10 +139,11 @@ _PRIORITY = [
     "dedup_containment_pairs",
     "orders_fd_violations",
     "embedding_hubness_audit",
-    "benchmark_contamination",
+    "events_value_anova",
     # ---- window boundary (50) ----
     # past-window: driver-rowed in r1..r8, still oracle-checked
     # locally by tests/test_oracle_parity.py every round.
+    "benchmark_contamination",
     "boilerplate_ngrams",
     "bucketed_revenue_join",
     "copurchase_triangles",

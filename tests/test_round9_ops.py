@@ -160,3 +160,55 @@ def test_hubness_buckets_partition_corpus(spark, sf_smoke):
     n = spark.read.parquet(f"{sf_smoke}/embeddings.parquet").count()
     assert total == n
     assert all(r.k_occ >= 0 for r in rows)
+
+
+# ------------------------------------------------------------- ANOVA
+def test_anova_planted_group_separation(spark, tmp_path):
+    """Two groups with means 10 vs 1000 and tiny within-variance must
+    yield a huge F and eta^2 ~ 1; the same values pooled into ONE
+    group must emit nothing (k > 1 guard)."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    vals_a = [10.0, 10.5, 9.5, 10.2, 9.8]
+    vals_b = [1000.0, 1000.5, 999.5, 1000.2, 999.8]
+    n = len(vals_a) + len(vals_b)
+    events = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([ts] * n, pa.timestamp("us")),
+            "user_id": pa.array([i % 3 for i in range(n)], pa.int64()),
+            "event_type": pa.array(["a"] * 5 + ["b"] * 5),
+            "value": pa.array(vals_a + vals_b),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    sf = _fixture_dir(tmp_path, {"events": events})
+    spec = all_queries()["events_value_anova"]
+    row = spec.fn(spark, sf).collect()[0]
+    assert row.n_groups == 2 and row.n_events == 10
+    assert row.f_stat > 1_000_000  # complete separation
+    assert row.eta_sq > 0.999
+    ok, msg = compare(spark, spec, sf)
+    assert ok, msg
+
+
+def test_anova_single_group_emits_nothing(spark, tmp_path):
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    events = pa.table(
+        {
+            "event_id": pa.array(range(4), pa.int64()),
+            "ts": pa.array([ts] * 4, pa.timestamp("us")),
+            "user_id": pa.array([0, 1, 0, 1], pa.int64()),
+            "event_type": pa.array(["only"] * 4),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    sf = _fixture_dir(tmp_path, {"events": events})
+    spec = all_queries()["events_value_anova"]
+    assert spec.fn(spark, sf).count() == 0
+    ok, msg = compare(spark, spec, sf)  # both engines agree: empty
+    assert ok, msg
