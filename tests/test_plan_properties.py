@@ -500,6 +500,7 @@ def test_containment_no_cartesian(spark, sf_smoke):
     never a corpus cross join."""
     from big_data_tools_spark.operators.cache import release_all_caches
 
+    release_all_caches()  # stale persists from other tests change the plan
     df = get("dedup_containment_pairs").fn(spark, sf_smoke)
     try:
         txt = _txt(df)
