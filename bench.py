@@ -182,6 +182,15 @@ HEADLINE = [
     "orders_mannwhitney",
     "events_kmv_setops",
     "multimodal_image_ahash_dedup",
+    # round-9 wave: containment (second posting-list pair consumer —
+    # canaries the shared inverted-index path at a different
+    # threshold), the FD audit (pure per-candidate agg fan), the
+    # hubness k-occurrence audit (the all-pairs cosine + left-join
+    # shape), and the k-group ANOVA rollup
+    "dedup_containment_pairs",
+    "orders_fd_violations",
+    "embedding_hubness_audit",
+    "events_value_anova",
 ]
 
 
