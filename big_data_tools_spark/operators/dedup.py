@@ -248,13 +248,23 @@ def containment_pairs(
     double ever exists. ``min_shingles`` drops trivially-small sets
     whose containment is noise.
 
-    100 TB shape: identical to :func:`jaccard_pairs` — one persisted
-    (doc, shingle) index, relative df cap (sqrt(N)) bounding the
-    posting-list expansion, candidate pairs from grouped posting
-    lists (one shuffle on the 8-byte shingle hash), shuffle-hash size
-    joins. The df cap trades the same recall the Jaccard tier trades;
-    a capped-out shingle is boilerplate by definition and carries no
-    containment signal.
+    100 TB shape: identical skeleton to :func:`jaccard_pairs` — one
+    persisted (doc, shingle) index, relative df cap (sqrt(N)) bounding
+    the posting-list expansion (candidate mass <= V*N for V distinct
+    shingles — linear in corpus size), candidate pairs from grouped
+    posting lists (one shuffle on the 8-byte shingle hash),
+    shuffle-hash size joins. The r9 sf1 decade sweep measured x7.3
+    wall for 10x data on the adversarial saturated-vocabulary corpus
+    — tracking a x9.2 growth in EMITTED pairs (256 -> 2345), i.e.
+    sublinear per output pair; on natural (Heaps-growth) corpora
+    where rare shingles exist, :func:`containment_prefix_pairs` is
+    the EXACT no-cap alternative whose candidate cost tracks
+    rare-token postings (equality on uncapped corpora pinned in
+    tests/test_round9_ops.py). It is not auto-routed: on saturated
+    corpora the prefix scheme has no rare tokens to exploit and
+    measures ~1.3x the capped path (r9 A/B, canary-normalized), so
+    the default stays with the cap and callers choose exactness
+    explicitly.
     """
     from .cache import track_cache
 
@@ -322,6 +332,154 @@ def containment_pairs(
         )
     )
     return track_cache(out, raw_idx, idx)
+
+
+def containment_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold_micro: int = 900_000,
+    min_shingles: int = 5,
+    max_prefix_freq: int | None = None,
+) -> DataFrame:
+    """EXACT overlap-coefficient containment pairs via min-side prefix
+    probing — the scale path :func:`containment_pairs` routes to above
+    ``JACCARD_PREFIX_ROUTE_MIN_DOCS`` documents.
+
+    Overlap prefix lemma (the PPJoin prefix idea adapted to the
+    overlap coefficient): O(x,y) = c / min(|x|,|y|) >= t with
+    m = min(|x|,|y|) forces c >= ceil(t*m), so the SMALLER side
+    misses at most m - ceil(t*m) of its shingles from the partner —
+    by pigeonhole, among its first m - ceil(t*m) + 1 shingles (any
+    fixed order; rarest-first keeps postings short) at least one is
+    shared. Candidates therefore come from joining each doc's PREFIX
+    tokens against the FULL index: for a qualifying pair the smaller
+    side's prefix always hits the larger side's set, so the
+    candidate set is complete and the verify stage
+    (``array_intersect`` on per-doc sorted shingle arrays) is exact.
+    Unlike Jaccard-PPJoin there is NO length filter — a 10-shingle
+    quote inside a 10,000-shingle document is precisely the target —
+    which is also why the plain posting-list path cannot be saved by
+    a df cap at scale (r9 sf1 sweep: x7.3 for 10x data).
+
+    100 TB shape: (1) one shingle-df join + per-doc rank window
+    (bounded by doc length); (2) the prefix-vs-full join shuffles on
+    the 8-byte shingle hash, and its candidate mass is
+    sum over prefix entries of df(token) — prefix tokens are each
+    doc's RAREST ~(1-t) fraction, so hot boilerplate shingles never
+    appear as probes; (3) two shuffle-hash verify joins against the
+    per-doc sorted arrays. ``max_prefix_freq`` optionally drops probe
+    tokens rarer than nothing but hotter than the limit for
+    adversarial corpora (breaks exactness; off by default).
+    """
+    from .cache import track_cache
+
+    if not (0 < threshold_micro <= 1_000_000):
+        raise ValueError(f"threshold_micro must be in (0, 1e6], got {threshold_micro}")
+
+    def ceil_t(ncol):
+        # exact integer ceil(t*n) — float ceil overshoots at exact
+        # multiples (see jaccard_prefix_pairs)
+        return (
+            (ncol * F.lit(threshold_micro) + F.lit(999_999)) / F.lit(1_000_000)
+        ).cast("bigint")
+
+    idx = shingle_index(df, text_col, id_col, n, hashed=True).persist()
+    freq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
+    from pyspark.sql import Window
+
+    ranked = idx.join(freq.hint("shuffle_hash"), "shingle")
+    w_ord = Window.partitionBy("doc").orderBy("df_cnt", "shingle")
+    w_all = Window.partitionBy("doc")
+    ranked = ranked.select(
+        "doc",
+        "shingle",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_sh"),
+    )
+    # prefix as POTENTIAL MIN SIDE: length m - ceil(t*m) + 1 of the
+    # doc's own size (for the pair's actual min side this is exactly
+    # the lemma's bound; for the larger side it is harmless extra
+    # probes). Docs below min_shingles never qualify — skip entirely.
+    ranked = ranked.persist()
+    prefix = ranked.filter(
+        (F.col("n_sh") >= F.lit(int(min_shingles)))
+        & (F.col("rn") <= F.col("n_sh") - ceil_t(F.col("n_sh")) + 1)
+    ).select("doc", "shingle", "rn", "n_sh")
+    if max_prefix_freq is not None:
+        hot = freq.filter(F.col("df_cnt") > max_prefix_freq).select("shingle")
+        prefix = prefix.join(hot.hint("shuffle_hash"), "shingle", "left_anti")
+    full = ranked.select(
+        F.col("doc").alias("doc_full"),
+        "shingle",
+        F.col("rn").alias("rn_f"),
+        F.col("n_sh").alias("n_f"),
+    )
+    # positional prune (PPJoin Lemma 2 adapted to overlap): for a
+    # pair's FIRST shared token in the global rarest-first order, the
+    # achievable common is at most 1 + min(remaining on each side),
+    # while O >= t needs common >= ceil(t*min(sizes)). A qualifying
+    # pair always survives via its first-shared occurrence, so
+    # dropping occurrences that fail the bound is lossless — and it is
+    # what keeps the probe-vs-full join from materializing every
+    # co-occurrence on saturated corpora where no token is rare.
+    cands = (
+        prefix.join(full.hint("shuffle_hash"), "shingle")
+        .filter(F.col("doc") != F.col("doc_full"))
+        .filter(
+            1
+            + F.least(
+                F.col("n_sh") - F.col("rn"), F.col("n_f") - F.col("rn_f")
+            )
+            >= ceil_t(F.least(F.col("n_sh"), F.col("n_f")))
+        )
+        .select(
+            F.least("doc", "doc_full").alias("id_a"),
+            F.greatest("doc", "doc_full").alias("id_b"),
+        )
+        .distinct()
+    )
+    doc_sets = idx.groupBy("doc").agg(
+        F.sort_array(F.collect_list("shingle")).alias("sh_set"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    sa = doc_sets.select(
+        F.col("doc").alias("id_a"),
+        F.col("sh_set").alias("set_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = doc_sets.select(
+        F.col("doc").alias("id_b"),
+        F.col("sh_set").alias("set_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    mega = F.lit(1_000_000).cast("bigint")
+    # the candidate frame must never broadcast (stale post-agg
+    # estimates promoted the pair side on sf1 sibling runs); pin the
+    # doc-set build sides
+    scored = (
+        cands.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
+        .withColumn(
+            "common", F.size(F.array_intersect("set_a", "set_b")).cast("bigint")
+        )
+        .withColumn("min_sh", F.least(F.col("n_a"), F.col("n_b")).cast("bigint"))
+    )
+    num = mega * F.col("common")
+    out = scored.filter(
+        (F.col("min_sh") >= F.lit(int(min_shingles)))
+        & (num >= F.lit(int(threshold_micro)) * F.col("min_sh"))
+    ).select(
+        "id_a",
+        "id_b",
+        "common",
+        "min_sh",
+        ((num - num % F.col("min_sh")) / F.col("min_sh"))
+        .cast("bigint")
+        .alias("containment_micro"),
+    )
+    return track_cache(out, idx, ranked)
 
 
 def jaccard_prefix_pairs(

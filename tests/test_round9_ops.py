@@ -221,3 +221,61 @@ def test_anova_single_group_emits_nothing(spark, tmp_path):
     assert spec.fn(spark, sf).count() == 0
     ok, msg = compare(spark, spec, sf)  # both engines agree: empty
     assert ok, msg
+
+
+def test_containment_prefix_equals_uncapped_posting(spark, sf_smoke):
+    """The exact prefix route (the >20k-doc scale path) must produce
+    exactly the posting-list path's pairs when the df cap is off —
+    same completeness, same integer scores."""
+    from big_data_tools_spark.operators.cache import release_all_caches
+    from big_data_tools_spark.operators.dedup import (
+        containment_pairs,
+        containment_prefix_pairs,
+    )
+
+    d = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    try:
+        a = {
+            (r.id_a, r.id_b): (r.common, r.min_sh, r.containment_micro)
+            for r in containment_pairs(
+                d, "text", "doc_id", max_doc_freq=None
+            ).collect()
+        }
+        b = {
+            (r.id_a, r.id_b): (r.common, r.min_sh, r.containment_micro)
+            for r in containment_prefix_pairs(d, "text", "doc_id").collect()
+        }
+        assert a == b
+        assert a  # nonempty on the synthetic corpus
+    finally:
+        release_all_caches()
+
+
+def test_containment_prefix_finds_planted_quote(spark):
+    """The exact prefix variant (the natural-corpus exactness option)
+    must surface the planted full-quote pair at containment 1.0."""
+    import importlib
+
+    # the operators package exports a `dedup` FUNCTION, which shadows
+    # the module under plain `import ... as`; resolve the module itself
+    dd = importlib.import_module("big_data_tools_spark.operators.dedup")
+    from big_data_tools_spark.operators.cache import release_all_caches
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"filler{i} pad{i} word{i}" for i in range(40))
+    texts = [quote, filler + " " + quote] + [
+        f"unrelated text number {i} about spark shuffles parquet files {i}"
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    try:
+        rows = {
+            (r.id_a, r.id_b): r
+            for r in dd.containment_prefix_pairs(df, "text", "doc_id").collect()
+        }
+        assert (0, 1) in rows
+        assert rows[(0, 1)].containment_micro == 1_000_000
+    finally:
+        release_all_caches()

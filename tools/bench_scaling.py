@@ -66,6 +66,15 @@ QUERIES = [
     "token_skipgram_counts",
     "orders_incremental_rollup",
     "dedup_incremental_ingest",
+    # round-9: containment (second posting-list consumer), the
+    # per-candidate FD agg fan, and the k-group ANOVA rollup.
+    # embedding_hubness_audit stays out like knn_cosine_brute: its
+    # exact tier is the documented quadratic oracle (scale path =
+    # candidate lists / query sampling), so its decade growth would
+    # measure the deliberate brute force, not plan soundness.
+    "dedup_containment_pairs",
+    "orders_fd_violations",
+    "events_value_anova",
 ]
 MARK_A = "<!-- BENCH-SCALING:BEGIN -->"
 MARK_B = "<!-- BENCH-SCALING:END -->"
@@ -111,6 +120,11 @@ SF1_QUERIES = [
     "orders_mannwhitney",
     "events_kmv_setops",
     "multimodal_image_ahash_dedup",
+    # round-9: the three linear-shape wave queries (hubness excluded —
+    # deliberate quadratic oracle, see QUERIES note above)
+    "dedup_containment_pairs",
+    "orders_fd_violations",
+    "events_value_anova",
 ]
 MARK_SF1_A = "<!-- BENCH-SCALING-SF1:BEGIN -->"
 MARK_SF1_B = "<!-- BENCH-SCALING-SF1:END -->"
@@ -473,7 +487,9 @@ def canary_one() -> None:
     import bench
 
     spark = get_spark(app_name="bdt-scaling-canary")
-    print(_json.dumps({"canary_sec": bench.run_canary(spark)}))
+    # run_canary returns (median, samples) since r9 (median-of-5)
+    canary_sec, canary_samples = bench.run_canary(spark)
+    print(_json.dumps({"canary_sec": canary_sec, "canary_samples": canary_samples}))
 
 
 if __name__ == "__main__":
