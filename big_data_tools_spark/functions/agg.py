@@ -62,25 +62,25 @@ def dmean(col: Column, digits: int = 2, row_scale: int = 6) -> Column:
 # exactly with a one-sided, no-op-for-nonzero edit.
 
 def sql_money_sum(x: str, digits: int = 2) -> str:
-    return f"round(CAST(sum(CAST({x} AS DECIMAL(18,2))) AS DOUBLE), {digits}) + 0.0"
+    return f"(round(CAST(sum(CAST({x} AS DECIMAL(18,2))) AS DOUBLE), {digits}) + 0.0)"
 
 
 def sql_money_avg(x: str, digits: int = 2) -> str:
     return (
-        f"round(CAST(sum(CAST({x} AS DECIMAL(18,2))) AS DOUBLE) / count({x}), {digits})"
-        " + 0.0"
+        f"(round(CAST(sum(CAST({x} AS DECIMAL(18,2))) AS DOUBLE) / count({x}), {digits})"
+        " + 0.0)"
     )
 
 
 def sql_dsum(x: str, digits: int = 2, row_scale: int = 6) -> str:
     return (
-        f"round(CAST(sum(CAST(round({x}, {row_scale}) AS DECIMAL(28,8))) AS DOUBLE), {digits})"
-        " + 0.0"
+        f"(round(CAST(sum(CAST(round({x}, {row_scale}) AS DECIMAL(28,8))) AS DOUBLE), {digits})"
+        " + 0.0)"
     )
 
 
 def sql_dmean(x: str, digits: int = 2, row_scale: int = 6) -> str:
     return (
-        f"round(CAST(sum(CAST(round({x}, {row_scale}) AS DECIMAL(28,8))) AS DOUBLE)"
-        f" / count({x}), {digits}) + 0.0"
+        f"(round(CAST(sum(CAST(round({x}, {row_scale}) AS DECIMAL(28,8))) AS DOUBLE)"
+        f" / count({x}), {digits}) + 0.0)"
     )

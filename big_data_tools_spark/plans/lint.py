@@ -155,7 +155,10 @@ def _terminal_signed_round_problems(name: str, body: str) -> list[str]:
     for arg, after in _round_calls(body):
         if re.match(r"\s*\+\s*0\.0", after):
             continue  # zero-normalized: matches Spark round() exactly
-        alias = re.match(r"\s*AS\s+(\w+)", after, re.I)
+        # `END AS x` counts as an alias position too: a CASE whose ELSE
+        # branch ends in round(...) emits that round as the column value
+        # (the r9-ADVICE corpus_token_drift miss).
+        alias = re.match(r"\s*(?:END\s+)?AS\s+(\w+)", after, re.I)
         if not alias or _SIGN_ERASING_TYPES.match(alias.group(1)):
             continue  # not emitted as a double column
         if "-" not in arg and not _SIGNED_BASE_COLS.search(arg):

@@ -1162,7 +1162,7 @@ def _token_drift_sql() -> str:
            t.vocab,
            CASE WHEN t.ta = 0 OR t.tb = 0 THEN NULL
                 ELSE round((0.5 * CAST((SELECT sum(contrib) FROM terms)
-                                       AS DOUBLE)) / {LN2_LITERAL}, 8)
+                                       AS DOUBLE)) / {LN2_LITERAL}, 8) + 0.0
            END AS jsd_bits
     FROM tot t CROSS JOIN nd
     """

@@ -717,7 +717,7 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- engines (not a 0-divide whose inf/NULL differs per engine)
            CASE WHEN least(d.r, d.c) <= 1 THEN NULL
                 ELSE round(sqrt(s.chi2 / ((SELECT n FROM tot)
-                                * (least(d.r, d.c) - 1))), 6)
+                                * (least(d.r, d.c) - 1))), 6) + 0.0
            END AS cramers_v
     FROM cells c CROSS JOIN stat s CROSS JOIN dims d
     """,
@@ -1132,7 +1132,7 @@ _TCLOSE_T = 0.2  # maximum tolerated EMD between group and global
            CASE WHEN min(ng) = 0 THEN NULL
                 ELSE round(CAST(sum(CASE WHEN pos < k.k
                          THEN abs(f * t.n - gf * ng) ELSE 0 END) AS DOUBLE)
-                     / (CAST(min(ng) AS DOUBLE) * t.n * (k.k - 1)), 8)
+                     / (CAST(min(ng) AS DOUBLE) * t.n * (k.k - 1)), 8) + 0.0
            END AS emd,
            CASE WHEN min(ng) = 0 THEN NULL
                 ELSE CAST(sum(CASE WHEN pos < k.k

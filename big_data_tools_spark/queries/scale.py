@@ -772,7 +772,7 @@ def _bf_pos_sql(src: str, key: str, extra: str = "") -> str:
            n_accepted - n_true AS n_false_pos,
            CASE WHEN n_probe = n_true THEN 0.0
                 ELSE round((n_accepted - n_true) * 1.0
-                           / (n_probe - n_true), 6) END AS fp_observed,
+                           / (n_probe - n_true), 6) + 0.0 END AS fp_observed,
            round(n_bits_set * n_bits_set * n_bits_set * 1.0
                  / ({_BF_M}.0 * {_BF_M} * {_BF_M}), 6) AS fp_predicted
     FROM counts

@@ -569,13 +569,13 @@ _BPE_RE_SQL = r"' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'"
            CASE WHEN sum(len(string_split(lower(text), ' '))) = 0 THEN 0.0
                 ELSE round(
                     sum(len(regexp_extract_all(text, {_BPE_RE_SQL}))) * 1.0
-                    / sum(len(string_split(lower(text), ' '))), 4)
+                    / sum(len(string_split(lower(text), ' '))), 4) + 0.0
            END AS fertility,
            CASE WHEN sum(len(regexp_extract_all(text, {_BPE_RE_SQL}))) = 0
                 THEN 0.0
                 ELSE round(
                     sum(length(text)) * 1.0
-                    / sum(len(regexp_extract_all(text, {_BPE_RE_SQL}))), 4)
+                    / sum(len(regexp_extract_all(text, {_BPE_RE_SQL}))), 4) + 0.0
            END AS chars_per_token
     FROM documents GROUP BY lang
     """,

@@ -728,7 +728,7 @@ def daily_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE round(((CAST(s2 AS DOUBLE) * n_days
                        - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
                       / (CAST(n_days AS DOUBLE) * (n_days - 1.0)))
-                     / (CAST(total AS DOUBLE) / n_days), 6)
+                     / (CAST(total AS DOUBLE) / n_days), 6) + 0.0
            END AS fano,
            CASE WHEN total = 0 THEN NULL
                 ELSE round((sqrt((CAST(s2 AS DOUBLE) * n_days
@@ -738,7 +738,7 @@ def daily_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / (sqrt((CAST(s2 AS DOUBLE) * n_days
                             - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
                            / (CAST(n_days AS DOUBLE) * (n_days - 1.0)))
-                       + CAST(total AS DOUBLE) / n_days), 6)
+                       + CAST(total AS DOUBLE) / n_days), 6) + 0.0
            END AS burstiness
     FROM moments
     """,
