@@ -83,6 +83,19 @@ def release_all_caches() -> None:
     s = SparkSession.getActiveSession()
     if s is None:
         return
+    # CacheManager sweep: _LIVE is a WeakSet, so a persisted frame
+    # whose Python handle was GC'd never gets df.unpersist() here, and
+    # the RDD-blocks sweep below does NOT remove the JVM CacheManager
+    # entry — any LATER plan containing the same fragment then
+    # substitutes an InMemoryRelation (recompute-into-cache, with the
+    # cached entry's stats), which flipped a join to BNLJ under
+    # full-suite test order (r9 verdict: test_containment_no_cartesian
+    # order-dependent failure). clearCache() drops every CacheManager
+    # entry; safe here because this is only called between queries.
+    try:
+        s.catalog.clearCache()
+    except Exception:  # session shutting down — nothing to clear
+        pass
     try:
         it = s.sparkContext._jsc.sc().getPersistentRDDs().iterator()
         while it.hasNext():

@@ -34,3 +34,49 @@ def test_release_all_caches_sweeps_wrapper_dropped_tags(spark):
         release_caches(df)
         release_all_caches()
         assert _n_persisted(spark) == 0, f"{name} leaked persisted RDDs"
+
+
+def test_release_all_caches_clears_gcd_cache_manager_entries(spark):
+    """The r9 full-suite failure class: a persisted frame whose Python
+    handle is GC'd leaves the WeakSet, so release_all_caches never
+    calls df.unpersist() on it; the RDD-blocks sweep frees storage but
+    NOT the JVM CacheManager entry, and any later plan containing the
+    same fragment silently substitutes an InMemoryRelation whose
+    cached stats can flip a join to BroadcastNestedLoopJoin
+    (test_containment_no_cartesian flipped with test order). The fixed
+    sweep calls spark.catalog.clearCache(), emptying the CacheManager
+    so downstream plans only contain their OWN persists."""
+    import gc
+    import re
+
+    from pyspark.sql import functions as F
+
+    release_all_caches()
+    doc = spark.read.parquet(f"{SF}/documents.parquet")
+    # persist a fragment the containment pipeline also builds
+    # (lowered text scan), then lose every Python handle to it
+    leaked = doc.select("doc_id", F.lower("text").alias("text_l"))
+    leaked.persist()
+    leaked.count()
+    del leaked
+    gc.collect()
+
+    release_all_caches()
+
+    # mechanism: the sweep must empty the JVM CacheManager, not just
+    # free RDD blocks — a stale entry re-caches on the next plan match
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    # symptom: the containment plan keeps its pinned shape (its own
+    # persists show as InMemoryRelation — that is expected; a SECOND
+    # BroadcastNestedLoopJoin from cached-entry stats is the bug)
+    df = all_queries()["dedup_containment_pairs"].fn(spark, SF)
+    try:
+        from big_data_tools_spark.plans.lint import explain_text
+
+        txt = explain_text(df, "formatted")
+        nodes = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", txt, re.M)
+        assert len(nodes) <= 1, txt[:2000]
+    finally:
+        release_caches(df)
+        release_all_caches()
