@@ -2,20 +2,36 @@
 PAIRS (from Jaccard/MinHash/SimHash/cosine tiers) into dedup GROUPS:
 one canonical doc per transitively-connected cluster.
 
-Algorithm: iterative min-label propagation. Each node starts labeled
-with its own id; every iteration each node takes the min of its label
-and its neighbors' labels; converges when no label changes — O(cluster
-diameter) iterations, and near-dup clusters are shallow (most are
-pairs/triangles), so 3-5 iterations typical. Each iteration is one
-join + one aggregate; ``localCheckpoint`` truncates lineage so plans
-stay flat. The O(log n)-round upgrade for adversarial graphs is
-large-star/small-star (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC 2014) — same join shape, not needed for
-dedup-shaped graphs.
+Algorithm: alternating large-star/small-star contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+O(log^2 n) rounds worst-case, 2-4 in practice on dedup graphs, and
+the edge set CONTRACTS toward a star forest every round, so late
+rounds are nearly free. This replaced the r1-r9 min-label
+propagation, whose round count is O(component diameter) and whose
+join input stays the FULL edge list every round: on a
+boilerplate-heavy crawl the duplicate-pair graph grows dense hub
+components whose edge multiplicity (not diameter) made the fixpoint
+the worst scaler in the r9 sf1 sweep.
+
+  - large-star: every node u connects its LARGER neighbors to
+    m(u) = min(N(u) + u). Kills long chains (pointer-jumping
+    effect) while keeping every edge child > parent.
+  - small-star: every node u connects its smaller-or-equal
+    neighbors AND itself to m(u). Merges the partial stars.
+
+Both steps preserve the component partition and only ever lower a
+node's parent, so the unique fixpoint is the star forest whose
+centers are the component minima — the exact semantics of the DuckDB
+recursive-CTE twin (min reachable id). Convergence is detected by an
+(edge-count, xxhash64-sum) checksum, then VERIFIED exactly (each
+child has one parent; no parent is a child) before returning, so a
+checksum collision degrades to one wasted round, never to a wrong
+answer.
 
 Iterative fixpoints inherently sync once per round on the converged?
-count (same shape as every ML fit); the per-round work is fully
-distributed.
+check (same shape as every ML fit); the per-round work is fully
+distributed. ``localCheckpoint`` truncates lineage so plans stay
+flat; swap for a reliable checkpoint dir on a real cluster.
 """
 
 from __future__ import annotations
@@ -24,47 +40,130 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: (child, parent) edges, child > parent.
+
+    Joins are pinned shuffle-hash: both sides are O(V+E) frames whose
+    post-agg stats the optimizer under-estimates, and an AQE broadcast
+    promotion of a corpus-sized frame is a driver-OOM hazard at scale
+    (observed live on the sf1 pair graph, where 10x duplicate
+    multiplication grows the edge set ~100x past the estimate).
+    """
+    nbrs = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    mins = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
+    )
+    return (
+        nbrs.join(mins.hint("shuffle_hash"), "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round over child>parent edges (large-star
+    output): re-point every smaller neighbor and the key itself at
+    the minimum. Output stays child > parent."""
+    mins = edges.groupBy("a").agg(F.min("b").alias("m"))
+    joined = edges.join(mins.hint("shuffle_hash"), "a")
+    return (
+        joined.filter(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .unionByName(mins.select("a", F.col("m").alias("b")))
+        .distinct()
+    )
+
+
+def _is_star_forest(edges: DataFrame) -> bool:
+    """Exact fixpoint test: every child has exactly ONE parent and no
+    parent is itself a child — both checks over the (small, already
+    materialized) candidate-converged edge frame."""
+    multi_parent = (
+        edges.groupBy("a").agg(F.count(F.lit(1)).alias("n")).filter("n > 1")
+    )
+    if multi_parent.limit(1).count() > 0:
+        return False
+    parent_is_child = edges.select("b").join(
+        edges.select(F.col("a").alias("b")), "b", "left_semi"
+    )
+    return parent_is_child.limit(1).count() == 0
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    trace: list | None = None,
 ) -> DataFrame:
     """(node, component_id) for every node appearing in ``pairs``;
-    component_id = min node id reachable through the pair graph."""
+    component_id = min node id reachable through the pair graph.
+
+    Alternating large-star/small-star contraction (module docstring).
+    Pass a list as ``trace`` to receive one dict per round —
+    ``{"round", "n_nodes", "n_edges"}`` measured AFTER the round's
+    contraction — the same shrink-visibility contract as
+    ``kcore_peel_trace`` / ``pagerank_trace`` (those build the trace
+    plan-side because their round count is fixed; a fixpoint's is
+    data-dependent, so the trace rides the counts the convergence
+    check already pays for).
+    """
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("a").alias("node"))
+    prev_sig: tuple[int, int] | None = None
+    converged = False
+    for i in range(1, max_iterations + 1):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.coalesce(
+                # decimal sum: a bigint sum of 64-bit hashes overflows
+                # (ANSI ARITHMETIC_OVERFLOW); decimal(38,0) is exact
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("sig"),
+        ).first()
+        sig = (row["n_edges"], row["sig"])
+        if trace is not None:
+            n_nodes = (
+                edges.select(F.col("a").alias("node"))
+                .unionByName(edges.select(F.col("b").alias("node")))
+                .distinct()
+                .count()
+            )
+            trace.append(
+                {"round": i, "n_nodes": n_nodes, "n_edges": sig[0]}
+            )
+        if sig == prev_sig and _is_star_forest(edges):
+            converged = True
+            break
+        prev_sig = sig
+    if not converged and not _is_star_forest(edges):
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds — raise max_iterations (alternating star contraction "
+            "needs O(log^2 n) rounds worst-case, 2-4 typical)"
+        )
+    roots = (
+        edges.select(F.col("b").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint()
     )
-    for _ in range(max_iterations):
-        # shuffle-hash pinned: both sides are O(V+E) frames, so an AQE
-        # broadcast promotion (stats under-estimate after the agg) is a
-        # driver-OOM hazard at scale — observed live on the sf1 pair
-        # graph, where 10x duplicate multiplication grows the edge set
-        # ~100x past what the optimizer expects
-        neigh = (
-            edges.join(labels.hint("shuffle_hash"), edges.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        proposed = (
-            labels.join(neigh.hint("shuffle_hash"), labels.node == neigh.a, "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
-                F.col("comp").alias("old_comp"),
-            )
-        ).localCheckpoint()
-        changed = proposed.filter(F.col("comp") != F.col("old_comp")).count()
-        labels = proposed.select("node", "comp")
-        if changed == 0:
-            break
-    return labels.select("node", F.col("comp").alias("component_id"))
+    children = edges.select(
+        F.col("a").alias("node"), F.col("b").alias("comp")
+    )
+    return children.unionByName(roots).select(
+        "node", F.col("comp").alias("component_id")
+    )

@@ -120,6 +120,39 @@ def test_connected_components_transitive_closure(spark):
     assert len(comp) == 8
 
 
+def test_connected_components_star_contraction_properties(spark):
+    """The r10 large-star/small-star upgrade: round count is
+    O(log^2 n), not O(diameter) — a 200-link chain (the min-label
+    worst case, 200 rounds) must converge in <= 12 — and the optional
+    trace exposes per-round (n_nodes, n_edges) like kcore_peel's."""
+    from big_data_tools_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 201)], "id_a long, id_b long"
+    )
+    trace = []
+    comp = {
+        r["node"]: r["component_id"]
+        for r in connected_components(chain, trace=trace).collect()
+    }
+    assert len(comp) == 201 and set(comp.values()) == {1}
+    assert 1 <= len(trace) <= 12, trace
+    assert all(set(t) == {"round", "n_nodes", "n_edges"} for t in trace)
+    # contraction: the star-forest fixpoint has exactly one edge per
+    # non-root node, and every node survives to the final round
+    assert trace[-1]["n_edges"] == 200
+    assert trace[-1]["n_nodes"] == 201
+
+    # duplicate + reversed edges collapse to the same components
+    dup = spark.createDataFrame(
+        [(5, 3), (3, 5), (3, 1), (8, 9), (9, 8)], "id_a long, id_b long"
+    )
+    comp2 = {
+        r["node"]: r["component_id"] for r in connected_components(dup).collect()
+    }
+    assert comp2 == {5: 1, 3: 1, 1: 1, 8: 8, 9: 8}
+
+
 def test_winnow_guarantee_shared_run_surfaces_fingerprint(spark):
     """Winnowing guarantee (Schleimer et al. SIGMOD 2003 §3): any shared
     normalized substring of length >= K + W - 1 yields at least one
