@@ -81,15 +81,68 @@ def get(name: str) -> QuerySpec:
 # Everything past the window keeps its committed driver rows and is
 # still oracle-checked locally by tests/test_oracle_parity.py.
 _PRIORITY = [
-    # ---- round-9 window (50): 45 cadence-mandatory twins (the full
-    # output of tools/update_checked_rounds.py --plan after r8: 37
-    # r4-coverage leftovers + the 8 pending_r8 wave twins getting
-    # their FIRST driver rows), plus 5 free seats:
-    # multimodal_image_ahash_dedup (the last never-driver-run
-    # rows-only entry, VERDICT r8 #3) and the 4 r9-wave twins
-    # (containment dedup, FD audit, hubness, ANOVA — first driver
-    # rows).
+    # ---- round-10 window (50): 47 cadence-mandatory twins (the full
+    # output of tools/update_checked_rounds.py --plan after r9), plus
+    # 3 free seats: dedup_containment_prefix (NEW twin — the exact
+    # prefix containment tier, r9 verdict next #7),
+    # embedding_hubness_audit_ann (NEW rows-only — the ANN hubness
+    # scale path, r9 verdict next #4), and corpus_token_drift (its
+    # twin SQL changed this round: +0.0 normalization of the
+    # CASE-wrapped terminal round, r9 ADVICE #1 — re-seated so the
+    # changed SQL gets a fresh driver row).
+    "benchmark_contamination",
+    "boilerplate_ngrams",
+    "bucketed_revenue_join",
+    "copurchase_triangles",
+    "corpus_ngram_novelty",
+    "customer_reorder_survival",
+    "customer_revenue_pareto",
+    "customer_scd2_merge",
+    "daily_revenue_acf",
+    "daily_revenue_trend_robust",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_exact_docs",
+    "dedup_incremental_ingest",
+    "dedup_jaccard_pairs",
+    "dedup_jaccard_prefix",
+    "dedup_winnow_pairs",
+    "discount_quantity_ols",
+    "discount_quantity_spearman",
+    "doc_chunk_windows",
+    "embedding_label_stats",
+    "event_sessions_builtin",
+    "event_type_hour_mutual_info",
+    "event_value_welch_ab",
+    "events_multires_rollup",
+    "knn_cosine_brute",
+    "leakage_safe_corpus_split",
+    "monthly_forecast_accuracy",
+    "monthly_revenue_seasonality",
+    "order_rollup_flagship",
+    "orders_benford_digits",
+    "orders_price_psi",
+    "part_copurchase_pagerank",
+    "pretraining_corpus_pipeline",
+    "purchase_click_window",
+    "purchase_last_click_asof",
+    "purchase_markov_attribution",
+    "purchase_shapley_attribution",
+    "referential_integrity_audit",
+    "salted_status_rollup",
+    "segment_revenue_bootstrap_ci",
+    "segment_revenue_gini",
+    "source_mixture_plan",
+    "tfidf_top_terms",
+    "token_shard_packing",
+    "user_value_hourly_ffill",
+    "waiting_supplier_lines",
+    "dedup_containment_prefix",
+    "embedding_hubness_audit_ann",
     "corpus_token_drift",
+    # ---- window boundary (50) ----
+    # past-window: driver-rowed in r1..r9, still oracle-checked
+    # locally by tests/test_oracle_parity.py every round.
     "customer_tcloseness",
     "doc_length_quantiles",
     "doc_token_stats",
@@ -134,19 +187,11 @@ _PRIORITY = [
     "user_value_anomalies",
     "user_value_sliding_1h",
     "vocab_oov_rate",
-    # -- free seats
     "multimodal_image_ahash_dedup",
     "dedup_containment_pairs",
     "orders_fd_violations",
     "embedding_hubness_audit",
     "events_value_anova",
-    # ---- window boundary (50) ----
-    # past-window: driver-rowed in r1..r8, still oracle-checked
-    # locally by tests/test_oracle_parity.py every round.
-    "benchmark_contamination",
-    "boilerplate_ngrams",
-    "bucketed_revenue_join",
-    "copurchase_triangles",
     "bloom_semijoin_audit",
     "bm25_ndcg_eval",
     "copurchase_clustering_coefficient",
@@ -295,52 +340,9 @@ _PRIORITY = [
     "knn_pq_ann",
     "ml_cv_select",
     "streaming_rolling_dau",
-    "corpus_ngram_novelty",
-    "customer_revenue_pareto",
-    "customer_reorder_survival",
-    "customer_scd2_merge",
-    "daily_revenue_acf",
-    "dedup_components",
-    "dedup_embedding_cosine",
-    "dedup_exact_docs",
-    "dedup_incremental_ingest",
-    "dedup_jaccard_pairs",
-    "dedup_jaccard_prefix",
-    "dedup_winnow_pairs",
-    "discount_quantity_ols",
-    "discount_quantity_spearman",
-    "doc_chunk_windows",
-    "embedding_label_stats",
-    "event_sessions_builtin",
-    "event_type_hour_mutual_info",
-    "event_value_welch_ab",
-    "events_multires_rollup",
-    "knn_cosine_brute",
-    "leakage_safe_corpus_split",
     "ml_train_eval",
-    "monthly_forecast_accuracy",
-    "monthly_revenue_seasonality",
     "multimodal_features",
-    "daily_revenue_trend_robust",
-    "order_rollup_flagship",
-    "orders_benford_digits",
-    "orders_price_psi",
-    "part_copurchase_pagerank",
-    "pretraining_corpus_pipeline",
-    "purchase_click_window",
-    "purchase_last_click_asof",
-    "purchase_markov_attribution",
-    "purchase_shapley_attribution",
-    "referential_integrity_audit",
-    "salted_status_rollup",
-    "segment_revenue_bootstrap_ci",
-    "segment_revenue_gini",
-    "source_mixture_plan",
     "streaming_corpus_ingest",
-    "tfidf_top_terms",
-    "token_shard_packing",
-    "user_value_hourly_ffill",
-    "waiting_supplier_lines",
     "doc_length_quantiles_approx",
     "dedup_minhash_pairs",
     "dedup_semantic_groups",

@@ -181,3 +181,36 @@ def test_ann_recall_report_surface(spark, sf_oracle):
         assert r["n_queries"] == 10
         assert r["mean_recall_at_5"] >= 0.5, (tier, r)
         assert 0.0 <= r["min_recall_at_5"] <= r["mean_recall_at_5"] <= 1.0
+
+
+def test_hubness_ann_agrees_with_exact_audit(spark):
+    """The ANN hubness tier must see the same hub structure as the
+    exact all-pairs audit at sf0.01: same vector total, an anti-hub
+    (k_occ = 0) bucket within 10 points of the exact one, and a
+    heavy-tail max k_occ within 2x — the agreement contract that lets
+    the ANN tier stand in for the O(n^2) audit at scale."""
+    from big_data_tools_spark.operators.cache import release_all_caches, release_caches
+    from big_data_tools_spark.queries import all_queries
+
+    reg = all_queries()
+    sf = "/root/testdata/sf0.01"
+    exact = {r["k_occ"]: r["n_vectors"]
+             for r in reg["embedding_hubness_audit"].fn(spark, sf).collect()}
+    ann_df = reg["embedding_hubness_audit_ann"].fn(spark, sf)
+    ann = {r["k_occ"]: r["n_vectors"] for r in ann_df.collect()}
+    release_caches(ann_df)
+    release_all_caches()
+
+    n_exact, n_ann = sum(exact.values()), sum(ann.values())
+    assert n_exact == n_ann  # every vector lands in exactly one bucket
+    # anti-hub bucket: vectors nobody lists. The ANN tier sees fewer
+    # candidates per query, so its anti-hub count can only drift up a
+    # bounded amount, never down past the exact audit's.
+    anti_exact, anti_ann = exact.get(0, 0), ann.get(0, 0)
+    assert abs(anti_ann - anti_exact) <= 0.10 * n_exact, (anti_exact, anti_ann)
+    # heavy tail: the biggest hub's in-degree survives candidate pruning
+    assert max(ann) >= max(exact) / 2, (max(exact), max(ann))
+    # each query still fills its full top-k through 4-of-16 probes here
+    k_mass_exact = sum(k * n for k, n in exact.items())
+    k_mass_ann = sum(k * n for k, n in ann.items())
+    assert k_mass_ann >= 0.9 * k_mass_exact, (k_mass_exact, k_mass_ann)
