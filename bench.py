@@ -191,7 +191,18 @@ HEADLINE = [
     "orders_fd_violations",
     "embedding_hubness_audit",
     "events_value_anova",
+    # round-10 wave: the exact prefix-containment tier (uncapped
+    # posting exactness at bench scale) and the IVF-routed hubness
+    # audit (the ANN replacement for the one all-pairs plan above —
+    # benching both keeps the exact-vs-ANN cost gap visible per round)
+    "dedup_containment_prefix",
+    "embedding_hubness_audit_ann",
 ]
+# Comparability note: the four r9-wave seats were appended AFTER the
+# committed r9 bench artifacts were generated (BENCH_SUMMARY.json /
+# bench_history/r9.json cover 82 queries and don't include them), and
+# the two r10 seats extend the list again — headline TOTALS are only
+# comparable per-query (canary-normalized) across r9->r10.
 
 
 SUMMARY_PATH = os.path.join(
