@@ -1,4 +1,12 @@
+from .deltaread import read_delta
 from .schemas import TABLE_NAMES, TABLE_SCHEMAS
 from .sources import load_table, load_tables, read_json
 
-__all__ = ["TABLE_NAMES", "TABLE_SCHEMAS", "load_table", "load_tables", "read_json"]
+__all__ = [
+    "TABLE_NAMES",
+    "TABLE_SCHEMAS",
+    "load_table",
+    "load_tables",
+    "read_delta",
+    "read_json",
+]

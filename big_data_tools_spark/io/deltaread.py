@@ -1,0 +1,245 @@
+"""Dependency-free Delta Lake READ path (open protocol, no jars).
+
+The Delta transaction log is an open specification
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md): a table
+is a directory of parquet data files plus ``_delta_log/`` holding one
+JSON file per commit (``{version:020d}.json``, newline-delimited
+action objects) and periodic parquet checkpoints
+(``{version:020d}.checkpoint.parquet``, optionally multi-part). The
+latest snapshot is: start from the newest checkpoint at or below the
+requested version, replay the JSON commits after it, and keep the
+last action per data-file path (``add`` wins over earlier ``add``,
+``remove`` tombstones it). Nothing in that requires the Delta
+runtime — the log is stdlib-JSON and the checkpoint is just parquet —
+so a read-only consumer can be built on any engine, which is exactly
+what this module does for Spark.
+
+Reference parity note: the reference system has no lakehouse-format
+interop at all (BASELINE.md); this is north-star surface that makes
+``io/mergetable.py``'s honest "not Delta-interoperable" positioning
+less costly — OTHER systems' Delta tables are now readable in place.
+
+Scope (gated honestly, never silently wrong):
+  - reader protocol v1 (``minReaderVersion <= 1``). Tables using
+    column mapping, deletion vectors, or v2 checkpoints raise
+    ``UnsupportedDeltaFeature`` instead of returning wrong rows.
+  - time travel by commit version (``version=``).
+  - partitioned tables: hive-style data paths (what Delta writers
+    emit) are read with Spark's native partition discovery via
+    ``basePath`` — partition PRUNING keeps working; non-hive layouts
+    fall back to per-partition-tuple unions with a bounded-width
+    guard.
+
+At 100 TB: the log replay touches only ``_delta_log`` (KBs per
+commit; the checkpoint read is one parquet scan of file metadata,
+distributed), and the data read is a plain parquet scan over the
+active-file list, so pushdown/pruning/AQE all apply unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["read_delta", "delta_snapshot_files", "UnsupportedDeltaFeature"]
+
+
+class UnsupportedDeltaFeature(Exception):
+    """Table requires reader features beyond protocol v1."""
+
+
+_MAX_UNION_PARTITIONS = 200  # non-hive fallback guard
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_delta_log")
+
+
+def _commit_versions(log_dir: str) -> list[int]:
+    out = []
+    for name in os.listdir(log_dir):
+        stem, ext = os.path.splitext(name)
+        if ext == ".json" and stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
+
+
+def _checkpoint_files(log_dir: str, version: int | None) -> tuple[int, list[str]]:
+    """(checkpoint_version, parquet parts) for the newest checkpoint at
+    or below ``version`` (all checkpoints if None); (-1, []) if none."""
+    best: tuple[int, list[str]] = (-1, [])
+    parts: dict[int, list[str]] = {}
+    for name in os.listdir(log_dir):
+        if ".checkpoint" not in name or not name.endswith(".parquet"):
+            continue
+        v = int(name.split(".", 1)[0])
+        if version is not None and v > version:
+            continue
+        parts.setdefault(v, []).append(os.path.join(log_dir, name))
+    if parts:
+        v = max(parts)
+        best = (v, sorted(parts[v]))
+    return best
+
+
+def _replay(spark: SparkSession, path: str, version: int | None):
+    """Replay the log; returns (active add-actions by path, metaData,
+    protocol, last_version)."""
+    log_dir = _log_dir(path)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"not a Delta table (no _delta_log): {path}")
+    versions = _commit_versions(log_dir)
+    if version is not None:
+        versions = [v for v in versions if v <= version]
+    ck_version, ck_parts = _checkpoint_files(log_dir, version)
+
+    active: dict[str, dict] = {}
+    meta: dict | None = None
+    protocol: dict | None = None
+
+    if ck_parts:
+        # the checkpoint is plain parquet of action structs — read it
+        # with Spark (distributed; checkpoints of huge tables are wide)
+        ck = spark.read.parquet(*ck_parts)
+        cols = set(ck.columns)
+        if "add" in cols:
+            for r in (
+                ck.filter(F.col("add").isNotNull())
+                .select("add.path", "add.partitionValues")
+                .collect()
+            ):
+                active[r["path"]] = {
+                    "path": r["path"],
+                    "partitionValues": dict(r["partitionValues"] or {}),
+                }
+        if "metaData" in cols:
+            m = (
+                ck.filter(F.col("metaData").isNotNull())
+                .select("metaData.schemaString", "metaData.partitionColumns")
+                .collect()
+            )
+            if m:
+                meta = {
+                    "schemaString": m[0]["schemaString"],
+                    "partitionColumns": list(m[0]["partitionColumns"] or []),
+                }
+        if "protocol" in cols:
+            p = (
+                ck.filter(F.col("protocol").isNotNull())
+                .select("protocol.minReaderVersion")
+                .collect()
+            )
+            if p:
+                protocol = {"minReaderVersion": p[0]["minReaderVersion"]}
+
+    replay_from = [v for v in versions if v > ck_version]
+    if ck_version < 0 and not replay_from:
+        raise FileNotFoundError(f"empty _delta_log in {path}")
+    for v in replay_from:
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    a = action["add"]
+                    active[a["path"]] = {
+                        "path": a["path"],
+                        "partitionValues": a.get("partitionValues") or {},
+                    }
+                elif "remove" in action:
+                    active.pop(action["remove"]["path"], None)
+                elif "metaData" in action:
+                    m = action["metaData"]
+                    meta = {
+                        "schemaString": m["schemaString"],
+                        "partitionColumns": m.get("partitionColumns") or [],
+                    }
+                elif "protocol" in action:
+                    protocol = action["protocol"]
+    if meta is None:
+        raise ValueError(f"no metaData action found in {path}")
+    if protocol is not None and protocol.get("minReaderVersion", 1) > 1:
+        raise UnsupportedDeltaFeature(
+            f"minReaderVersion={protocol['minReaderVersion']} > 1 "
+            "(column mapping / deletion vectors / v2 checkpoints are "
+            "not supported by this dependency-free reader)"
+        )
+    last = versions[-1] if versions else ck_version
+    return active, meta, last
+
+
+def delta_snapshot_files(
+    spark: SparkSession, path: str, version: int | None = None
+) -> list[str]:
+    """Absolute data-file paths of the snapshot — the inspection /
+    vacuum-audit surface (which files are live?)."""
+    active, _meta, _v = _replay(spark, path, version)
+    return sorted(os.path.join(path, p) for p in active)
+
+
+def read_delta(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a Delta table's snapshot (latest, or time-travel to
+    ``version``) as a plain DataFrame."""
+    active, meta, _v = _replay(spark, path, version)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta["partitionColumns"]
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    files = [os.path.join(path, a["path"]) for a in active.values()]
+    if not files:
+        return spark.createDataFrame([], schema)
+    if not part_cols:
+        return spark.read.schema(data_schema).parquet(*files)
+
+    # hive-style layout (what Delta writers emit): let Spark derive the
+    # partition columns natively so partition pruning keeps working
+    def _hive(a: dict) -> bool:
+        return all(
+            f"{c}={a['partitionValues'].get(c)}" in a["path"].split("/")
+            for c in part_cols
+        )
+
+    if all(_hive(a) for a in active.values()):
+        df = (
+            spark.read.option("basePath", path)
+            .schema(
+                T.StructType(
+                    data_schema.fields
+                    + [schema[c] for c in part_cols]
+                )
+            )
+            .parquet(*files)
+        )
+        return df.select(*[f.name for f in schema.fields])
+
+    # non-hive layout: one read per distinct partition tuple (bounded)
+    groups: dict[tuple, list[str]] = {}
+    for a in active.values():
+        key = tuple(a["partitionValues"].get(c) for c in part_cols)
+        groups.setdefault(key, []).append(os.path.join(path, a["path"]))
+    if len(groups) > _MAX_UNION_PARTITIONS:
+        raise UnsupportedDeltaFeature(
+            f"{len(groups)} non-hive partition tuples > "
+            f"{_MAX_UNION_PARTITIONS}: the union-per-partition fallback "
+            "would build an unreasonable plan; re-layout or read the "
+            "file list via delta_snapshot_files"
+        )
+    out = None
+    for key, paths in sorted(groups.items()):
+        part = spark.read.schema(data_schema).parquet(*paths)
+        for c, raw in zip(part_cols, key):
+            typ = schema[c].dataType
+            part = part.withColumn(
+                c, F.lit(raw).cast(typ) if raw is not None else F.lit(None).cast(typ)
+            )
+        out = part if out is None else out.unionByName(part)
+    return out.select(*[f.name for f in schema.fields])

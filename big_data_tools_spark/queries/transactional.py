@@ -85,3 +85,103 @@ def orders_merge_upsert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+@register(
+    "delta_read_snapshot",
+    sql=f"""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum({_CENTS}) AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderkey % 9 <> 0
+    GROUP BY o_orderstatus
+    """,
+    doc="Dependency-free Delta Lake READ path (io/deltaread.py, r10): "
+    "builds a scratch Delta table from orders BY HAND against the "
+    "open transaction-log protocol — commit 0 adds two data files "
+    "(the orderkey %3==0 slice and the rest) with metaData+protocol, "
+    "commit 1 is a delete-rewrite (REMOVE the first file, ADD its "
+    "rows minus %9==0 keys) — then reads the latest snapshot via the "
+    "log replay and rolls it up by status. The twin is the final "
+    "relational state (orders minus %9 keys, since %9==0 implies "
+    "%3==0), so the driver hash checks add/remove replay end-to-end: "
+    "a reader that ignored the remove would double-count the %3 "
+    "slice and fail. Money integer cents. Scale shape: replay "
+    "touches only _delta_log (KBs); the data read is a plain parquet "
+    "scan over the active-file list with pushdown/pruning intact — "
+    "this is the interop path that lets OTHER systems' Delta tables "
+    "be read in place without the Delta runtime (reference has no "
+    "lakehouse interop; north-star surface).",
+)
+def delta_read_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import json
+    import os
+    import shutil
+
+    from ..io.deltaread import read_delta
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="bdt_delta_q_") + "/tbl"
+    os.makedirs(root)
+
+    def write_file(df: DataFrame, rel: str) -> None:
+        stage = tempfile.mkdtemp(prefix="bdt_delta_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        os.replace(part, os.path.join(root, rel))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "o_orderkey", "type": "long",
+                 "nullable": True, "metadata": {}},
+                {"name": "o_orderstatus", "type": "string",
+                 "nullable": True, "metadata": {}},
+                {"name": "cents", "type": "long",
+                 "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    write_file(o.filter(F.col("o_orderkey") % 3 == 0), "f-a.parquet")
+    write_file(o.filter(F.col("o_orderkey") % 3 != 0), "f-b.parquet")
+    write_file(
+        o.filter((F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 9 != 0)),
+        "f-a-rewrite.parquet",
+    )
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+
+    def commit(version: int, actions: list[dict]) -> None:
+        with open(os.path.join(log, f"{version:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+    commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "bdt-delta-q", "schemaString": schema_json,
+                      "partitionColumns": [],
+                      "format": {"provider": "parquet", "options": {}}}},
+        {"add": {"path": "f-a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "f-b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    commit(1, [
+        {"remove": {"path": "f-a.parquet", "dataChange": True}},
+        {"add": {"path": "f-a-rewrite.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    snap = read_delta(spark, root)
+    return snap.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+    )
