@@ -261,6 +261,37 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return track_cache(out, pairs, comp)  # re-tag: groupBy drops the tag
 
 
+@register(
+    "dedup_components_trace",
+    sql=None,  # fixpoint round count is data-dependent (no fixed-round
+    # CTE unroll like kcore's); convergence properties pinned in tests
+    doc="Per-round convergence telemetry of the connected-components "
+    "fixpoint (r10, the large-star/small-star contraction in "
+    "operators/components.py): one row per alternating-star round "
+    "with (n_nodes, n_edges) AFTER the round's contraction — the "
+    "same shrink-visibility contract as copurchase_kcore_peel's "
+    "trace, over the same exact-Jaccard pair graph dedup_components "
+    "consumes. n_edges stabilizing at n_nodes - n_components is the "
+    "star-forest fixpoint; round count is O(log^2 n) worst case, "
+    "2-4 typical on dedup graphs. The trace rides the checksum "
+    "counts the convergence check already pays for, so telemetry "
+    "costs one extra distinct-count per round, nothing more.",
+)
+def dedup_components_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track_cache
+    from ..operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8, max_doc_freq="auto")
+    trace: list[dict] = []
+    connected_components(pairs, trace=trace)  # loop runs eagerly
+    out = spark.createDataFrame(
+        [(t["round"], t["n_nodes"], t["n_edges"]) for t in trace],
+        "round int, n_nodes bigint, n_edges bigint",
+    )
+    return track_cache(out, pairs)
+
+
 def _winnow_pairs_sql() -> str:
     from .text import winnow_fps_sql
 

@@ -465,3 +465,25 @@ def test_semantic_dedup_from_loaded_index_matches_one_shot(spark, sf_oracle):
         shutil.rmtree(d, ignore_errors=True)
     assert direct == via_disk
     assert direct  # non-vacuous: sf0.01 embeddings do contain groups
+
+
+def test_dedup_components_trace_star_forest_invariant(spark):
+    """The registered trace query's final round must describe the
+    star-forest fixpoint: n_edges = n_nodes - n_components (one edge
+    per non-root node), against dedup_components' own group count."""
+    from big_data_tools_spark.operators.cache import release_all_caches, release_caches
+    from big_data_tools_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    reg = all_queries()
+    tr = reg["dedup_components_trace"].fn(spark, sf)
+    rows = sorted((r["round"], r["n_nodes"], r["n_edges"]) for r in tr.collect())
+    release_caches(tr)
+    release_all_caches()
+    comp = reg["dedup_components"].fn(spark, sf)
+    n_components = comp.count()
+    release_caches(comp)
+    release_all_caches()
+    assert rows, "empty trace"
+    _, n_nodes, n_edges = rows[-1]
+    assert n_edges == n_nodes - n_components, (rows, n_components)
