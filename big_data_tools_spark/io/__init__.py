@@ -1,4 +1,5 @@
 from .deltaread import read_delta
+from .icebergread import read_iceberg
 from .schemas import TABLE_NAMES, TABLE_SCHEMAS
 from .sources import load_table, load_tables, read_json
 
@@ -8,5 +9,6 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_delta",
+    "read_iceberg",
     "read_json",
 ]

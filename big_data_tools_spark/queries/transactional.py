@@ -185,3 +185,150 @@ def delta_read_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+@register(
+    "iceberg_read_snapshot",
+    sql=f"""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum({_CENTS}) AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderkey % 9 <> 0
+    GROUP BY o_orderstatus
+    """,
+    doc="Dependency-free Apache Iceberg READ path (io/icebergread.py, "
+    "r10): builds a spec-shaped two-snapshot Iceberg table from "
+    "orders — REAL avro manifests written through the JVM avro "
+    "library already on Spark's classpath, JSON table metadata, "
+    "snapshot 1 adds two data files (orderkey %3==0 slice + rest), "
+    "snapshot 2 is a delete-rewrite (status=DELETED on the first "
+    "file, ADDED rewrite minus %9==0 keys) — then resolves the "
+    "current snapshot through metadata -> manifest list -> manifests "
+    "and rolls up the snapshot read by status. Same relational final "
+    "state as delta_read_snapshot (orders minus %9 keys), so the "
+    "driver hash checks manifest-status replay end-to-end: a reader "
+    "that ignored DELETED entries would double-count the %3 slice. "
+    "Money integer cents. Scale shape: manifest parsing is "
+    "driver-side metadata (KBs); the data read is one distributed "
+    "parquet scan. Reference has no lakehouse interop (north-star "
+    "surface).",
+)
+def iceberg_read_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import json
+    import os
+    import shutil
+
+    from ..io.icebergread import read_iceberg
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="bdt_iceberg_q_") + "/tbl"
+    os.makedirs(os.path.join(root, "metadata"))
+
+    def write_file(df: DataFrame, rel: str) -> str:
+        stage = tempfile.mkdtemp(prefix="bdt_ice_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(part, dest)
+        shutil.rmtree(stage, ignore_errors=True)
+        return dest
+
+    jvm = spark._jvm
+    entry_schema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps({
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                ],
+            }},
+        ],
+    }))
+    list_schema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps({
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"},
+        ],
+    }))
+
+    def write_manifest(rel: str, entries: list[tuple[str, int]]) -> str:
+        dest = os.path.join(root, "metadata", rel)
+        w = jvm.org.apache.avro.generic.GenericDatumWriter(entry_schema)
+        dfw = jvm.org.apache.avro.file.DataFileWriter(w)
+        dfw.create(entry_schema, jvm.java.io.File(dest))
+        dsch = entry_schema.getField("data_file").schema()
+        for fpath, status in entries:
+            rec = jvm.org.apache.avro.generic.GenericData.Record(entry_schema)
+            rec.put("status", status)
+            sub = jvm.org.apache.avro.generic.GenericData.Record(dsch)
+            sub.put("content", 0)
+            sub.put("file_path", fpath)
+            sub.put("file_format", "PARQUET")
+            sub.put("record_count", 1)
+            rec.put("data_file", sub)
+            dfw.append(rec)
+        dfw.close()
+        return dest
+
+    def write_manifest_list(rel: str, manifests: list[str]) -> str:
+        dest = os.path.join(root, "metadata", rel)
+        w = jvm.org.apache.avro.generic.GenericDatumWriter(list_schema)
+        dfw = jvm.org.apache.avro.file.DataFileWriter(w)
+        dfw.create(list_schema, jvm.java.io.File(dest))
+        for m in manifests:
+            rec = jvm.org.apache.avro.generic.GenericData.Record(list_schema)
+            rec.put("manifest_path", m)
+            rec.put("manifest_length", 1)
+            rec.put("content", 0)
+            dfw.append(rec)
+        dfw.close()
+        return dest
+
+    fa = write_file(o.filter(F.col("o_orderkey") % 3 == 0), "data/a.parquet")
+    fb = write_file(o.filter(F.col("o_orderkey") % 3 != 0), "data/b.parquet")
+    fa2 = write_file(
+        o.filter((F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 9 != 0)),
+        "data/a-rewrite.parquet",
+    )
+    m1 = write_manifest("m1.avro", [(fa, 1), (fb, 1)])
+    ml1 = write_manifest_list("sl1.avro", [m1])
+    m2 = write_manifest("m2.avro", [(fa, 2), (fa2, 1), (fb, 0)])
+    ml2 = write_manifest_list("sl2.avro", [m2])
+    meta = {
+        "format-version": 2,
+        "table-uuid": "bdt-iceberg-q",
+        "location": root,
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {"snapshot-id": 1, "manifest-list": ml1},
+            {"snapshot-id": 2, "manifest-list": ml2},
+        ],
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+            {"id": 2, "name": "o_orderstatus", "required": False,
+             "type": "string"},
+            {"id": 3, "name": "cents", "required": False, "type": "long"},
+        ]}],
+        "current-schema-id": 0,
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+    snap = read_iceberg(spark, root)
+    return snap.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+    )

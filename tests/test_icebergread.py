@@ -1,0 +1,197 @@
+"""Dependency-free Iceberg read path (io/icebergread.py): spec-shaped
+tables hand-built with REAL avro manifests (written through the JVM
+avro library already on Spark's classpath) — snapshot resolution, time
+travel, v1 inline manifests, and the honest delete-file / rename
+gates."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from big_data_tools_spark.io.icebergread import (
+    UnsupportedIcebergFeature,
+    iceberg_snapshot_files,
+    read_iceberg,
+)
+
+_MANIFEST_FILE_SCHEMA = json.dumps({
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "content", "type": "int"},
+    ],
+})
+
+_MANIFEST_ENTRY_SCHEMA = json.dumps({
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+            ],
+        }},
+    ],
+})
+
+_TABLE_SCHEMA_FIELDS = [
+    {"id": 1, "name": "id", "required": False, "type": "long"},
+    {"id": 2, "name": "v", "required": False, "type": "string"},
+]
+
+
+def _write_avro(spark, path, schema_json, rows):
+    """rows: list of dicts; nested dicts become sub-records."""
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+
+    def fill(rec, sch, d):
+        for k, val in d.items():
+            if isinstance(val, dict):
+                sub = jvm.org.apache.avro.generic.GenericData.Record(
+                    sch.getField(k).schema()
+                )
+                fill(sub, sch.getField(k).schema(), val)
+                rec.put(k, sub)
+            else:
+                rec.put(k, val)
+
+    w = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(w)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    dfw.create(schema, jvm.java.io.File(path))
+    for d in rows:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        fill(rec, schema, d)
+        dfw.append(rec)
+    dfw.close()
+
+
+def _write_parquet(spark, rows, path, ddl="id long, v string"):
+    stage = tempfile.mkdtemp(prefix="bdt_ice_stage_")
+    spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.replace(glob.glob(os.path.join(stage, "part-*.parquet"))[0], path)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def _manifest(spark, root, name, entries):
+    p = os.path.join(root, "metadata", name)
+    _write_avro(spark, p, _MANIFEST_ENTRY_SCHEMA, entries)
+    return p
+
+
+def _manifest_list(spark, root, name, manifest_paths, contents=None):
+    p = os.path.join(root, "metadata", name)
+    rows = [
+        {"manifest_path": mp, "manifest_length": 1,
+         "content": (contents or [0] * len(manifest_paths))[i]}
+        for i, mp in enumerate(manifest_paths)
+    ]
+    _write_avro(spark, p, _MANIFEST_FILE_SCHEMA, rows)
+    return p
+
+
+def _metadata(root, snapshots, current, version=2):
+    meta = {
+        "format-version": version,
+        "table-uuid": "fixture",
+        "location": root,
+        "current-snapshot-id": current,
+        "snapshots": snapshots,
+        "schemas": [{"schema-id": 0, "type": "struct",
+                     "fields": _TABLE_SCHEMA_FIELDS}],
+        "current-schema-id": 0,
+    }
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+
+def _entry(path, status=1):
+    return {"status": status,
+            "data_file": {"content": 0, "file_path": path,
+                          "file_format": "PARQUET", "record_count": 1}}
+
+
+def test_v2_snapshot_read_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "ice")
+    fa = os.path.join(root, "data", "a.parquet")
+    fb = os.path.join(root, "data", "b.parquet")
+    _write_parquet(spark, [(1, "a"), (2, "b")], fa)
+    _write_parquet(spark, [(3, "c")], fb)
+    m1 = _manifest(spark, root, "m1.avro", [_entry(fa), _entry(fb)])
+    ml1 = _manifest_list(spark, root, "sl1.avro", [m1])
+    # snapshot 2: file a deleted (status=2), b carried as existing
+    m2 = _manifest(spark, root, "m2.avro",
+                   [_entry(fa, status=2), _entry(fb, status=0)])
+    ml2 = _manifest_list(spark, root, "sl2.avro", [m2])
+    _metadata(root, [
+        {"snapshot-id": 10, "manifest-list": ml1},
+        {"snapshot-id": 20, "manifest-list": ml2},
+    ], current=20)
+
+    latest = {(r["id"], r["v"]) for r in read_iceberg(spark, root).collect()}
+    assert latest == {(3, "c")}
+    old = {(r["id"], r["v"])
+           for r in read_iceberg(spark, root, snapshot_id=10).collect()}
+    assert old == {(1, "a"), (2, "b"), (3, "c")}
+    assert iceberg_snapshot_files(spark, root) == [fb]
+
+
+def test_v1_inline_manifests(spark, tmp_path):
+    root = str(tmp_path / "ice1")
+    fa = os.path.join(root, "data", "a.parquet")
+    _write_parquet(spark, [(7, "z")], fa)
+    m1 = _manifest(spark, root, "m1.avro", [_entry(fa)])
+    meta = {
+        "format-version": 1,
+        "table-uuid": "fixture",
+        "location": root,
+        "current-snapshot-id": 5,
+        "snapshots": [{"snapshot-id": 5, "manifests": [m1]}],
+        "schema": {"type": "struct", "fields": _TABLE_SCHEMA_FIELDS},
+    }
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    json.dump(meta, open(os.path.join(mdir, "v1.metadata.json"), "w"))
+    rows = {(r["id"], r["v"]) for r in read_iceberg(spark, root).collect()}
+    assert rows == {(7, "z")}
+
+
+def test_delete_manifest_refused(spark, tmp_path):
+    root = str(tmp_path / "icedel")
+    fa = os.path.join(root, "data", "a.parquet")
+    _write_parquet(spark, [(1, "a")], fa)
+    m1 = _manifest(spark, root, "m1.avro", [_entry(fa)])
+    mdel = _manifest(spark, root, "mdel.avro", [_entry(fa)])
+    ml = _manifest_list(spark, root, "sl.avro", [m1, mdel], contents=[0, 1])
+    _metadata(root, [{"snapshot-id": 1, "manifest-list": ml}], current=1)
+    with pytest.raises(UnsupportedIcebergFeature):
+        read_iceberg(spark, root)
+
+
+def test_renamed_columns_refused(spark, tmp_path):
+    """Parquet column names outside the table schema mean field-id
+    renames happened; name-based binding must refuse, not mis-bind."""
+    root = str(tmp_path / "iceren")
+    fa = os.path.join(root, "data", "a.parquet")
+    _write_parquet(spark, [(1, "a")], fa, ddl="id long, old_name string")
+    m1 = _manifest(spark, root, "m1.avro", [_entry(fa)])
+    ml = _manifest_list(spark, root, "sl.avro", [m1])
+    _metadata(root, [{"snapshot-id": 1, "manifest-list": ml}], current=1)
+    with pytest.raises(UnsupportedIcebergFeature):
+        read_iceberg(spark, root)
