@@ -253,18 +253,19 @@ def containment_pairs(
     the posting-list expansion (candidate mass <= V*N for V distinct
     shingles — linear in corpus size), candidate pairs from grouped
     posting lists (one shuffle on the 8-byte shingle hash),
-    shuffle-hash size joins. The r9 sf1 decade sweep measured x7.3
-    wall for 10x data on the adversarial saturated-vocabulary corpus
-    — tracking a x9.2 growth in EMITTED pairs (256 -> 2345), i.e.
-    sublinear per output pair; on natural (Heaps-growth) corpora
-    where rare shingles exist, :func:`containment_prefix_pairs` is
-    the EXACT no-cap alternative whose candidate cost tracks
-    rare-token postings (equality on uncapped corpora pinned in
-    tests/test_round9_ops.py). It is not auto-routed: on saturated
-    corpora the prefix scheme has no rare tokens to exploit and
-    measures ~1.3x the capped path (r9 A/B, canary-normalized), so
-    the default stays with the cap and callers choose exactness
-    explicitly.
+    shuffle-hash size joins. SCALE GUIDANCE (revised r10): the r10
+    sf1 sweep measured this capped path at x30.7/decade on the
+    saturated-vocabulary corpus while the EXACT
+    :func:`containment_prefix_pairs` read x4.5 on the same data
+    (11.4s vs 82.2s at sf1), and the r10 natural-corpus A/B
+    (SCALING.md) measured the prefix tier 2.1-2.4x faster there too —
+    so at sf0.1-plus corpus sizes prefer the prefix tier in BOTH
+    vocabulary regimes; this capped path stays the cheaper choice
+    only for small corpora (it was 1.3-1.4x faster below ~sf0.1).
+    Not auto-routed: the cap CHANGES results (evidence shingles
+    dropped), so the two tiers are separate registered surfaces and
+    callers pick semantics explicitly (equality on uncapped corpora
+    pinned in tests/test_round9_ops.py).
     """
     from .cache import track_cache
 
@@ -344,12 +345,14 @@ def containment_prefix_pairs(
     max_prefix_freq: int | None = None,
 ) -> DataFrame:
     """EXACT overlap-coefficient containment pairs via min-side prefix
-    probing. NOT auto-routed: the capped posting-list path
-    (:func:`containment_pairs`) stays the default at all sizes — on
-    saturated-vocabulary corpora the prefix scheme has no rare tokens
-    to exploit and measured ~1.3x the capped path (r9 A/B) — so
-    callers opt into exactness explicitly when the corpus has
-    Heaps-growth (natural) vocabulary.
+    probing — the RECOMMENDED containment tier at scale (revised r10):
+    the sf1 sweep measured it at x4.5/decade vs the capped path's
+    x30.7 on the saturated corpus (11.4s vs 82.2s), and the
+    natural-corpus A/B at 2.1-2.4x faster with identical exact
+    output (SCALING.md r10). The capped :func:`containment_pairs`
+    remains cheaper only below ~sf0.1 corpus sizes. Not auto-routed
+    because the cap CHANGES results — the tiers are distinct
+    semantics, chosen explicitly.
 
     Overlap prefix lemma (the PPJoin prefix idea adapted to the
     overlap coefficient): O(x,y) = c / min(|x|,|y|) >= t with

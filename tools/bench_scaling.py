@@ -125,6 +125,12 @@ SF1_QUERIES = [
     "dedup_containment_pairs",
     "orders_fd_violations",
     "events_value_anova",
+    # round-10: the exact prefix-containment tier (saturated-corpus
+    # counterpoint to SCALING.md's natural-corpus A/B) and the
+    # IVF-routed hubness audit (the ANN tier that replaced the
+    # deliberate-quadratic exact audit at scale)
+    "dedup_containment_prefix",
+    "embedding_hubness_audit_ann",
 ]
 MARK_SF1_A = "<!-- BENCH-SCALING-SF1:BEGIN -->"
 MARK_SF1_B = "<!-- BENCH-SCALING-SF1:END -->"
