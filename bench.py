@@ -192,11 +192,16 @@ HEADLINE = [
     "embedding_hubness_audit",
     "events_value_anova",
     # round-10 wave: the exact prefix-containment tier (uncapped
-    # posting exactness at bench scale) and the IVF-routed hubness
-    # audit (the ANN replacement for the one all-pairs plan above —
-    # benching both keeps the exact-vs-ANN cost gap visible per round)
+    # posting exactness at bench scale). embedding_hubness_audit_ann
+    # is deliberately NOT seated here — at sf0.1 the ANN tier costs
+    # more than the brute audit (IVF fit + a few-key cluster-id join
+    # vs one codegen broadcast scan; crossover is ~100k+ vectors), so
+    # a headline row would measure small-scale overhead, not the
+    # scale shape. It is benched where the scale question lives: the
+    # sf1 decade sweep (tools/bench_scaling.py SF1_QUERIES) — the
+    # mirror of excluding the deliberately-quadratic exact audit from
+    # that sweep.
     "dedup_containment_prefix",
-    "embedding_hubness_audit_ann",
 ]
 # Comparability note: the four r9-wave seats were appended AFTER the
 # committed r9 bench artifacts were generated (BENCH_SUMMARY.json /

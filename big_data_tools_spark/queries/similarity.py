@@ -717,22 +717,30 @@ def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "directly is not merely an approximation of the exact audit — "
     "it is the production question (do MY candidate lists "
     "concentrate onto hubs?); tests pin hub/anti-hub agreement "
-    "with the exact audit at sf0.01. n_clusters='auto' (fixed "
-    "~2048-row clusters, k grows with n) is what makes the shape "
-    "linear: every-vector-as-query costs n * n_probe * (n/k) = "
-    "n * n_probe * 2048 dot products. The r10 sf1 sweep measured "
-    "the fixed-k=16 variant at 418s/50k vectors (x20/decade — "
-    "probed-list size grew with the corpus); auto-k is the committed "
-    "fix. fit_sample_cap bounds the Lloyd passes the MLlib fit "
-    "caches (full corpus still assigned in one transform pass).",
+    "with the exact audit at sf0.01. k = max(16, ceil(n/2048)) is "
+    "what makes the shape linear AND join-healthy: k growing with n "
+    "keeps probed-list size ~constant (every-vector-as-query costs "
+    "n * n_probe * 2048 dot products — the r10 sf1 sweep measured "
+    "the fixed-k=16 variant at 418s/50k vectors, x20/decade, because "
+    "its probed lists grew with the corpus), while the k >= 16 floor "
+    "keeps the cluster-id equi-join off the few-distinct-keys skew "
+    "cliff (a bare auto k=4 at sf0.1 put all rows on 4 shuffle keys: "
+    "100s vs 21s). Routing centroids use random-init/8-iter Lloyd — "
+    "the audit needs co-clustering, not optimal centroids, and "
+    "k-means|| init is multiple full passes the fit does not need; "
+    "fit_sample_cap bounds the passes MLlib caches (full corpus "
+    "still assigned in one transform).",
 )
 def embedding_hubness_audit_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cache import track_cache
     from ..operators.similarity import IvfIndex
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = max(16, -(-n // 2048))
     index = IvfIndex.fit(
-        emb, "vec_id", "embedding", n_clusters="auto", fit_sample_cap=100_000
+        emb, "vec_id", "embedding", n_clusters=k,
+        init_mode="random", max_iter=8, fit_sample_cap=100_000,
     )
     topk = index.search(emb, k=_HUB_K, n_probe=4)
     indeg = topk.groupBy("neighbor_id").agg(
