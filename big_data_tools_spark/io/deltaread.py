@@ -20,8 +20,13 @@ interop at all (BASELINE.md); this is north-star surface that makes
 less costly — OTHER systems' Delta tables are now readable in place.
 
 Scope (gated honestly, never silently wrong):
-  - reader protocol v1 (``minReaderVersion <= 1``). Tables using
-    column mapping, deletion vectors, or v2 checkpoints raise
+  - reader protocol v1 and v2: v2's one feature — NAME-mode column
+    mapping, the first gate any table written by a modern writer with
+    defaults trips (r10 verdict next #5) — is applied as the
+    metadata-only rename layer it is (physical parquet names in, one
+    alias projection out, pushdown intact). v3 tables pass iff their
+    ``readerFeatures`` are within {columnMapping}; id-mode mapping,
+    deletion vectors, and v2 checkpoints raise
     ``UnsupportedDeltaFeature`` instead of returning wrong rows.
   - time travel by commit version (``version=``).
   - partitioned tables: hive-style data paths (what Delta writers
@@ -119,22 +124,25 @@ def _replay(spark: SparkSession, path: str, version: int | None):
         if "metaData" in cols:
             m = (
                 ck.filter(F.col("metaData").isNotNull())
-                .select("metaData.schemaString", "metaData.partitionColumns")
+                .select("metaData")
                 .collect()
             )
             if m:
+                md = m[0]["metaData"].asDict(recursive=False)
                 meta = {
-                    "schemaString": m[0]["schemaString"],
-                    "partitionColumns": list(m[0]["partitionColumns"] or []),
+                    "schemaString": md["schemaString"],
+                    "partitionColumns": list(md["partitionColumns"] or []),
+                    "configuration": dict(md.get("configuration") or {}),
                 }
         if "protocol" in cols:
             p = (
                 ck.filter(F.col("protocol").isNotNull())
-                .select("protocol.minReaderVersion")
+                .select("protocol")
                 .collect()
             )
             if p:
-                protocol = {"minReaderVersion": p[0]["minReaderVersion"]}
+                pd = p[0]["protocol"].asDict(recursive=False)
+                protocol = {k: v for k, v in pd.items() if v is not None}
 
     replay_from = [v for v in versions if v > ck_version]
     if ck_version < 0 and not replay_from:
@@ -159,19 +167,45 @@ def _replay(spark: SparkSession, path: str, version: int | None):
                     meta = {
                         "schemaString": m["schemaString"],
                         "partitionColumns": m.get("partitionColumns") or [],
+                        "configuration": m.get("configuration") or {},
                     }
                 elif "protocol" in action:
                     protocol = action["protocol"]
     if meta is None:
         raise ValueError(f"no metaData action found in {path}")
-    if protocol is not None and protocol.get("minReaderVersion", 1) > 1:
-        raise UnsupportedDeltaFeature(
-            f"minReaderVersion={protocol['minReaderVersion']} > 1 "
-            "(column mapping / deletion vectors / v2 checkpoints are "
-            "not supported by this dependency-free reader)"
-        )
+    _check_protocol(protocol)
     last = versions[-1] if versions else ck_version
     return active, meta, last
+
+
+def _check_protocol(protocol: dict | None) -> None:
+    """Reader-protocol gate (never silently wrong): v1 is the base;
+    v2 adds exactly one reader feature — COLUMN MAPPING — which this
+    reader now applies (name mode, r10 verdict next #5); v3 tables
+    enumerate ``readerFeatures`` explicitly, so they pass iff that set
+    is within what we implement (deletion vectors / v2 checkpoints
+    still raise)."""
+    if protocol is None:
+        return
+    mrv = protocol.get("minReaderVersion", 1)
+    if mrv <= 2:
+        return
+    if mrv == 3:
+        declared = protocol.get("readerFeatures")
+        if declared is None:
+            raise UnsupportedDeltaFeature(
+                "minReaderVersion=3 without a readerFeatures list — "
+                "cannot verify which reader features the table needs"
+            )
+        unsupported = set(declared) - {"columnMapping"}
+        if unsupported:
+            raise UnsupportedDeltaFeature(
+                f"readerFeatures {sorted(unsupported)} not supported by "
+                "this dependency-free reader (deletion vectors / v2 "
+                "checkpoints / timestampNtz need the Delta runtime)"
+            )
+        return
+    raise UnsupportedDeltaFeature(f"minReaderVersion={mrv} > 3")
 
 
 def delta_snapshot_files(
@@ -183,28 +217,90 @@ def delta_snapshot_files(
     return sorted(os.path.join(path, p) for p in active)
 
 
+_PHYS_KEY = "delta.columnMapping.physicalName"
+
+
+def _assert_no_nested_mapping(dt: T.DataType, where: str) -> None:
+    if isinstance(dt, T.StructType):
+        for f in dt.fields:
+            if (f.metadata or {}).get(_PHYS_KEY):
+                raise UnsupportedDeltaFeature(
+                    f"nested column mapping at {where}.{f.name} — this "
+                    "reader applies top-level name mapping only"
+                )
+            _assert_no_nested_mapping(f.dataType, f"{where}.{f.name}")
+    elif isinstance(dt, T.ArrayType):
+        _assert_no_nested_mapping(dt.elementType, where + "[]")
+    elif isinstance(dt, T.MapType):
+        _assert_no_nested_mapping(dt.keyType, where + "<key>")
+        _assert_no_nested_mapping(dt.valueType, where + "<value>")
+
+
+def _physical_map(schema: T.StructType, mode: str) -> dict[str, str]:
+    """logical top-level column name -> PHYSICAL parquet name.
+
+    Name-mode column mapping is a metadata-only rename layer: data
+    files carry opaque physical names (``col-<uuid>``), the logical
+    names live in the schemaString fields' metadata — so the read is
+    the SAME distributed parquet scan with a final alias projection,
+    and predicate pushdown / pruning survive (Catalyst pushes filters
+    through aliases). Id-mode needs parquet field-id resolution and
+    still raises; nested-field mapping raises (top-level only).
+    """
+    if mode in ("none", ""):
+        return {f.name: f.name for f in schema.fields}
+    if mode != "name":
+        raise UnsupportedDeltaFeature(
+            f"columnMapping.mode={mode!r}: only 'none' and 'name' are "
+            "supported ('id' needs parquet field-id resolution)"
+        )
+    phys: dict[str, str] = {}
+    for f in schema.fields:
+        phys[f.name] = (f.metadata or {}).get(_PHYS_KEY, f.name)
+        _assert_no_nested_mapping(f.dataType, f.name)
+    return phys
+
+
 def read_delta(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Read a Delta table's snapshot (latest, or time-travel to
-    ``version``) as a plain DataFrame."""
+    ``version``) as a plain DataFrame (logical column names)."""
     active, meta, _v = _replay(spark, path, version)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    phys = _physical_map(schema, mode)
     part_cols = meta["partitionColumns"]
     data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+        [
+            T.StructField(phys[f.name], f.dataType, f.nullable)
+            for f in schema.fields
+            if f.name not in part_cols
+        ]
     )
+    logical = [
+        F.col(phys[f.name]).alias(f.name) for f in schema.fields
+    ]
     files = [os.path.join(path, a["path"]) for a in active.values()]
     if not files:
         return spark.createDataFrame([], schema)
     if not part_cols:
-        return spark.read.schema(data_schema).parquet(*files)
+        return spark.read.schema(data_schema).parquet(*files).select(*logical)
+
+    # partitionValues keys are PHYSICAL names under column mapping
+    # (spec: "track partition values ... with the physical name");
+    # fall back to the logical key for writers that kept them equal
+    def _pv(a: dict, c: str):
+        pv = a["partitionValues"]
+        return pv.get(phys[c], pv.get(c))
 
     # hive-style layout (what Delta writers emit): let Spark derive the
     # partition columns natively so partition pruning keeps working
     def _hive(a: dict) -> bool:
         return all(
-            f"{c}={a['partitionValues'].get(c)}" in a["path"].split("/")
+            f"{phys[c]}={_pv(a, c)}" in a["path"].split("/")
             for c in part_cols
         )
 
@@ -214,17 +310,22 @@ def read_delta(
             .schema(
                 T.StructType(
                     data_schema.fields
-                    + [schema[c] for c in part_cols]
+                    + [
+                        T.StructField(
+                            phys[c], schema[c].dataType, schema[c].nullable
+                        )
+                        for c in part_cols
+                    ]
                 )
             )
             .parquet(*files)
         )
-        return df.select(*[f.name for f in schema.fields])
+        return df.select(*logical)
 
     # non-hive layout: one read per distinct partition tuple (bounded)
     groups: dict[tuple, list[str]] = {}
     for a in active.values():
-        key = tuple(a["partitionValues"].get(c) for c in part_cols)
+        key = tuple(_pv(a, c) for c in part_cols)
         groups.setdefault(key, []).append(os.path.join(path, a["path"]))
     if len(groups) > _MAX_UNION_PARTITIONS:
         raise UnsupportedDeltaFeature(
@@ -234,12 +335,15 @@ def read_delta(
             "file list via delta_snapshot_files"
         )
     out = None
-    for key, paths in sorted(groups.items()):
+    for key, paths in sorted(
+        groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
+    ):
         part = spark.read.schema(data_schema).parquet(*paths)
         for c, raw in zip(part_cols, key):
             typ = schema[c].dataType
             part = part.withColumn(
-                c, F.lit(raw).cast(typ) if raw is not None else F.lit(None).cast(typ)
+                phys[c],
+                F.lit(raw).cast(typ) if raw is not None else F.lit(None).cast(typ),
             )
         out = part if out is None else out.unionByName(part)
-    return out.select(*[f.name for f in schema.fields])
+    return out.select(*logical)

@@ -103,6 +103,10 @@ def connected_components(
 ) -> DataFrame:
     """(node, component_id) for every node appearing in ``pairs``;
     component_id = min node id reachable through the pair graph.
+    Self-pairs (``src == dst``) carry no connectivity but the node
+    still gets a row — a singleton component — so the "every node
+    appearing in pairs" contract survives the self-loop filter
+    (r10 ADVICE: the star-contraction rewrite silently dropped them).
 
     Alternating large-star/small-star contraction (module docstring).
     Pass a list as ``trace`` to receive one dict per round —
@@ -164,6 +168,21 @@ def connected_components(
     children = edges.select(
         F.col("a").alias("node"), F.col("b").alias("comp")
     )
-    return children.unionByName(roots).select(
+    out = children.unionByName(roots)
+    # self-loop-only nodes: filtered out of the edge set up front, so
+    # anti-join them back as singletons against the (small, star-
+    # forest) converged frame's node set
+    self_nodes = (
+        pairs.filter(F.col(src) == F.col(dst))
+        .select(F.col(src).alias("node"))
+        .distinct()
+    )
+    covered = edges.select(F.col("a").alias("node")).unionByName(
+        edges.select(F.col("b").alias("node"))
+    )
+    singletons = self_nodes.join(covered, "node", "left_anti").withColumn(
+        "comp", F.col("node")
+    )
+    return out.unionByName(singletons).select(
         "node", F.col("comp").alias("component_id")
     )

@@ -18,6 +18,9 @@ cost — pick the FIRST tier that detects what you need to remove):
 |            | Jaccard >= threshold)            | exact overlap; doc-freq capped —   |
 |            |                                  | the verify pass after a candidate  |
 |            |                                  | tier, or standalone at moderate SF |
+| `containment` | short doc quoted whole inside | min-side prefix probe (exact) or   |
+|            | a long one (overlap coefficient  | df-capped posting join — routed by |
+|            | >= threshold; Jaccard misses it) | corpus size, see containment_route |
 | `minhash`  | high n-gram overlap (APPROX,     | one-permutation signatures + salted|
 |            | banded LSH)                      | band join; cost tracks near-dup    |
 |            |                                  | density — the web-scale default    |
@@ -30,6 +33,7 @@ cost — pick the FIRST tier that detects what you need to remove):
 
 Every tier routes to the SAME operator its registry query uses
 (``dedup_exact_docs``, ``dedup_winnow_pairs``, ``dedup_jaccard_pairs``,
+``dedup_containment_prefix`` / ``dedup_containment_pairs``,
 ``dedup_minhash_pairs``, ``dedup_simhash``, ``dedup_semantic_groups``),
 so the driver-green correctness evidence transfers to the facade
 verbatim — asserted in tests/test_dedup_facade.py.
@@ -66,7 +70,32 @@ from .dedup import (
 )
 from .semdedup import semantic_dedup_groups, semantic_dedup_pairs
 
-TIERS = ("exact", "winnow", "jaccard", "minhash", "simhash", "semantic")
+TIERS = (
+    "exact",
+    "winnow",
+    "jaccard",
+    "containment",
+    "minhash",
+    "simhash",
+    "semantic",
+)
+
+# Measured crossover for the containment tier (SCALING.md r10 block):
+# on the saturated sf1 sweep the EXACT prefix path reads x4.5/decade
+# (11.4s at sf1) vs the df-capped posting path's x30.7 (82.2s), and
+# the natural Heaps-growth A/B (tools/bench_containment_natural.py)
+# has prefix 2.1-2.4x FASTER with identical exact output; the capped
+# path wins only below ~sf0.1 corpus sizes (~5k docs), where the
+# posting join is cheap and the sqrt(N) df cap rarely binds.
+CONTAINMENT_CROSSOVER_DOCS = 5_000
+
+
+def containment_route(n_docs: int) -> str:
+    """Size-routed containment method (r10 verdict next #3): the exact
+    prefix tier above the measured crossover; the df-capped posting
+    path — cheaper ONLY on small corpora, and approximate when the cap
+    binds — below it. Pure so the routing decision is unit-testable."""
+    return "prefix" if n_docs > CONTAINMENT_CROSSOVER_DOCS else "capped"
 
 
 def dedup(
@@ -90,7 +119,12 @@ def dedup(
 
     Extra ``tier_kwargs`` pass through to the underlying operator
     (e.g. ``threshold=`` for jaccard/minhash/semantic, ``min_shared=``
-    for winnow, ``max_hamming=`` for simhash).
+    for winnow, ``max_hamming=`` for simhash, ``threshold_micro=`` /
+    ``method=`` for containment). The containment tier routes
+    ``method="auto"`` by corpus size (:func:`containment_route`, the
+    r10-measured crossover); pass ``method="capped"`` to opt into the
+    small-corpus posting path or ``method="prefix"`` to force the
+    exact tier.
     """
     if tier not in TIERS:
         raise ValueError(f"unknown dedup tier {tier!r}; pick one of {TIERS}")
@@ -149,7 +183,26 @@ def dedup(
     if hash_family == "portable" and tier not in ("minhash", "simhash"):
         raise ValueError(f"tier {tier!r} has no portable hash family")
 
-    if tier == "simhash":
+    if tier == "containment":
+        # method="auto" (default) routes by corpus size — exact prefix
+        # probing above CONTAINMENT_CROSSOVER_DOCS, the capped posting
+        # join below it. "capped" is the EXPLICIT small-corpus opt-in:
+        # it is both slower at scale (x30.7 vs x4.5 per decade at sf1)
+        # and approximate when the sqrt(N) doc-freq cap binds, so auto
+        # never picks it on a large corpus.
+        method = tier_kwargs.pop("method", "auto")
+        if method not in ("auto", "prefix", "capped"):
+            raise ValueError(
+                f"containment method must be 'auto', 'prefix' or "
+                f"'capped', got {method!r}"
+            )
+        if method == "auto":
+            method = containment_route(df.count())
+        from .dedup import containment_pairs, containment_prefix_pairs
+
+        fn = containment_prefix_pairs if method == "prefix" else containment_pairs
+        pairs = fn(df, text_col=text_col, id_col=id_col, **tier_kwargs)
+    elif tier == "simhash":
         if hash_family == "portable":
             from .dedup import simhash_band_pairs_portable
 

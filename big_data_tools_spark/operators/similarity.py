@@ -225,7 +225,34 @@ class IvfIndex:
         k: int = 5,
         n_probe: int = 4,
         round_digits: int | None = 4,
+        broadcast_max_queries: int | None = 4096,
+        n_shards: int = 8,
     ) -> DataFrame:
+        """Probe the ``n_probe`` nearest inverted lists per query and
+        rank exact cosine inside them.
+
+        The scoring join's key is the cluster id — k distinct keys
+        carrying wide array payloads, the few-keys/fat-rows shape that
+        skews when one centroid swallows a hub cluster (r10 verdict
+        next #1). Two scale-safe plans, chosen by query-batch size:
+
+        - batch <= ``broadcast_max_queries``: BROADCAST the routed
+          query side (|queries| x n_probe rows) against the inverted
+          lists — the corpus assignment never shuffles at all, every
+          executor streams its resident partition. This is the
+          fit-once/search-many design point (few queries, huge
+          corpus), so it is the common case.
+        - larger batches (every-vector-as-query audits): SALT the join
+          by a within-cluster shard — ``pmod(xxhash64(neighbor_id),
+          n_shards)`` on the list side, an n_shards-way explode on the
+          routed side — so a hub cluster spreads over ``n_shards``
+          reducers instead of one. Query-side shuffle volume grows
+          x n_shards; list-side volume is unchanged; reducer
+          parallelism becomes k x n_shards.
+
+        ``broadcast_max_queries=None`` (or 0) forces the salted plan;
+        ``n_shards=1`` degenerates to the plain equi-join.
+        """
         q = queries.select(
             F.col(self._id_col).alias("query_id"), F.col(self._vec_col).alias("q_vec")
         )
@@ -240,14 +267,32 @@ class IvfIndex:
             order_by=[F.col("c_sim").desc(), F.col("cluster_id").asc()],
             k=n_probe,
         ).select("query_id", "q_vec", "cluster_id")
+
+        small_batch = False
+        if broadcast_max_queries:
+            nq = queries.limit(broadcast_max_queries + 1).count()
+            small_batch = nq <= broadcast_max_queries
+
         sim = cosine(F.col("q_vec"), F.col("c_vec"))
         if round_digits is not None:
             sim = F.round(sim, round_digits)
-        scored = (
-            routed.join(self._assigned, "cluster_id")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", sim.alias("cos_sim"))
-        )
+        if small_batch:
+            joined = self._assigned.join(F.broadcast(routed), "cluster_id")
+        else:
+            shard = F.pmod(F.xxhash64("neighbor_id"), F.lit(n_shards)).cast(
+                "int"
+            )
+            lists = self._assigned.withColumn("__shard", shard)
+            fanned = routed.withColumn(
+                "__shard",
+                F.explode(F.array(*[F.lit(i) for i in range(n_shards)])),
+            )
+            joined = fanned.join(
+                lists.hint("shuffle_hash"), ["cluster_id", "__shard"]
+            )
+        scored = joined.filter(
+            F.col("query_id") != F.col("neighbor_id")
+        ).select("query_id", "neighbor_id", sim.alias("cos_sim"))
         return top_k_per_group(
             scored,
             keys=["query_id"],

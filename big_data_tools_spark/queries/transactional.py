@@ -11,6 +11,9 @@ streaming ledger sinks get).
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,6 +21,26 @@ from pyspark.sql import functions as F
 
 from ..io.sources import load_table
 from .registry import register
+
+# per-query scratch roots, REUSED across invocations in one process:
+# bench's 2-warm + 3-timed reruns overwrite one directory instead of
+# accumulating five copies of orders in /tmp (r10 ADVICE), and atexit
+# removes them at interpreter exit. The returned DataFrame must stay
+# readable until the caller collects, so cleanup-in-finally is not an
+# option; the next invocation (or exit) is the correct release point.
+_SCRATCH: dict[str, str] = {}
+
+
+def _scratch_table(key: str) -> str:
+    root = _SCRATCH.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix=f"bdt_{key}_q_")
+        _SCRATCH[key] = root
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    tbl = os.path.join(root, "tbl")
+    shutil.rmtree(tbl, ignore_errors=True)
+    os.makedirs(tbl)
+    return tbl
 
 _CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
@@ -75,9 +98,7 @@ def orders_merge_upsert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cents + 100).alias("cents"),
         (F.col("o_orderkey") % 9 == 0).alias(DELETED_COL),
     )
-    # scratch table per invocation; left for /tmp cleanup so the
-    # returned frame stays readable until the caller collects it
-    root = tempfile.mkdtemp(prefix="bdt_mergetable_q_") + "/tbl"
+    root = _scratch_table("mergetable")
     create_table(spark, root, base, keys=["k"], n_buckets=8)
     merge_upsert(spark, root, updates, batch_id="q-batch-1")
     snap = read_table(spark, root)
@@ -128,8 +149,7 @@ def delta_read_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    root = tempfile.mkdtemp(prefix="bdt_delta_q_") + "/tbl"
-    os.makedirs(root)
+    root = _scratch_table("delta")
 
     def write_file(df: DataFrame, rel: str) -> None:
         stage = tempfile.mkdtemp(prefix="bdt_delta_stage_")
@@ -228,7 +248,7 @@ def iceberg_read_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    root = tempfile.mkdtemp(prefix="bdt_iceberg_q_") + "/tbl"
+    root = _scratch_table("iceberg")
     os.makedirs(os.path.join(root, "metadata"))
 
     def write_file(df: DataFrame, rel: str) -> str:
@@ -315,6 +335,259 @@ def iceberg_read_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"snapshot-id": 1, "manifest-list": ml1},
             {"snapshot-id": 2, "manifest-list": ml2},
         ],
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+            {"id": 2, "name": "o_orderstatus", "required": False,
+             "type": "string"},
+            {"id": 3, "name": "cents", "required": False, "type": "long"},
+        ]}],
+        "current-schema-id": 0,
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+    snap = read_iceberg(spark, root)
+    return snap.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+@register(
+    "delta_read_column_mapping",
+    sql=f"""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum({_CENTS}) AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderkey % 4 <> 0
+    GROUP BY o_orderstatus
+    """,
+    doc="Delta NAME-mode column mapping read (io/deltaread.py, r11 "
+    "verdict next #5 — the first UnsupportedDeltaFeature gate a "
+    "table written by a modern writer with defaults trips): builds a "
+    "scratch reader-v2 Delta table whose data files carry OPAQUE "
+    "physical column names (col-k01/col-s02/col-c03) with the "
+    "logical names only in schemaString field metadata, commit 0 "
+    "adds two files split on orderkey parity, commit 1 is a "
+    "delete-rewrite of the even file dropping %4==0 keys — then "
+    "replays the log, applies the metadata-only rename layer, and "
+    "rolls up by status. The twin is the final relational state "
+    "(orders minus %4==0 keys), so the driver hash checks BOTH the "
+    "add/remove replay and the physical->logical binding: a reader "
+    "that mis-bound columns would null or swap every value. Money "
+    "integer cents. Scale shape: identical to delta_read_snapshot — "
+    "driver-side log replay (KBs), one distributed parquet scan with "
+    "pushdown through the alias projection.",
+)
+def delta_read_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import json
+
+    from ..io.deltaread import read_delta
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("col-k01"),
+        F.col("o_orderstatus").alias("col-s02"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("col-c03"),
+    )
+    root = _scratch_table("deltamap")
+
+    def write_file(df: DataFrame, rel: str) -> None:
+        stage = tempfile.mkdtemp(prefix="bdt_deltamap_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        os.replace(part, os.path.join(root, rel))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def fld(name, phys, cid, typ):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.id": cid,
+                             "delta.columnMapping.physicalName": phys}}
+
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [fld("o_orderkey", "col-k01", 1, "long"),
+                   fld("o_orderstatus", "col-s02", 2, "string"),
+                   fld("cents", "col-c03", 3, "long")],
+    })
+    k = F.col("col-k01")
+    write_file(o.filter(k % 2 == 0), "f-even.parquet")
+    write_file(o.filter(k % 2 != 0), "f-odd.parquet")
+    write_file(o.filter((k % 2 == 0) & (k % 4 != 0)), "f-even-rw.parquet")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+
+    def commit(version: int, actions: list[dict]) -> None:
+        with open(os.path.join(log, f"{version:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+    commit(0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "bdt-deltamap-q", "schemaString": schema_json,
+                      "partitionColumns": [],
+                      "configuration": {
+                          "delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "3"},
+                      "format": {"provider": "parquet", "options": {}}}},
+        {"add": {"path": "f-even.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "f-odd.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    commit(1, [
+        {"remove": {"path": "f-even.parquet", "dataChange": True}},
+        {"add": {"path": "f-even-rw.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    snap = read_delta(spark, root)
+    return snap.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+@register(
+    "iceberg_read_pos_delete",
+    sql=f"""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum({_CENTS}) AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderkey % 9 <> 0
+    GROUP BY o_orderstatus
+    """,
+    doc="Iceberg v2 POSITION-delete read (io/icebergread.py, r11 "
+    "verdict stretch #7): builds a spec-shaped table whose snapshot "
+    "carries a DATA manifest (two parquet files: the sorted "
+    "orderkey%3==0 slice + the rest) AND a DELETE manifest tracking "
+    "one position-delete file — (file_path, pos) tombstones computed "
+    "for exactly the %9==0 rows of the sorted slice — then reads the "
+    "snapshot, which anti-joins the _metadata-tagged scan against "
+    "the tombstones, and rolls up by status. Same relational final "
+    "state as iceberg_read_snapshot (orders minus %9 keys) but "
+    "reached through ROW-LEVEL deletes instead of file-level status "
+    "replay, so the driver hash checks the position-delete "
+    "application end-to-end: a reader that ignored the delete "
+    "manifest would keep the %9 rows and fail. Money integer cents. "
+    "Scale shape: tombstones are metadata-scale next to the data "
+    "(broadcast side of one anti-join); the data read stays one "
+    "distributed parquet scan.",
+)
+def iceberg_read_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import json
+
+    from pyspark.sql import Window
+
+    from ..io.icebergread import read_iceberg
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    root = _scratch_table("icepos")
+    os.makedirs(os.path.join(root, "metadata"))
+
+    def write_file(df: DataFrame, rel: str) -> str:
+        stage = tempfile.mkdtemp(prefix="bdt_icepos_stage_")
+        df.write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(part, dest)
+        shutil.rmtree(stage, ignore_errors=True)
+        return dest
+
+    # slice A in ONE file with a pinned row order, so tombstone
+    # positions are deterministic: pos = rank of o_orderkey ascending
+    a_rows = o.filter(F.col("o_orderkey") % 3 == 0)
+    fa = write_file(
+        a_rows.repartition(1).sortWithinPartitions("o_orderkey"),
+        "data/a.parquet",
+    )
+    fb = write_file(
+        o.filter(F.col("o_orderkey") % 3 != 0).coalesce(1), "data/b.parquet"
+    )
+    w = Window.orderBy("o_orderkey")
+    tombstones = (
+        a_rows.select(
+            "o_orderkey", (F.row_number().over(w) - 1).cast("long").alias("pos")
+        )
+        .filter(F.col("o_orderkey") % 9 == 0)
+        .select(F.lit(fa).alias("file_path"), "pos")
+    )
+    fdel = write_file(tombstones.coalesce(1), "data/del-1.parquet")
+
+    jvm = spark._jvm
+    entry_schema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps({
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                ],
+            }},
+        ],
+    }))
+    list_schema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps({
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"},
+        ],
+    }))
+
+    def write_manifest(rel: str, entries: list[tuple[str, int, int]]) -> str:
+        dest = os.path.join(root, "metadata", rel)
+        wtr = jvm.org.apache.avro.generic.GenericDatumWriter(entry_schema)
+        dfw = jvm.org.apache.avro.file.DataFileWriter(wtr)
+        dfw.create(entry_schema, jvm.java.io.File(dest))
+        dsch = entry_schema.getField("data_file").schema()
+        for fpath, status, content in entries:
+            rec = jvm.org.apache.avro.generic.GenericData.Record(entry_schema)
+            rec.put("status", status)
+            sub = jvm.org.apache.avro.generic.GenericData.Record(dsch)
+            sub.put("content", content)
+            sub.put("file_path", fpath)
+            sub.put("file_format", "PARQUET")
+            sub.put("record_count", 1)
+            rec.put("data_file", sub)
+            dfw.append(rec)
+        dfw.close()
+        return dest
+
+    def write_manifest_list(rel: str, manifests: list[tuple[str, int]]) -> str:
+        dest = os.path.join(root, "metadata", rel)
+        wtr = jvm.org.apache.avro.generic.GenericDatumWriter(list_schema)
+        dfw = jvm.org.apache.avro.file.DataFileWriter(wtr)
+        dfw.create(list_schema, jvm.java.io.File(dest))
+        for m, content in manifests:
+            rec = jvm.org.apache.avro.generic.GenericData.Record(list_schema)
+            rec.put("manifest_path", m)
+            rec.put("manifest_length", 1)
+            rec.put("content", content)
+            dfw.append(rec)
+        dfw.close()
+        return dest
+
+    m_data = write_manifest("m-data.avro", [(fa, 1, 0), (fb, 1, 0)])
+    m_del = write_manifest("m-del.avro", [(fdel, 1, 1)])
+    ml = write_manifest_list("sl1.avro", [(m_data, 0), (m_del, 1)])
+    meta = {
+        "format-version": 2,
+        "table-uuid": "bdt-icepos-q",
+        "location": root,
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "manifest-list": ml}],
         "schemas": [{"schema-id": 0, "type": "struct", "fields": [
             {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
             {"id": 2, "name": "o_orderstatus", "required": False,

@@ -120,6 +120,23 @@ def test_connected_components_transitive_closure(spark):
     assert len(comp) == 8
 
 
+def test_connected_components_self_pairs_are_singletons(spark):
+    """r10 ADVICE: self-pairs carry no connectivity but the node must
+    still get a row — a singleton component — so 'every node appearing
+    in pairs' holds. Node 2 has BOTH a self-pair and a real edge: the
+    real component wins, no duplicate row."""
+    from big_data_tools_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 3), (2, 1), (4, 4), (2, 2)], "id_a long, id_b long"
+    )
+    out = [
+        (r["node"], r["component_id"])
+        for r in connected_components(pairs).collect()
+    ]
+    assert sorted(out) == [(1, 1), (2, 1), (3, 3), (4, 4)]
+
+
 def test_connected_components_star_contraction_properties(spark):
     """The r10 large-star/small-star upgrade: round count is
     O(log^2 n), not O(diameter) — a 200-link chain (the min-label

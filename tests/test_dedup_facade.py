@@ -94,7 +94,10 @@ def test_unknown_tier_and_output_fail_loudly(docs):
         dedup(docs, tier="bloom")
     with pytest.raises(ValueError, match="output must be"):
         dedup(docs, tier="winnow", output="clusters")
-    assert set(TIERS) == {"exact", "winnow", "jaccard", "minhash", "simhash", "semantic"}
+    assert set(TIERS) == {
+        "exact", "winnow", "jaccard", "containment",
+        "minhash", "simhash", "semantic",
+    }
 
 
 def test_portable_hash_family_routes(docs):
@@ -207,3 +210,41 @@ def test_survivors_requires_quality_col(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents")
     with pytest.raises(ValueError, match="quality_col"):
         dedup(docs, tier="exact", output="survivors")
+
+
+def test_containment_route_is_size_pinned():
+    """r10 verdict next #3: the routing decision itself — exact prefix
+    above the measured crossover (~sf0.1 corpus, 5k docs), the capped
+    posting path only below it."""
+    from big_data_tools_spark.operators.dedup_facade import (
+        CONTAINMENT_CROSSOVER_DOCS,
+        containment_route,
+    )
+
+    assert CONTAINMENT_CROSSOVER_DOCS == 5_000
+    assert containment_route(CONTAINMENT_CROSSOVER_DOCS) == "capped"
+    assert containment_route(CONTAINMENT_CROSSOVER_DOCS + 1) == "prefix"
+    assert containment_route(50_000) == "prefix"  # the sf1 regime
+    assert containment_route(500) == "capped"     # the sf0.01 regime
+
+
+def test_containment_tier_routes_and_forces(docs):
+    from big_data_tools_spark.operators.dedup import (
+        containment_pairs,
+        containment_prefix_pairs,
+    )
+
+    # sf_smoke corpus is tiny -> auto routes to the capped path
+    got_auto = dedup(docs, tier="containment", output="pairs")
+    want_capped = containment_pairs(docs, text_col="text", id_col="doc_id")
+    assert sorted(map(tuple, got_auto.collect())) == sorted(
+        map(tuple, want_capped.collect())
+    )
+    # method="prefix" forces the exact tier regardless of size
+    got_prefix = dedup(docs, tier="containment", output="pairs", method="prefix")
+    want_prefix = containment_prefix_pairs(docs, text_col="text", id_col="doc_id")
+    assert sorted(map(tuple, got_prefix.collect())) == sorted(
+        map(tuple, want_prefix.collect())
+    )
+    with pytest.raises(ValueError, match="containment method"):
+        dedup(docs, tier="containment", method="fuzzy")

@@ -184,3 +184,144 @@ def test_v2_reader_features_refused(spark, tmp_path):
 def test_not_a_delta_table(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_delta(spark, str(tmp_path / "nope"))
+
+
+# ------------------------------------------------- column mapping (r11)
+
+_MAPPED_SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+        ],
+    }
+)
+
+
+def _mapped_meta(part_cols=()):
+    return {
+        "metaData": {
+            "id": "fixture-mapped",
+            "schemaString": _MAPPED_SCHEMA_JSON,
+            "partitionColumns": list(part_cols),
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "2"},
+            "format": {"provider": "parquet", "options": {}},
+        }
+    }
+
+
+def _write_mapped_file(spark, rows, path):
+    """Data file carrying PHYSICAL column names, as a mapped writer does."""
+    stage = tempfile.mkdtemp(prefix="bdt_delta_stage_")
+    spark.createDataFrame(rows, "`col-aaa` long, `col-bbb` string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.replace(part, path)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_column_mapping_name_mode_reads_logical_names(spark, tmp_path):
+    root = str(tmp_path / "mapped")
+    _write_mapped_file(spark, [(1, "a"), (2, "b")],
+                       os.path.join(root, "f0.parquet"))
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _mapped_meta(),
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    df = read_delta(spark, root)
+    assert df.columns == ["id", "v"]
+    assert {(r["id"], r["v"]) for r in df.collect()} == {(1, "a"), (2, "b")}
+    # predicate pushdown survives the alias projection: the pushed
+    # filter must reference the PHYSICAL parquet column
+    plan = df.filter(F.col("id") == 2)._jdf.queryExecution().executedPlan().toString()
+    assert "col-aaa" in plan and "PushedFilters: [" in plan
+
+
+def test_column_mapping_v3_reader_features_pass(spark, tmp_path):
+    root = str(tmp_path / "mapped3")
+    _write_mapped_file(spark, [(7, "z")], os.path.join(root, "f0.parquet"))
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"],
+                      "writerFeatures": ["columnMapping"]}},
+        _mapped_meta(),
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    assert {(r["id"], r["v"]) for r in read_delta(spark, root).collect()} == {
+        (7, "z")
+    }
+    # ...but deletion vectors still refuse
+    _commit(root, 1, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping", "deletionVectors"]}},
+    ])
+    with pytest.raises(UnsupportedDeltaFeature, match="deletionVectors"):
+        read_delta(spark, root)
+
+
+def test_column_mapping_hive_partitioned_physical_paths(spark, tmp_path):
+    """Partition dirs and partitionValues keys use PHYSICAL names; the
+    result still comes back under logical names with pruning intact."""
+    root = str(tmp_path / "mappedpart")
+    stage = tempfile.mkdtemp(prefix="bdt_delta_stage_")
+    spark.createDataFrame([(1,)], "`col-aaa` long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    dest = os.path.join(root, "col-bbb=a", "f0.parquet")
+    os.makedirs(os.path.dirname(dest))
+    os.replace(part, dest)
+    shutil.rmtree(stage, ignore_errors=True)
+    stage = tempfile.mkdtemp(prefix="bdt_delta_stage_")
+    spark.createDataFrame([(2,)], "`col-aaa` long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    dest = os.path.join(root, "col-bbb=b", "f1.parquet")
+    os.makedirs(os.path.dirname(dest))
+    os.replace(part, dest)
+    shutil.rmtree(stage, ignore_errors=True)
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _mapped_meta(part_cols=["v"]),
+        {"add": {"path": "col-bbb=a/f0.parquet",
+                 "partitionValues": {"col-bbb": "a"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "col-bbb=b/f1.parquet",
+                 "partitionValues": {"col-bbb": "b"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    df = read_delta(spark, root)
+    assert sorted(df.columns) == ["id", "v"]
+    assert {(r["id"], r["v"]) for r in df.collect()} == {(1, "a"), (2, "b")}
+    plan = (
+        df.filter(F.col("v") == "a")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan  # pruning reaches the scan
+
+
+def test_column_mapping_id_mode_refused(spark, tmp_path):
+    root = str(tmp_path / "idmode")
+    _write_mapped_file(spark, [(1, "a")], os.path.join(root, "f0.parquet"))
+    meta = _mapped_meta()
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    with pytest.raises(UnsupportedDeltaFeature, match="id"):
+        read_delta(spark, root)

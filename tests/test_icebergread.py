@@ -195,3 +195,116 @@ def test_renamed_columns_refused(spark, tmp_path):
     _metadata(root, [{"snapshot-id": 1, "manifest-list": ml}], current=1)
     with pytest.raises(UnsupportedIcebergFeature):
         read_iceberg(spark, root)
+
+
+def _del_entry(path, status=1, content=1, fmt="PARQUET"):
+    return {"status": status,
+            "data_file": {"content": content, "file_path": path,
+                          "file_format": fmt, "record_count": 1}}
+
+
+def test_position_deletes_applied(spark, tmp_path):
+    """Iceberg v2 position deletes (r11): tombstones of (file_path,
+    pos) anti-joined against the _metadata-tagged scan."""
+    root = str(tmp_path / "icepos")
+    fa = os.path.join(root, "data", "a.parquet")
+    fb = os.path.join(root, "data", "b.parquet")
+    _write_parquet(spark, [(1, "a"), (2, "b")], fa)
+    _write_parquet(spark, [(3, "c"), (4, "d")], fb)
+    # tombstone row 0 of file a and row 1 of file b
+    fdel = os.path.join(root, "data", "del-1.parquet")
+    _write_parquet(spark, [(fa, 0), (fb, 1)], fdel,
+                   ddl="file_path string, pos long")
+    m1 = _manifest(spark, root, "m1.avro", [_entry(fa), _entry(fb)])
+    mdel = _manifest(spark, root, "mdel.avro", [_del_entry(fdel)])
+    ml = _manifest_list(spark, root, "sl.avro", [m1, mdel], contents=[0, 1])
+    _metadata(root, [{"snapshot-id": 1, "manifest-list": ml}], current=1)
+    rows = {(r["id"], r["v"]) for r in read_iceberg(spark, root).collect()}
+    assert rows == {(2, "b"), (3, "c")}
+    # the data-file inventory surface is unchanged by delete files
+    assert iceberg_snapshot_files(spark, root) == sorted([fa, fb])
+
+
+def test_equality_deletes_refused(spark, tmp_path):
+    root = str(tmp_path / "iceeq")
+    fa = os.path.join(root, "data", "a.parquet")
+    _write_parquet(spark, [(1, "a")], fa)
+    fdel = os.path.join(root, "data", "del-eq.parquet")
+    _write_parquet(spark, [(1,)], fdel, ddl="id long")
+    m1 = _manifest(spark, root, "m1.avro", [_entry(fa)])
+    mdel = _manifest(spark, root, "mdel.avro",
+                     [_del_entry(fdel, content=2)])
+    ml = _manifest_list(spark, root, "sl.avro", [m1, mdel], contents=[0, 1])
+    _metadata(root, [{"snapshot-id": 1, "manifest-list": ml}], current=1)
+    with pytest.raises(UnsupportedIcebergFeature, match="EQUALITY"):
+        read_iceberg(spark, root)
+
+
+def test_renamed_column_in_any_file_refused(spark, tmp_path):
+    """r10 ADVICE: a rename mid-history leaves OLDER files carrying the
+    old column name — the footer guard must catch it even when
+    files[0] looks clean (one distributed mergeSchema pass checks
+    every footer, not just the first)."""
+    root = str(tmp_path / "icerenany")
+    f_new = os.path.join(root, "data", "a-new.parquet")
+    f_old = os.path.join(root, "data", "b-old.parquet")
+    _write_parquet(spark, [(1, "a")], f_new)  # current names: id, v
+    _write_parquet(spark, [(2, "b")], f_old, ddl="id long, old_name string")
+    m1 = _manifest(spark, root, "m1.avro", [_entry(f_new), _entry(f_old)])
+    ml = _manifest_list(spark, root, "sl.avro", [m1])
+    _metadata(root, [{"snapshot-id": 1, "manifest-list": ml}], current=1)
+    with pytest.raises(UnsupportedIcebergFeature, match="old_name"):
+        read_iceberg(spark, root)
+
+
+def test_orc_data_files_read(spark, tmp_path):
+    """ORC tables read through spark.read.orc instead of failing at
+    scan time (r10 ADVICE: the gate admitted ORC but always read
+    parquet)."""
+    root = str(tmp_path / "iceorc")
+    fa = os.path.join(root, "data", "a.orc")
+    stage = tempfile.mkdtemp(prefix="bdt_ice_stage_")
+    spark.createDataFrame([(9, "q")], "id long, v string").coalesce(
+        1
+    ).write.mode("overwrite").orc(stage)
+    os.makedirs(os.path.dirname(fa), exist_ok=True)
+    os.replace(glob.glob(os.path.join(stage, "part-*.orc"))[0], fa)
+    shutil.rmtree(stage, ignore_errors=True)
+    entry = {"status": 1,
+             "data_file": {"content": 0, "file_path": fa,
+                           "file_format": "ORC", "record_count": 1}}
+    m1 = _manifest(spark, root, "m1.avro", [entry])
+    ml = _manifest_list(spark, root, "sl.avro", [m1])
+    _metadata(root, [{"snapshot-id": 1, "manifest-list": ml}], current=1)
+    rows = {(r["id"], r["v"]) for r in read_iceberg(spark, root).collect()}
+    assert rows == {(9, "q")}
+
+
+def test_metadata_versions_sort_numerically(spark, tmp_path):
+    """r10 ADVICE: with >=10 versions and no version-hint, lexical sort
+    picks v9 over v10 — the resolver must sort numerically."""
+    root = str(tmp_path / "icevers")
+    fa = os.path.join(root, "data", "a.parquet")
+    fb = os.path.join(root, "data", "b.parquet")
+    _write_parquet(spark, [(1, "a")], fa)
+    _write_parquet(spark, [(2, "b")], fb)
+    m_old = _manifest(spark, root, "m9.avro", [_entry(fa)])
+    ml_old = _manifest_list(spark, root, "sl9.avro", [m_old])
+    m_new = _manifest(spark, root, "m10.avro", [_entry(fb)])
+    ml_new = _manifest_list(spark, root, "sl10.avro", [m_new])
+    _metadata(root, [{"snapshot-id": 9, "manifest-list": ml_old}], current=9)
+    mdir = os.path.join(root, "metadata")
+    os.replace(os.path.join(mdir, "v1.metadata.json"),
+               os.path.join(mdir, "v9.metadata.json"))
+    meta10 = {
+        "format-version": 2, "table-uuid": "fixture", "location": root,
+        "current-snapshot-id": 10,
+        "snapshots": [{"snapshot-id": 10, "manifest-list": ml_new}],
+        "schemas": [{"schema-id": 0, "type": "struct",
+                     "fields": _TABLE_SCHEMA_FIELDS}],
+        "current-schema-id": 0,
+    }
+    json.dump(meta10, open(os.path.join(mdir, "v10.metadata.json"), "w"))
+    os.remove(os.path.join(mdir, "version-hint.text"))  # force the scan
+    rows = {(r["id"], r["v"]) for r in read_iceberg(spark, root).collect()}
+    assert rows == {(2, "b")}  # v10, not the lexically-larger v9

@@ -214,3 +214,47 @@ def test_hubness_ann_agrees_with_exact_audit(spark):
     k_mass_exact = sum(k * n for k, n in exact.items())
     k_mass_ann = sum(k * n for k, n in ann.items())
     assert k_mass_ann >= 0.9 * k_mass_exact, (k_mass_exact, k_mass_ann)
+
+
+def test_ivf_search_salted_equals_broadcast_under_hub_skew(spark):
+    """The r11 skew fix: large query batches take the SALTED scoring
+    join (shard-exploded routed side x pmod-sharded inverted lists)
+    instead of shuffling on the bare cluster-id key. On a hub-skewed
+    corpus — most vectors co-clustered onto one centroid — the salted
+    plan must return exactly the broadcast plan's rows."""
+    from big_data_tools_spark.operators.similarity import IvfIndex
+
+    # 300 of 340 vectors hug one direction (the hub cluster); 40 spread
+    rows = []
+    for i in range(300):
+        rows.append((i, [1.0, 0.001 * (i % 17), 0.002 * (i % 7)]))
+    for i in range(300, 340):
+        j = i - 300
+        rows.append((i, [0.1 * (j % 5), 1.0 + 0.01 * j, 0.3 * (j % 3)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    idx = IvfIndex.fit(emb, n_clusters=6, init_mode="random", max_iter=5)
+    try:
+        sizes = [
+            r["n"]
+            for r in idx._assigned.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        assert max(sizes) >= 3 * (sum(sizes) / len(sizes)), sizes  # real skew
+
+        def key(df):
+            return {
+                (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rn"])
+                for r in df.collect()
+            }
+
+        salted = idx.search(emb, k=3, broadcast_max_queries=None, n_shards=4)
+        assert "__shard" not in salted.columns
+        bcast = idx.search(emb, k=3, broadcast_max_queries=10_000)
+        assert key(salted) == key(bcast)
+        # n_shards=1 degenerates to the plain equi-join, same rows
+        plain = idx.search(emb, k=3, broadcast_max_queries=0, n_shards=1)
+        assert key(plain) == key(bcast)
+    finally:
+        idx.unpersist()
