@@ -94,12 +94,52 @@ def _is_star_forest(edges: DataFrame) -> bool:
     return parent_is_child.limit(1).count() == 0
 
 
+def _driver_components(spark, rows, id_type):
+    """Union-find over a COLLECTED edge list (bounded by
+    ``small_graph_max_edges`` before the collect): min-id root per
+    component, exactly the distributed fixpoint's semantics."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = row["a"], row["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    data = [(n, comp_min[find(n)]) for n in parent]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("node", id_type, True),
+            T.StructField("comp", id_type, True),
+        ]
+    )
+    return spark.createDataFrame(data, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
     trace: list | None = None,
+    small_graph_max_edges: int | None = 100_000,
 ) -> DataFrame:
     """(node, component_id) for every node appearing in ``pairs``;
     component_id = min node id reachable through the pair graph.
@@ -116,6 +156,19 @@ def connected_components(
     plan-side because their round count is fixed; a fixpoint's is
     data-dependent, so the trace rides the counts the convergence
     check already pays for).
+
+    SMALL-GRAPH FAST PATH (r11): when the deduped edge set has at most
+    ``small_graph_max_edges`` rows (and no ``trace`` was asked for),
+    the edges are collected and union-find runs driver-side — the
+    star rounds' fixed per-round cost (two joins, a distinct, an
+    eager localCheckpoint, a convergence agg) is ~1.2s of pure
+    overhead on a hundred-pair graph (measured r11: 2.8s star vs
+    driver union-find at milliseconds on semdedup's sf0.1 pair set),
+    and near-dup closures at small SF are exactly that shape. The
+    collect is BOUNDED by the explicit threshold (100k edges ~ a few
+    MB); any corpus whose pair graph exceeds it — every real crawl —
+    takes the distributed contraction unchanged, and the result is a
+    broadcastable local relation either way.
     """
     edges = (
         pairs.select(
@@ -126,6 +179,44 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    fast = None
+    if trace is None and small_graph_max_edges is not None:
+        # count first (an agg over the checkpointed frame, no data
+        # movement) so an over-threshold graph never ships 100k rows
+        # to the driver just to discover it must go distributed
+        if edges.count() <= small_graph_max_edges:
+            fast = _driver_components(
+                pairs.sparkSession, edges.collect(), pairs.schema[src].dataType
+            )
+    if fast is not None:
+        out = fast
+    else:
+        out = _star_contraction_components(edges, max_iterations, trace)
+    # self-loop-only nodes: filtered out of the edge set up front, so
+    # anti-join them back as singletons against the deduped edge
+    # frame's node set
+    self_nodes = (
+        pairs.filter(F.col(src) == F.col(dst))
+        .select(F.col(src).alias("node"))
+        .distinct()
+    )
+    covered = edges.select(F.col("a").alias("node")).unionByName(
+        edges.select(F.col("b").alias("node"))
+    )
+    singletons = self_nodes.join(covered, "node", "left_anti").withColumn(
+        "comp", F.col("node")
+    )
+    return out.unionByName(singletons).select(
+        "node", F.col("comp").alias("component_id")
+    )
+
+
+def _star_contraction_components(
+    edges: DataFrame, max_iterations: int, trace: list | None
+) -> DataFrame:
+    """The distributed fixpoint over a deduped, checkpointed
+    child>parent edge frame; returns (node, comp) for every edge
+    node."""
     prev_sig: tuple[int, int] | None = None
     converged = False
     for i in range(1, max_iterations + 1):
@@ -168,21 +259,4 @@ def connected_components(
     children = edges.select(
         F.col("a").alias("node"), F.col("b").alias("comp")
     )
-    out = children.unionByName(roots)
-    # self-loop-only nodes: filtered out of the edge set up front, so
-    # anti-join them back as singletons against the (small, star-
-    # forest) converged frame's node set
-    self_nodes = (
-        pairs.filter(F.col(src) == F.col(dst))
-        .select(F.col(src).alias("node"))
-        .distinct()
-    )
-    covered = edges.select(F.col("a").alias("node")).unionByName(
-        edges.select(F.col("b").alias("node"))
-    )
-    singletons = self_nodes.join(covered, "node", "left_anti").withColumn(
-        "comp", F.col("node")
-    )
-    return out.unionByName(singletons).select(
-        "node", F.col("comp").alias("component_id")
-    )
+    return children.unionByName(roots)

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from .cache import track_cache
 from .components import connected_components
-from .similarity import IvfIndex, cosine
+from .similarity import IvfIndex
 
 
 def _pairs_from_index(
@@ -57,13 +57,25 @@ def _pairs_from_index(
                 "pair scan would be quadratic in that. Raise n_clusters so "
                 "expected cluster size fits a task, or raise the guard."
             )
+    # norms hoisted to per-ROW projections on each self-join side:
+    # cosine() inside the join recomputes both L2 norms per CANDIDATE
+    # PAIR — 3x the element work of the dot alone (r11; same hoist as
+    # IvfIndex.search). Identical expression tree, bit-identical sims.
+    from .similarity import dot, l2_norm
+
     a = assigned.select(
-        "cluster_id", F.col("neighbor_id").alias("id_a"), F.col("c_vec").alias("va")
+        "cluster_id",
+        F.col("neighbor_id").alias("id_a"),
+        F.col("c_vec").alias("va"),
+        l2_norm(F.col("c_vec")).alias("na"),
     )
     b = assigned.select(
-        "cluster_id", F.col("neighbor_id").alias("id_b"), F.col("c_vec").alias("vb")
+        "cluster_id",
+        F.col("neighbor_id").alias("id_b"),
+        F.col("c_vec").alias("vb"),
+        l2_norm(F.col("c_vec")).alias("nb"),
     )
-    sim = cosine(F.col("va"), F.col("vb"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (

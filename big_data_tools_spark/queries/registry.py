@@ -81,15 +81,68 @@ def get(name: str) -> QuerySpec:
 # Everything past the window keeps its committed driver rows and is
 # still oracle-checked locally by tests/test_oracle_parity.py.
 _PRIORITY = [
-    # ---- round-10 window (50): 47 cadence-mandatory twins (the full
-    # output of tools/update_checked_rounds.py --plan after r9), plus
-    # 3 free seats: dedup_containment_prefix (NEW twin — the exact
-    # prefix containment tier, r9 verdict next #7),
-    # embedding_hubness_audit_ann (NEW rows-only — the ANN hubness
-    # scale path, r9 verdict next #4), and corpus_token_drift (its
-    # twin SQL changed this round: +0.0 normalization of the
-    # CASE-wrapped terminal round, r9 ADVICE #1 — re-seated so the
-    # changed SQL gets a fresh driver row).
+    # ---- round-11 window (50): the 48 cadence-mandatory twins (the
+    # full output of tools/update_checked_rounds.py --plan after r10 —
+    # includes the pending_r10 pair delta_read_snapshot /
+    # iceberg_read_snapshot, r10 verdict next #2, and the two NEW r11
+    # twins delta_read_column_mapping (name-mode column mapping read,
+    # r10 verdict next #5) and iceberg_read_pos_delete (v2
+    # position-delete read, r10 verdict stretch #7)), plus 2 free
+    # seats: embedding_hubness_audit_ann (rows-only RE-SEAT — its
+    # scoring join changed to the salted/broadcast IvfIndex.search
+    # plan, r10 verdict next #1) and dedup_semantic_groups (rows-only
+    # re-seat alongside the r10 verdict #4 regression work).
+    "bm25_topk_docs",
+    "copurchase_adamic_adar",
+    "copurchase_assortativity",
+    "copurchase_kcore_peel",
+    "corpus_zipf_fit",
+    "custkey_overlap_setops",
+    "customers_without_orders",
+    "daily_revenue_cusum",
+    "dedup_minhash_portable",
+    "dedup_segments_reassembled",
+    "dedup_simhash_portable",
+    "dedup_span_coverage",
+    "delta_read_column_mapping",
+    "delta_read_snapshot",
+    "doc_bigram_backoff_nll",
+    "doc_perplexity_by_source",
+    "doc_quality_auc",
+    "doc_quality_by_source",
+    "doc_repetition_by_source",
+    "doc_winnow_stats",
+    "documents_stratified_portable",
+    "dsir_target_selection",
+    "event_entropy_rate",
+    "event_funnel",
+    "events_props_extract",
+    "events_stickiness",
+    "events_user_heavy_hitters",
+    "fillna_policy",
+    "hours_parse",
+    "hybrid_rrf_topk",
+    "iceberg_read_pos_delete",
+    "iceberg_read_snapshot",
+    "lang_id_confusion",
+    "lineitem_metric_unpivot",
+    "lpa_convergence_trace",
+    "map_literal_parse",
+    "monthly_revenue_forecast",
+    "null_audit_orders",
+    "orders_incremental_quantile",
+    "orders_pit_segment_revenue",
+    "pagerank_convergence_trace",
+    "part_like_filter",
+    "regional_revenue",
+    "segment_pivot",
+    "status_recode_operator",
+    "string_date_parse",
+    "user_current_state_cdc",
+    "yelp_basetable_mini",
+    "embedding_hubness_audit_ann",
+    "dedup_semantic_groups",
+    # ---- window boundary (50) ----
     "benchmark_contamination",
     "boilerplate_ngrams",
     "bucketed_revenue_join",
@@ -138,9 +191,7 @@ _PRIORITY = [
     "user_value_hourly_ffill",
     "waiting_supplier_lines",
     "dedup_containment_prefix",
-    "embedding_hubness_audit_ann",
     "corpus_token_drift",
-    # ---- window boundary (50) ----
     # past-window: driver-rowed in r1..r9, still oracle-checked
     # locally by tests/test_oracle_parity.py every round.
     "customer_tcloseness",
@@ -292,50 +343,6 @@ _PRIORITY = [
     "ml_calibration_bins",
     "ml_confusion_matrix",
     "ml_learning_curve",
-    "copurchase_adamic_adar",
-    "copurchase_assortativity",
-    "copurchase_kcore_peel",
-    "corpus_zipf_fit",
-    "custkey_overlap_setops",
-    "customers_without_orders",
-    "daily_revenue_cusum",
-    "doc_bigram_backoff_nll",
-    "doc_quality_auc",
-    "doc_quality_by_source",
-    "doc_repetition_by_source",
-    "documents_stratified_portable",
-    "event_entropy_rate",
-    "event_funnel",
-    "events_props_extract",
-    "events_stickiness",
-    "fillna_policy",
-    "hours_parse",
-    "lang_id_confusion",
-    "lineitem_metric_unpivot",
-    "lpa_convergence_trace",
-    "map_literal_parse",
-    "monthly_revenue_forecast",
-    "null_audit_orders",
-    "orders_incremental_quantile",
-    "pagerank_convergence_trace",
-    "part_like_filter",
-    "regional_revenue",
-    "segment_pivot",
-    "status_recode_operator",
-    "string_date_parse",
-    "bm25_topk_docs",
-    "dedup_minhash_portable",
-    "dedup_segments_reassembled",
-    "dedup_simhash_portable",
-    "dedup_span_coverage",
-    "doc_perplexity_by_source",
-    "doc_winnow_stats",
-    "dsir_target_selection",
-    "events_user_heavy_hitters",
-    "hybrid_rrf_topk",
-    "orders_pit_segment_revenue",
-    "user_current_state_cdc",
-    "yelp_basetable_mini",
     "knn_ivf_ann",
     "knn_pq_ann",
     "ml_cv_select",
@@ -345,7 +352,6 @@ _PRIORITY = [
     "streaming_corpus_ingest",
     "doc_length_quantiles_approx",
     "dedup_minhash_pairs",
-    "dedup_semantic_groups",
     "knn_lsh_ann",
     "ml_feature_importance",
     "streaming_hourly_counts",

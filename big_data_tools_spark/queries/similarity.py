@@ -717,15 +717,19 @@ def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "directly is not merely an approximation of the exact audit — "
     "it is the production question (do MY candidate lists "
     "concentrate onto hubs?); tests pin hub/anti-hub agreement "
-    "with the exact audit at sf0.01. k = max(16, ceil(n/2048)) is "
-    "what makes the shape linear AND join-healthy: k growing with n "
-    "keeps probed-list size ~constant (every-vector-as-query costs "
-    "n * n_probe * 2048 dot products — the r10 sf1 sweep measured "
-    "the fixed-k=16 variant at 418s/50k vectors, x20/decade, because "
-    "its probed lists grew with the corpus), while the k >= 16 floor "
-    "keeps the cluster-id equi-join off the few-distinct-keys skew "
-    "cliff (a bare auto k=4 at sf0.1 put all rows on 4 shuffle keys: "
-    "100s vs 21s). Routing centroids use random-init/8-iter Lloyd — "
+    "with the exact audit at sf0.01. k = max(16, ceil(n/256)) is "
+    "what makes the shape linear: k growing with n keeps probed-list "
+    "size ~constant at ~n_probe x 256 vectors per query "
+    "(every-vector-as-query then costs n x n_probe x 256 dots — the "
+    "r10 fixed-k floor left lists growing with the corpus, x20+ "
+    "walls per decade), and the r11 salted/broadcast scoring join in "
+    "IvfIndex.search makes a large k JOIN-SAFE — reduce keys are "
+    "k x n_shards, so many small inverted lists no longer pile onto "
+    "few shuffle keys (the r10 reason for the coarse 2048 "
+    "rows/cluster). The k >= 16 floor guards tiny corpora where "
+    "ceil(n/256) would under-cluster; both driver-test SFs sit on "
+    "the floor, so agreement pins are unchanged by the resize. "
+    "Routing centroids use random-init/8-iter Lloyd — "
     "the audit needs co-clustering, not optimal centroids, and "
     "k-means|| init is multiple full passes the fit does not need; "
     "fit_sample_cap bounds the passes MLlib caches (full corpus "
@@ -737,7 +741,7 @@ def embedding_hubness_audit_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    k = max(16, -(-n // 2048))
+    k = max(16, -(-n // 256))
     index = IvfIndex.fit(
         emb, "vec_id", "embedding", n_clusters=k,
         init_mode="random", max_iter=8, fit_sample_cap=100_000,

@@ -137,6 +137,30 @@ def test_connected_components_self_pairs_are_singletons(spark):
     assert sorted(out) == [(1, 1), (2, 1), (3, 3), (4, 4)]
 
 
+def test_connected_components_fast_path_equals_distributed(spark):
+    """r11 small-graph fast path: driver union-find below the edge
+    threshold must return exactly the distributed star-contraction
+    rows (including self-pair singletons)."""
+    from big_data_tools_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22), (7, 7)],
+        "id_a long, id_b long",
+    )
+    fast = {
+        (r["node"], r["component_id"])
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r["node"], r["component_id"])
+        for r in connected_components(
+            pairs, small_graph_max_edges=None
+        ).collect()
+    }
+    assert fast == dist
+    assert (7, 7) in fast  # self-pair singleton survives both paths
+
+
 def test_connected_components_star_contraction_properties(spark):
     """The r10 large-star/small-star upgrade: round count is
     O(log^2 n), not O(diameter) — a 200-link chain (the min-label

@@ -224,16 +224,29 @@ def test_ivf_search_salted_equals_broadcast_under_hub_skew(spark):
     plan must return exactly the broadcast plan's rows."""
     from big_data_tools_spark.operators.similarity import IvfIndex
 
-    # 300 of 340 vectors hug one direction (the hub cluster); 40 spread
+    # hand-built index: 300 of 340 vectors pinned to ONE inverted list
+    # (a KMeans fit rebalances synthetic blobs, so the hub is
+    # constructed, not fitted — the paths under test are the joins)
     rows = []
     for i in range(300):
-        rows.append((i, [1.0, 0.001 * (i % 17), 0.002 * (i % 7)]))
+        rows.append((i, [1.0, 0.001 * (i % 17), 0.002 * (i % 7)], 0))
     for i in range(300, 340):
         j = i - 300
-        rows.append((i, [0.1 * (j % 5), 1.0 + 0.01 * j, 0.3 * (j % 3)]))
-    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-
-    idx = IvfIndex.fit(emb, n_clusters=6, init_mode="random", max_iter=5)
+        rows.append((i, [0.1 * (j % 5), 1.0 + 0.01 * j, 0.3 * (j % 3)],
+                     1 + j % 5))
+    assigned = spark.createDataFrame(
+        rows, "neighbor_id long, c_vec array<double>, cluster_id int"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.01, 0.01])]
+        + [(c, [0.2 * c, 1.0, 0.3]) for c in range(1, 6)],
+        "cluster_id int, centroid array<double>",
+    )
+    emb = assigned.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("c_vec").alias("embedding"),
+    )
+    idx = IvfIndex(assigned, F.broadcast(cents), "vec_id", "embedding")
     try:
         sizes = [
             r["n"]
