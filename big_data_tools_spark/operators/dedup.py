@@ -776,7 +776,7 @@ def embedding_cosine_pairs(
     Pass ``max_rows=None`` to explicitly opt out (tests, known-small
     frames).
     """
-    from .similarity import cosine
+    from .similarity import _as_double, dot, l2_norm
 
     if max_rows is not None:
         n = df.limit(max_rows + 1).count()
@@ -789,11 +789,21 @@ def embedding_cosine_pairs(
                 "or pass max_rows=None to force the O(n^2) plan."
             )
 
+    # norms + float->double casts hoisted to per-ROW projections (the
+    # r11 brute_force_topk/IvfIndex.search recipe): computing
+    # cosine(va, vb) per pair pays both L2 norms and two array casts
+    # per candidate — 3x the element work of the dot product. Same
+    # expression tree on identical doubles => bit-identical sims.
     a = fan_out(df, id_col).select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+    ).withColumn("__na", l2_norm(F.col("va")))
+    b = df.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    ).withColumn("__nb", l2_norm(F.col("vb")))
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")),
+        round_digits,
     )
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits)
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cos_sim"))

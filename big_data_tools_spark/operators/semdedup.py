@@ -61,18 +61,20 @@ def _pairs_from_index(
     # cosine() inside the join recomputes both L2 norms per CANDIDATE
     # PAIR — 3x the element work of the dot alone (r11; same hoist as
     # IvfIndex.search). Identical expression tree, bit-identical sims.
-    from .similarity import dot, l2_norm
+    from .similarity import _as_double, dot, l2_norm
 
+    # the float->double cast rides the same hoist: casting inside
+    # dot() would re-allocate both arrays per pair
     a = assigned.select(
         "cluster_id",
         F.col("neighbor_id").alias("id_a"),
-        F.col("c_vec").alias("va"),
+        _as_double(F.col("c_vec")).alias("va"),
         l2_norm(F.col("c_vec")).alias("na"),
     )
     b = assigned.select(
         "cluster_id",
         F.col("neighbor_id").alias("id_b"),
-        F.col("c_vec").alias("vb"),
+        _as_double(F.col("c_vec")).alias("vb"),
         l2_norm(F.col("c_vec")).alias("nb"),
     )
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))

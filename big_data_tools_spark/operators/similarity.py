@@ -77,17 +77,27 @@ def brute_force_topk(
                 "lsh_ann_topk / ivf_topk for large query sets, or pass "
                 "max_queries=None to force the exact plan."
             )
+    # norms AND the float->double casts are hoisted to per-ROW
+    # projections on each cross-join input: cosine(q, c) inside the
+    # join would recompute both L2 norms (plus two array casts) per
+    # candidate pair — 3x the element work and 4 extra array
+    # allocations per pair vs the dot product alone (the r11
+    # IvfIndex.search measurement: the scoring stage was the entire
+    # wall). Same expression tree (dot / (qn * cn)) on identical
+    # doubles, so results are bit-identical.
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-        )
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("q_vec"),
+        ).withColumn("__qn", l2_norm(F.col("q_vec")))
     )
     # vector math is the heavy step — spread single-file corpora over
     # all cores before the broadcast cross join
     c = fan_out(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("c_vec"),
+    ).withColumn("__cn", l2_norm(F.col("c_vec")))
+    sim = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (

@@ -226,22 +226,24 @@ def knn_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.partitioning import fan_out
-    from ..operators.similarity import cosine
+    from ..operators.similarity import _as_double, dot, l2_norm
     from ..operators.windows import top_k_per_group
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms + double casts hoisted per row (brute_force_topk recipe):
+    # same expression tree on identical doubles => bit-identical sims
     q = F.broadcast(
         emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"),
             F.col("label").alias("q_label"),
-            F.col("embedding").alias("qv"),
-        )
+            _as_double(F.col("embedding")).alias("qv"),
+        ).withColumn("__qn", l2_norm(F.col("qv")))
     )
     c = fan_out(emb, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("c_label"),
-        F.col("embedding").alias("cv"),
-    )
+        _as_double(F.col("embedding")).alias("cv"),
+    ).withColumn("__cn", l2_norm(F.col("cv")))
     scored = (
         c.crossJoin(q)
         .filter(
@@ -251,7 +253,11 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     return top_k_per_group(
