@@ -128,6 +128,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Prefer shuffled-hash over sort-merge when the planner's size
+        # conditions fit, and let AQE rewrite SMJ->SHJ at runtime when
+        # every post-shuffle partition is under 64 MB (r11, guide §3.1:
+        # SHJ skips both sort passes; the OOM risk SMJ's default guards
+        # is bounded by exactly these size conditions). Scale-neutral —
+        # the conditions are per-partition, not per-box; measured
+        # same-session interleaved A/B at sf0.1: dedup_simhash_portable
+        # x0.80, part_copurchase_communities x0.89, local_bridges
+        # x0.93, nothing consistently slower. Runtime SQL confs, so a
+        # caller can flip them back per query via spark.conf.set.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX", "67108864"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.maxResultSize", "2g")
         # local mode: one JVM hosts driver + all executor threads, so the
