@@ -140,6 +140,7 @@ def connected_components(
     max_iterations: int = 25,
     trace: list | None = None,
     small_graph_max_edges: int | None = 100_000,
+    self_loops: bool = True,
 ) -> DataFrame:
     """(node, component_id) for every node appearing in ``pairs``;
     component_id = min node id reachable through the pair graph.
@@ -147,6 +148,17 @@ def connected_components(
     still gets a row — a singleton component — so the "every node
     appearing in pairs" contract survives the self-loop filter
     (r10 ADVICE: the star-contraction rewrite silently dropped them).
+
+    ``self_loops=False`` is the r11 optimization contract for callers
+    that can PROVE their pair stream is strict (``src < dst`` on every
+    row — every dedup tier in this package emits exactly that): the
+    singleton probe scans ``pairs`` a SECOND time for ``src == dst``
+    rows, and because only the deduped edge frame is checkpointed,
+    that probe re-executes the caller's entire upstream pair pipeline
+    (measured r11: ~1s of the 3.3s dedup_components wall at sf0.1 —
+    one full extra pass over the pair stream at scale). With strict
+    pairs the probe is provably empty, so skipping it changes nothing
+    but the wasted pass.
 
     Alternating large-star/small-star contraction (module docstring).
     Pass a list as ``trace`` to receive one dict per round —
@@ -192,6 +204,8 @@ def connected_components(
         out = fast
     else:
         out = _star_contraction_components(edges, max_iterations, trace)
+    if not self_loops:
+        return out.select("node", F.col("comp").alias("component_id"))
     # self-loop-only nodes: filtered out of the edge set up front, so
     # anti-join them back as singletons against the deduped edge
     # frame's node set

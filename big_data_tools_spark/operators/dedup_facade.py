@@ -231,7 +231,9 @@ def dedup(
         pairs = pair_fns[tier](df, text_col=text_col, id_col=id_col, **tier_kwargs)
     if output == "pairs":
         return pairs
-    comps = connected_components(pairs, "id_a", "id_b")
+    # every tier emits strict id_a < id_b pairs -> skip the self-loop
+    # singleton probe (a second full pass over the pair pipeline)
+    comps = connected_components(pairs, "id_a", "id_b", self_loops=False)
     members = comps.select(
         F.col("node").alias("id"), F.col("component_id").alias("keep_id")
     )

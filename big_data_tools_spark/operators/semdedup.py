@@ -165,7 +165,8 @@ def semantic_dedup_groups_from_index(
     # (union both directions + every iteration's join) — persist it so
     # the clustered self-join runs once, not 2+rounds times
     pairs = _pairs_from_index(index, threshold, max_cluster_size, None).persist()
-    comps = connected_components(pairs, "id_a", "id_b")
+    # pairs are strict (id_a < id_b) -> no self-loop probe needed
+    comps = connected_components(pairs, "id_a", "id_b", self_loops=False)
     out = comps.select(
         F.col("node").alias(id_col), F.col("component_id").alias("keep_id")
     )

@@ -253,7 +253,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8, max_doc_freq="auto")
-    comp = connected_components(pairs)
+    # jaccard pairs are strict (id_a < id_b): self_loops=False skips the
+    # singleton probe that would re-run the whole jaccard pipeline (r11)
+    comp = connected_components(pairs, self_loops=False)
     out = comp.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.count(F.lit(1)) - 1).alias("n_removable"),
@@ -284,7 +286,7 @@ def dedup_components_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8, max_doc_freq="auto")
     trace: list[dict] = []
-    connected_components(pairs, trace=trace)  # loop runs eagerly
+    connected_components(pairs, trace=trace, self_loops=False)  # eager loop
     out = spark.createDataFrame(
         [(t["round"], t["n_nodes"], t["n_edges"]) for t in trace],
         "round int, n_nodes bigint, n_edges bigint",

@@ -137,6 +137,32 @@ def test_connected_components_self_pairs_are_singletons(spark):
     assert sorted(out) == [(1, 1), (2, 1), (3, 3), (4, 4)]
 
 
+def test_connected_components_self_loops_false_on_strict_pairs(spark):
+    """r11: callers whose pair stream is strict (src < dst everywhere —
+    every dedup tier here) pass self_loops=False to skip the singleton
+    probe, which otherwise re-executes the whole upstream pair pipeline
+    a second time. On strict pairs the output must be IDENTICAL, on
+    both the fast and the distributed path."""
+    from big_data_tools_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    for kw in ({}, {"small_graph_max_edges": None}):
+        with_probe = {
+            (r["node"], r["component_id"])
+            for r in connected_components(pairs, **kw).collect()
+        }
+        without = {
+            (r["node"], r["component_id"])
+            for r in connected_components(
+                pairs, self_loops=False, **kw
+            ).collect()
+        }
+        assert with_probe == without
+
+
 def test_connected_components_fast_path_equals_distributed(spark):
     """r11 small-graph fast path: driver union-find below the edge
     threshold must return exactly the distributed star-contraction
