@@ -486,25 +486,35 @@ def copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = adj.select("node", F.col("nbr").alias("pa"))
     y = adj.select("node", F.col("nbr").alias("pb"))
+    # r11 (guide §2.3 project/filter before the explosion): join the
+    # per-node weight onto x BEFORE the wedge self-join — degree-1
+    # nodes (absent from il) leave before they enter the join, and the
+    # weight rides the wedge row instead of a third join over the
+    # sum(deg^2)-sized wedge frame. Identical rows: a degree-1 node
+    # contributes no pa<pb pair anyway.
     wedges = (
-        x.join(y, "node")
+        x.join(il, "node")
+        .join(y, "node")
         .filter(F.col("pa") < F.col("pb"))
-        .join(il, "node")
         .select("pa", "pb", "w")
     )
-    cand = (
-        wedges.join(
-            und,
-            (wedges.pa == und.a) & (wedges.pb == und.b),
-            "left_anti",
-        )
-        .groupBy("pa", "pb")
-        .agg(
-            F.round(F.sum(F.col("w").cast("decimal(28,8)")).cast("double"), 6)
-            .cast("double")
-            .alias("aa_score"),
-            F.count(F.lit(1)).alias("n_common"),
-        )
+    # aggregate to candidate grain FIRST, then one anti-join on the
+    # ~|candidates| aggregated rows (guide §2.3 "aggregate before you
+    # shuffle" — the anti-join's probe side shrinks from sum(deg^2)
+    # wedge rows to distinct pairs; dropping whole groups commutes
+    # with aggregating them). This is also what the docstring always
+    # promised ("one anti-join at the already-aggregated candidate
+    # grain") — the code anti-joined pre-aggregation until r11.
+    agg = wedges.groupBy("pa", "pb").agg(
+        F.round(F.sum(F.col("w").cast("decimal(28,8)")).cast("double"), 6)
+        .cast("double")
+        .alias("aa_score"),
+        F.count(F.lit(1)).alias("n_common"),
+    )
+    cand = agg.join(
+        und,
+        (agg.pa == und.a) & (agg.pb == und.b),
+        "left_anti",
     )
     out = cand.orderBy(F.desc("aa_score"), F.asc("pa"), F.asc("pb")).limit(_AA_TOPK)
     return track_cache(out, und)

@@ -649,10 +649,13 @@ def _cms_pos_sql(src: str, key: str, extra: str = "") -> str:
     "the global sketch (merge_identity_ok) — what lets 1000 "
     "executors sketch their shards independently and add the d*w "
     "integer grids at the coordinator instead of re-shuffling raw "
-    "keys. Scale shape: the build is one narrow 4x explode + a "
-    "grouped count bounded at d*w = 2048 cells regardless of data "
-    "volume; the exact top-k (for the audit only) is one grouped "
-    "count + TakeOrdered.",
+    "keys. Scale shape (r11): one map-side-combined shuffle of the "
+    "raw events to (event_type, user_id) counts, then every sketch "
+    "(global and per-type) is a 4x explode over that DISTINCT-KEY "
+    "grain — the portable md5 runs per distinct user, not per event "
+    "— reduced to d*w = 2048 cells regardless of data volume; the "
+    "exact top-k (for the audit only) is one re-aggregation of the "
+    "same grain + TakeOrdered.",
 )
 def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cache import track_cache
@@ -663,16 +666,33 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     def positions(key):
         return cms_positions(key, _CMS_D, _CMS_W)
 
-    pos = events.select(positions(F.col("user_id")).alias("p")).select(
-        "p.r", "p.b"
-    )
-    sketch = (
-        pos.groupBy("r", "b")
+    # r11 (guide §2.3 "aggregate before you shuffle", §1.2 per-task
+    # work): the sketch cell positions depend only on user_id, so
+    # hashing the raw event stream paid d portable-md5 calls per EVENT
+    # — twice (global pos + typed pos), 8x|events| md5s and three full
+    # scans. Pre-aggregating to (event_type, user_id) grain first
+    # costs one map-side-combined shuffle of |events| narrow rows;
+    # every downstream frame (exact counts, global sketch, per-type
+    # partials) is then an exact integer re-aggregation of that tiny
+    # persisted grain, and md5 runs d times per DISTINCT user /
+    # (type, user) pair — 4x(|users| + |type-user|) calls. At sf0.1
+    # that is 36k hashes instead of 800k; at 100 TB the ratio is the
+    # events-per-user fan-in. Cell counts are identical: count(*) per
+    # cell == sum of per-user counts hashing to it.
+    tcnt = (
+        events.groupBy("event_type", "user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .persist()
     )
-    exact = events.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    exact = tcnt.groupBy("user_id").agg(
+        F.sum("cnt").cast("bigint").alias("exact_count")
+    )
+    sketch = (
+        exact.select("exact_count", positions(F.col("user_id")).alias("p"))
+        .select("exact_count", "p.r", "p.b")
+        .groupBy("r", "b")
+        .agg(F.sum("exact_count").cast("bigint").alias("cnt"))
+        .persist()
     )
     top = exact.orderBy(
         F.desc("exact_count"), F.asc("user_id")
@@ -685,11 +705,11 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "exact_count")
         .agg(F.min("cnt").cast("bigint").alias("cms_est"))
     )
-    typed = events.select(
-        "event_type", positions(F.col("user_id")).alias("p")
-    ).select("event_type", "p.r", "p.b")
+    typed = tcnt.select(
+        "event_type", "cnt", positions(F.col("user_id")).alias("p")
+    ).select("event_type", "cnt", "p.r", "p.b")
     partials = typed.groupBy("event_type", "r", "b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+        F.sum("cnt").cast("bigint").alias("cnt")
     )
     merged = partials.groupBy("r", "b").agg(
         F.sum("cnt").cast("bigint").alias("cnt")
@@ -716,7 +736,7 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_est") - F.col("exact_count")).alias("overestimate"),
         "merge_identity_ok",
     )
-    return track_cache(out, sketch)
+    return track_cache(out, sketch, tcnt)
 
 
 # ---------------------------------------------------------------------------

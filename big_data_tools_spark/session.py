@@ -145,6 +145,15 @@ def get_spark(
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.maxResultSize", "2g")
+        # local[] defaults to spark.task.maxFailures=1, so ONE transient
+        # task failure aborts the whole job. Observed r11: a deliberately
+        # raising mapInPandas job (a pytest.raises path) kills its Python
+        # workers mid-handshake; the daemon pool can hand the NEXT
+        # Python-runner stage a dead worker, which surfaces as
+        # ClosedChannelException in PythonWorkerFactory.create — a
+        # transient the retry absorbs. Real clusters run maxFailures=4;
+        # 2 keeps deterministic failures fast while absorbing the race.
+        .config("spark.task.maxFailures", "2")
         # local mode: one JVM hosts driver + all executor threads, so the
         # driver heap must be sized for N concurrent tasks (default 1g
         # OOMs under 32 parallel hash-agg tasks). Must be set before the
