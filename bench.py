@@ -337,6 +337,7 @@ def main() -> None:
         "shuffle_canary_samples": shuffle_canary_samples,
         "queries": {},
         "queries_normalized": {},
+        "queries_normalized_shuffle": {},
         "complete": False,
     }
 
@@ -375,6 +376,15 @@ def main() -> None:
         # rounds on this co-tenant-noisy box (VERDICT r8 #5)
         summary["queries_normalized"][name] = round(
             timings[name] / canary_sec, 3
+        )
+        # second normalization column (r11 VERDICT #2): shuffle-bound
+        # seats track the shuffle canary, not the CPU canary — a
+        # contended run (r11's 32c closing run spiked the shuffle
+        # canary to ~2.1s late in the run) is self-labeled when the
+        # two columns disagree. Additions-only: nothing existing is
+        # renamed or removed.
+        summary["queries_normalized_shuffle"][name] = round(
+            timings[name] / shuffle_canary_sec, 3
         )
         summary["value"] = round(sum(timings.values()), 3)
         _write_summary(summary)
@@ -431,6 +441,9 @@ def main() -> None:
         "shuffle_canary_samples": shuffle_canary_samples,
         "queries_normalized": {
             k: round(v / canary_sec, 3) for k, v in timings.items()
+        },
+        "queries_normalized_shuffle": {
+            k: round(v / shuffle_canary_sec, 3) for k, v in timings.items()
         },
         "skew_check": skew_check,
     }

@@ -573,14 +573,23 @@ def jaccard_prefix_pairs(
     # joins (the expensive stage on high-df corpora). alpha is exact
     # integer arithmetic for the same reason as ceil_t.
     alpha_den = 1_000_000 + t_micro
+    # the LENGTH filter (J >= t forces t*max(|x|,|y|) <= min(|x|,|y|),
+    # exact integer form: 1e6*min >= t_micro*max) also runs HERE, not
+    # only after the verify joins — both sizes already sit in the
+    # posting structs, so evaluating it per expanded pair is free and
+    # prunes candidates BEFORE the distinct + two shuffle-hash verify
+    # joins (guide §2.3: reduce before the shuffle). Lossless: it is
+    # a necessary condition of J >= t, and the post-join filter stays
+    # as the defensive second line.
     pair_expr = (
         "flatten(transform(ds, (x, i) -> "
-        "filter(transform(slice(ds, i + 2, size(ds)), "
-        "y -> struct(x.doc AS id_a, y.doc AS id_b, "
-        "CAST(1 + least(x.n_sh - x.rn, y.n_sh - y.rn) AS BIGINT) AS ub, "
+        "transform(filter(slice(ds, i + 2, size(ds)), "
+        f"y -> 1000000 * least(x.n_sh, y.n_sh) >= "
+        f"{t_micro} * greatest(x.n_sh, y.n_sh) "
+        "AND CAST(1 + least(x.n_sh - x.rn, y.n_sh - y.rn) AS BIGINT) >= "
         f"CAST(({t_micro} * (x.n_sh + y.n_sh) + {alpha_den - 1}) "
-        f"/ {alpha_den} AS BIGINT) AS alpha)), "
-        "s -> s.ub >= s.alpha)))"
+        f"/ {alpha_den} AS BIGINT)), "
+        "y -> struct(x.doc AS id_a, y.doc AS id_b))))"
     )
     posting = prefix.groupBy("shingle").agg(
         F.sort_array(F.collect_list(F.struct("doc", "rn", "n_sh"))).alias("ds")

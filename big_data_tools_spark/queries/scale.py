@@ -831,6 +831,19 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    def pos_array(key):
+        # the 3 hash positions are a pure function of the key; two of
+        # them can collide, so distinct-per-key = array_distinct, no
+        # (k, pos) exchange needed
+        return F.array_distinct(
+            F.array(
+                *[
+                    F.pmod(md5_hp(key.cast("string"), f"bf{j}"), F.lit(_BF_M))
+                    for j in range(_BF_K)
+                ]
+            )
+        )
+
     members = (
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_custkey").alias("k"))
@@ -838,26 +851,47 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     mpos = members.select(positions(F.col("k")).alias("pos")).distinct()
-    probe = cust.select(F.col("c_custkey").alias("k"))
-    ppos = probe.select("k", positions(F.col("k")).alias("pos")).distinct()
+    # ONE customer scan (was 3: ppos explode, n_probe count, n_true
+    # semi-join — guide §2.3 "aggregate before you shuffle" / §1.2):
+    # group the probe to distinct keys first, carrying the raw row
+    # multiplicity, so n_probe/n_true keep their row grain exactly
+    # even if a key ever repeated. Positions explode AFTER the
+    # key-grain aggregate (they are a function of k), and the per-key
+    # membership flag rides the same frame, so the whole audit pays
+    # one probe-side exchange instead of three subtree re-executions.
+    probe_keys = (
+        cust.select(F.col("c_custkey").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    ppos = probe_keys.select(
+        "k", "cnt", F.explode(pos_array(F.col("k"))).alias("pos")
+    )
     per_key = (
         ppos.join(
             F.broadcast(mpos.withColumn("hit", F.lit(1))), on="pos", how="left"
         )
-        .groupBy("k")
+        .groupBy("k", "cnt")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("npos"),
             F.count("hit").cast("bigint").alias("matched"),
         )
+        .join(members.withColumn("m", F.lit(1)), on="k", how="left")
     )
     n_members = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
     n_bits = mpos.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
-    n_probe = probe.agg(F.count(F.lit(1)).cast("bigint").alias("n_probe"))
-    n_accepted = per_key.filter(F.col("matched") == F.col("npos")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_accepted")
-    )
-    n_true = probe.join(members, on="k", how="left_semi").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    probe_stats = per_key.agg(
+        F.sum("cnt").cast("bigint").alias("n_probe"),
+        F.sum(
+            F.when(F.col("matched") == F.col("npos"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_accepted"),
+        F.sum(F.when(F.col("m") == 1, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_true"),
     )
     b = F.col("n_bits_set").cast("double")
     fp_obs = F.when(F.col("n_probe") == F.col("n_true"), F.lit(0.0)).otherwise(
@@ -870,9 +904,7 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = (
         n_members.crossJoin(F.broadcast(n_bits))
-        .crossJoin(F.broadcast(n_probe))
-        .crossJoin(F.broadcast(n_accepted))
-        .crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(probe_stats))
         .select(
             F.lit(_BF_M).cast("bigint").alias("filter_bits"),
             F.lit(_BF_K).cast("int").alias("k_hashes"),

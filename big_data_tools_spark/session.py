@@ -120,8 +120,17 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) a local SparkSession with engine defaults."""
     n = cpus or default_parallelism()
+    # local[n,2]: the retry count MUST ride in the master string — under
+    # a plain local[n] master Spark hardcodes maxFailures=1
+    # (MAX_LOCAL_TASK_FAILURES) and silently ignores the
+    # spark.task.maxFailures conf (r11 ADVICE, verified empirically on
+    # pyspark 4.1.2: a task failing its first attempt aborts the job
+    # with "failed 1 times" despite the conf). One retry absorbs the
+    # pooled-Python-daemon race (see the comment below); deterministic
+    # failures still fail fast after 2 attempts. Honors
+    # $SPARK_GRAFT_CPUS: n is the same core count as before.
     builder = (
-        SparkSession.builder.master(f"local[{n}]")
+        SparkSession.builder.master(f"local[{n},2]")
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -145,15 +154,26 @@ def get_spark(
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.maxResultSize", "2g")
-        # local[] defaults to spark.task.maxFailures=1, so ONE transient
-        # task failure aborts the whole job. Observed r11: a deliberately
-        # raising mapInPandas job (a pytest.raises path) kills its Python
-        # workers mid-handshake; the daemon pool can hand the NEXT
-        # Python-runner stage a dead worker, which surfaces as
-        # ClosedChannelException in PythonWorkerFactory.create — a
-        # transient the retry absorbs. Real clusters run maxFailures=4;
-        # 2 keeps deterministic failures fast while absorbing the race.
+        # The retry that absorbs the pooled-Python-daemon race (r11: a
+        # deliberately raising mapInPandas job kills its workers
+        # mid-handshake and the pool hands the NEXT Python stage a dead
+        # one -> ClosedChannelException) lives in the MASTER string
+        # above — this conf is ignored under local[] masters and is set
+        # here only for non-local deployments that copy this builder.
         .config("spark.task.maxFailures", "2")
+        # Cached plans otherwise keep their pre-AQE output partitioning
+        # (default false), so every persist()ed intermediate pins
+        # shuffle.partitions-many partitions no matter how small the
+        # frame is — at 32 cores each downstream stage over a KB-sized
+        # cached frame then launches 32 near-empty tasks, measured r12
+        # as a 32-core SLOWDOWN vs 8 cores on the cache-reusing seats
+        # (events_rolling_dau 1.33s -> 0.80s from this conf alone;
+        # guide §2.2: let AQE coalesce small partitions). Scale-neutral:
+        # AQE coalesces by size, so big cached frames keep their width.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         # local mode: one JVM hosts driver + all executor threads, so the
         # driver heap must be sized for N concurrent tasks (default 1g
         # OOMs under 32 parallel hash-agg tasks). Must be set before the
